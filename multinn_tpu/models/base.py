@@ -1,0 +1,76 @@
+"""Decoder/Encoder contracts (SURVEY C9, C10-base).
+
+A decoder is a *module* (functional style — a namespace of pure functions plus
+a params pytree), with this uniform surface (reference counterpart:
+``modules/decoders/decoder.py`` Decoder ABC [K]):
+
+    init(key, cfg: DecoderConfig) -> Params
+    loss(params, key, x, ctx=None) -> (scalar_loss, metrics: dict)
+        x: (B, T, F) binarized features, teacher-forced.
+        ctx: optional (B, T, C) extra conditioning (feedback architecture).
+    init_state(params, batch_shape) -> State
+    prime(params, state, x, ctx=None) -> State        # advance over seed
+    sample_step(params, key, state, ctx=None, k=None) -> (State, v: (..., F))
+    generate(params, key, state, n_steps, ctx=None, k=None)
+        -> (State, v_seq: (B, n_steps, F))   # ONE jitted lax.scan program
+
+All decoders model binary feature vectors; the RNN state is carried explicitly
+so the generator (C14) and the feedback architecture (C12b) can thread it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Shared decoder hyperparameters (SURVEY C7/C8 key knobs).
+
+    n_visible: feature dim F the decoder models (88/128 pitches, or encoder
+        latent width).
+    n_hidden: RBM/NADE hidden units H.
+    n_rnn: RNN hidden size U (per layer).
+    n_ctx: width of the optional conditioning context appended to the RNN
+        input (0 = none; feedback architecture sets this).
+    cell: 'lstm' (MultINN default) or 'vanilla' (the 2012 paper's RNN).
+    cd_k: Gibbs sweeps for CD-k training (RBM only).
+    gen_k: Gibbs sweeps at generation time (RBM only; more sweeps = better
+        mixing, still cheap because the whole chain is on-chip).
+    """
+
+    n_visible: int
+    n_hidden: int = 150
+    n_rnn: int = 100
+    n_ctx: int = 0
+    cell: str = "lstm"
+    cd_k: int = 1
+    gen_k: int = 10
+    w_std: float = 0.01
+
+
+def get_decoder(name: str):
+    """Decoder registry: name -> module implementing the contract above."""
+    from multinn_tpu.models import rnn_rbm, rnn_nade
+    registry = {
+        "rnn-rbm": rnn_rbm,
+        "rnn-nade": rnn_nade,
+        "rnnrbm": rnn_rbm,
+        "rnnnade": rnn_nade,
+    }
+    key = name.lower().replace("_", "-")
+    if key not in registry:
+        raise ValueError(
+            f"Unknown decoder '{name}'; available: rnn-rbm, rnn-nade")
+    return registry[key]
+
+
+def rnn_input(x: jax.Array, ctx: Optional[jax.Array]) -> jax.Array:
+    """Concatenate visible features with optional conditioning context."""
+    if ctx is None:
+        return x
+    import jax.numpy as jnp
+    return jnp.concatenate([x, ctx], axis=-1)

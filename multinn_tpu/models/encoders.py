@@ -1,0 +1,97 @@
+"""Encoders (SURVEY C10; reference counterpart ``modules/encoders/`` [K]).
+
+Two encoder types behind one contract:
+
+  * pass-through ("pass"): identity — the decoder models raw pianoroll frames.
+  * DBN ("dbn"): a stack of RBMs; the deterministic upward pass
+    h^{l+1} = σ(h^l W_l + bh_l) produces latent features, the downward pass
+    σ(h W_lᵀ + bv_l) decodes back to pianoroll space. Supports greedy
+    layer-wise CD pre-training (SURVEY C13 pre-training hook): layer l is
+    trained as an RBM on the (deterministic) layer-(l-1) features.
+
+Contract (all pure functions; params is a tuple of RBMParams, empty = pass):
+
+    init(key, cfg)                  -> Params
+    encode(params, x)               -> features (..., F_out)
+    decode(params, h)               -> pianoroll probs (..., F_in)
+    out_dim(cfg)                    -> F_out
+    layer_inputs(params, x, layer)  -> features feeding RBM ``layer``
+    pretrain_loss(params, key, x, layer, k) -> CD-k loss for that layer
+
+The feedback architecture (C12b) shares ONE encoder params pytree across all
+tracks [B:10]; the per-track architecture gives each track its own [B:9].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multinn_tpu.nn import rbm as rbm_nn
+from multinn_tpu.ops import gibbs as gibbs_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """hidden_sizes=() means pass-through (identity)."""
+
+    n_in: int
+    hidden_sizes: Tuple[int, ...] = ()
+    sample_output: bool = False     # binarize features by Bernoulli sampling
+    w_std: float = 0.01
+
+
+Params = Tuple[rbm_nn.RBMParams, ...]
+
+
+def init(key: jax.Array, cfg: EncoderConfig) -> Params:
+    sizes = (cfg.n_in, *cfg.hidden_sizes)
+    keys = jax.random.split(key, max(len(cfg.hidden_sizes), 1))
+    return tuple(
+        rbm_nn.init(keys[i], sizes[i], sizes[i + 1], w_std=cfg.w_std)
+        for i in range(len(cfg.hidden_sizes)))
+
+
+def out_dim(cfg: EncoderConfig) -> int:
+    return cfg.hidden_sizes[-1] if cfg.hidden_sizes else cfg.n_in
+
+
+def encode(params: Params, x: jax.Array,
+           key: jax.Array | None = None) -> jax.Array:
+    """Deterministic upward pass (probabilities); if ``key`` is given the
+    final layer is Bernoulli-sampled instead (sample_output mode)."""
+    h = x
+    for i, layer in enumerate(params):
+        h = jax.nn.sigmoid(h @ layer.w + layer.bh)
+        if key is not None and i == len(params) - 1:
+            u = jax.random.uniform(key, h.shape, dtype=h.dtype)
+            h = (u < h).astype(h.dtype)
+    return h
+
+
+def decode(params: Params, h: jax.Array) -> jax.Array:
+    """Downward pass to pianoroll-space probabilities."""
+    v = h
+    for layer in reversed(params):
+        v = jax.nn.sigmoid(v @ layer.w.T + layer.bv)
+    return v
+
+
+def layer_inputs(params: Params, x: jax.Array, layer: int) -> jax.Array:
+    """Features feeding RBM ``layer`` during greedy pre-training."""
+    h = x
+    for lyr in params[:layer]:
+        h = jax.nn.sigmoid(h @ lyr.w + lyr.bh)
+    return h
+
+
+def pretrain_loss(params: Params, key: jax.Array, x: jax.Array,
+                  layer: int, k: int = 1) -> jax.Array:
+    """CD-k loss of RBM ``layer`` on (stop-gradient) lower-layer features —
+    the greedy layer-wise objective. Lower layers receive no gradient."""
+    feats = jax.lax.stop_gradient(layer_inputs(params, x, layer))
+    p = params[layer]
+    return gibbs_ops.cd_loss(key, feats, p.w, p.bv, p.bh, k=k)

@@ -1,0 +1,293 @@
+"""MultINN — the flagship multi-track composition model (SURVEY C11/C12;
+reference counterpart ``models/multinn.py`` [K]).
+
+Composes per-track encoder+decoder modules under an inter-track architecture:
+
+  * ``per-track`` [B:9]: independent per-track encoders and decoders. Tracks
+    are the natural expert-parallel axis (SURVEY §2.2): per-track params are
+    STACKED along a leading track axis and every train/sample op is ``vmap``ed
+    over it — on a mesh this axis shards over ``track`` with no collectives.
+  * ``feedback`` [B:10]: ONE shared encoder; per-track decoders whose RNNs are
+    additionally conditioned on the concatenated latents of ALL tracks from
+    the previous step (the cross-track feedback). Training stays fully
+    teacher-forced/parallel (the feedback context is a time-shift of encoded
+    teacher frames); generation carries the context through the scan — when
+    track-sharded this becomes the architecture's single all-gather per step.
+  * ``joint``: all tracks concatenated into one (K·D)-dim frame handled by a
+    single encoder+decoder (the MuseGAN-style fully-joint wiring; SURVEY C12
+    lists such extra modes as likely-present — included for capability cover).
+
+API (C11): init / loss / log_likelihood / prime / generate — a unified
+forward/loss/sample surface over all tracks. Pianorolls are (B, T, K, D).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flax import struct
+
+from multinn_tpu.models import encoders as enc_mod
+from multinn_tpu.models.base import DecoderConfig, get_decoder
+from multinn_tpu.models.encoders import EncoderConfig
+
+MODES = ("per-track", "feedback", "joint")
+
+
+@dataclasses.dataclass(frozen=True)
+class MultINNConfig:
+    """Experiment-level model config (SURVEY C17 feeds this)."""
+
+    n_tracks: int = 5
+    n_pitches: int = 88
+    mode: str = "per-track"
+    decoder_type: str = "rnn-rbm"
+    encoder_hidden: Tuple[int, ...] = ()     # () = pass-through encoder
+    n_hidden: int = 150
+    n_rnn: int = 100
+    cell: str = "lstm"
+    cd_k: int = 1
+    gen_k: int = 10
+    w_std: float = 0.01
+
+    def __post_init__(self):
+        if self.mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {self.mode}")
+
+    # ---- derived sub-configs -------------------------------------------
+    def encoder_config(self) -> EncoderConfig:
+        n_in = (self.n_pitches * self.n_tracks if self.mode == "joint"
+                else self.n_pitches)
+        return EncoderConfig(n_in=n_in, hidden_sizes=self.encoder_hidden,
+                             w_std=self.w_std)
+
+    def feature_dim(self) -> int:
+        return enc_mod.out_dim(self.encoder_config())
+
+    def ctx_dim(self) -> int:
+        """Feedback context width: latents of all K tracks, concatenated."""
+        return (self.n_tracks * self.feature_dim()
+                if self.mode == "feedback" else 0)
+
+    def decoder_config(self) -> DecoderConfig:
+        return DecoderConfig(
+            n_visible=self.feature_dim(), n_hidden=self.n_hidden,
+            n_rnn=self.n_rnn, n_ctx=self.ctx_dim(), cell=self.cell,
+            cd_k=self.cd_k, gen_k=self.gen_k, w_std=self.w_std)
+
+
+@struct.dataclass
+class MultINNParams:
+    encoder: object     # per-track: track-stacked; feedback/joint: single
+    decoder: object     # per-track/feedback: track-stacked; joint: single
+    cfg: MultINNConfig = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class MultINNState:
+    """Generation state: decoder states (track-stacked where applicable) and
+    the feedback context (zeros when unused)."""
+    decoder: object
+    ctx: Optional[jax.Array]
+
+
+def _dec(cfg: MultINNConfig):
+    return get_decoder(cfg.decoder_type)
+
+
+def init(key: jax.Array, cfg: MultINNConfig) -> MultINNParams:
+    ke, kd = jax.random.split(key)
+    ecfg, dcfg = cfg.encoder_config(), cfg.decoder_config()
+    dec = _dec(cfg)
+    if cfg.mode == "joint":
+        return MultINNParams(encoder=enc_mod.init(ke, ecfg),
+                             decoder=dec.init(kd, dcfg), cfg=cfg)
+    dec_keys = jax.random.split(kd, cfg.n_tracks)
+    decoder = jax.vmap(lambda k: dec.init(k, dcfg))(dec_keys)
+    if cfg.mode == "feedback":
+        encoder = enc_mod.init(ke, ecfg)                 # shared [B:10]
+    else:
+        enc_keys = jax.random.split(ke, cfg.n_tracks)
+        encoder = jax.vmap(lambda k: enc_mod.init(k, ecfg))(enc_keys)
+    return MultINNParams(encoder=encoder, decoder=decoder, cfg=cfg)
+
+
+# ---------------------------------------------------------------------------
+# feature-space plumbing
+# ---------------------------------------------------------------------------
+
+def _tracks_first(x: jax.Array) -> jax.Array:
+    """(B, T, K, D) -> (K, B, T, D)."""
+    return jnp.moveaxis(x, 2, 0)
+
+
+def _encode_tracks(params: MultINNParams, x: jax.Array) -> jax.Array:
+    """x: (B, T, K, D) -> features, tracks-first (K, B, T, F)."""
+    cfg = params.cfg
+    xk = _tracks_first(x)
+    if cfg.mode == "feedback":          # shared encoder broadcast over tracks
+        return enc_mod.encode(params.encoder, xk)
+    return jax.vmap(enc_mod.encode)(params.encoder, xk)
+
+
+def _feedback_ctx(feats_k: jax.Array) -> jax.Array:
+    """Teacher-forced feedback context: concat latents of all tracks at t-1.
+    feats_k: (K, B, T, F) -> ctx (B, T, K·F) with zeros at t=0."""
+    k, b, t, f = feats_k.shape
+    lat = jnp.moveaxis(feats_k, 0, 2).reshape(b, t, k * f)
+    return jnp.concatenate([jnp.zeros_like(lat[:, :1]), lat[:, :-1]], axis=1)
+
+
+def _mean_tree(tree):
+    return jax.tree.map(lambda a: jnp.mean(a, axis=0), tree)
+
+
+# ---------------------------------------------------------------------------
+# loss / likelihood
+# ---------------------------------------------------------------------------
+
+def loss(params: MultINNParams, key: jax.Array, x: jax.Array):
+    """Unified teacher-forced loss over all tracks. x: (B, T, K, D).
+    Returns (scalar_loss, metrics) — metrics averaged over tracks, plus
+    per-track losses under 'loss_per_track'."""
+    cfg = params.cfg
+    dec = _dec(cfg)
+    if cfg.mode == "joint":
+        b, t, k, d = x.shape
+        feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
+        return dec.loss(params.decoder, key, feats)
+
+    feats_k = _encode_tracks(params, x)                  # (K, B, T, F)
+    keys = jax.random.split(key, cfg.n_tracks)
+    if cfg.mode == "feedback":
+        ctx = _feedback_ctx(feats_k)                     # (B, T, K·F)
+        losses, metrics = jax.vmap(
+            lambda p, kk, xx: dec.loss(p, kk, xx, ctx=ctx)
+        )(params.decoder, keys, feats_k)
+    else:
+        losses, metrics = jax.vmap(
+            lambda p, kk, xx: dec.loss(p, kk, xx)
+        )(params.decoder, keys, feats_k)
+    metrics = _mean_tree(metrics)
+    metrics["loss_per_track"] = losses
+    total = jnp.mean(losses)
+    metrics["loss"] = total
+    return total, metrics
+
+
+def log_likelihood(params: MultINNParams, key: jax.Array,
+                   x: jax.Array) -> jax.Array:
+    """Per-sequence LL summed over tracks and time, (B,). Exact for NADE
+    decoders, pseudo-LL proxy for RBM decoders (intractable partition fn)."""
+    cfg = params.cfg
+    dec = _dec(cfg)
+    if cfg.mode == "joint":
+        b, t, k, d = x.shape
+        feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
+        return dec.log_likelihood_proxy(params.decoder, key, feats)
+    feats_k = _encode_tracks(params, x)
+    keys = jax.random.split(key, cfg.n_tracks)
+    if cfg.mode == "feedback":
+        ctx = _feedback_ctx(feats_k)
+        lls = jax.vmap(
+            lambda p, kk, xx: dec.log_likelihood_proxy(p, kk, xx, ctx=ctx)
+        )(params.decoder, keys, feats_k)
+    else:
+        lls = jax.vmap(
+            lambda p, kk, xx: dec.log_likelihood_proxy(p, kk, xx)
+        )(params.decoder, keys, feats_k)
+    return jnp.sum(lls, axis=0)                          # (B,)
+
+
+# ---------------------------------------------------------------------------
+# state / priming / generation
+# ---------------------------------------------------------------------------
+
+def init_state(params: MultINNParams, batch: int) -> MultINNState:
+    cfg = params.cfg
+    dec = _dec(cfg)
+    dcfg = cfg.decoder_config()
+    if cfg.mode == "joint":
+        return MultINNState(
+            decoder=dec.init_state(params.decoder, (batch,)), ctx=None)
+    states = jax.vmap(lambda p: dec.init_state(p, (batch,)))(params.decoder)
+    ctx = (jnp.zeros((batch, cfg.ctx_dim()))
+           if cfg.mode == "feedback" else None)
+    return MultINNState(decoder=states, ctx=ctx)
+
+
+def prime(params: MultINNParams, state: MultINNState,
+          seed: jax.Array) -> MultINNState:
+    """Advance RNN states over a seed pianoroll (B, T, K, D) (C14 priming)."""
+    cfg = params.cfg
+    dec = _dec(cfg)
+    if cfg.mode == "joint":
+        b, t, k, d = seed.shape
+        feats = enc_mod.encode(params.encoder, seed.reshape(b, t, k * d))
+        return MultINNState(
+            decoder=dec.prime(params.decoder, state.decoder, feats), ctx=None)
+    feats_k = _encode_tracks(params, seed)               # (K, B, T, F)
+    if cfg.mode == "feedback":
+        ctx_seq = _feedback_ctx(feats_k)
+        states = jax.vmap(
+            lambda p, st, xx: dec.prime(p, st, xx, ctx=ctx_seq)
+        )(params.decoder, state.decoder, feats_k)
+        kk, b, t, f = feats_k.shape
+        last_ctx = jnp.moveaxis(feats_k[:, :, -1], 0, 1).reshape(b, kk * f)
+        return MultINNState(decoder=states, ctx=last_ctx)
+    states = jax.vmap(
+        lambda p, st, xx: dec.prime(p, st, xx)
+    )(params.decoder, state.decoder, feats_k)
+    return MultINNState(decoder=states, ctx=None)
+
+
+def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState
+                ) -> Tuple[MultINNState, jax.Array]:
+    """One generation step over all tracks -> (state, frame (B, K, D) binary
+    pianoroll). The feedback mode threads the cross-track context — on a
+    track-sharded mesh the context assembly is the per-step all_gather."""
+    cfg = params.cfg
+    dec = _dec(cfg)
+    if cfg.mode == "joint":
+        st, v = dec.sample_step(params.decoder, key, state.decoder)
+        roll = enc_mod.decode(params.encoder, v)
+        if cfg.encoder_hidden:
+            roll = (roll >= 0.5).astype(v.dtype)
+        frame = roll.reshape(roll.shape[0], cfg.n_tracks, cfg.n_pitches)
+        return MultINNState(decoder=st, ctx=None), frame
+
+    keys = jax.random.split(key, cfg.n_tracks)
+    if cfg.mode == "feedback":
+        states, vs = jax.vmap(
+            lambda p, kk, st: dec.sample_step(p, kk, st, ctx=state.ctx)
+        )(params.decoder, keys, state.decoder)           # vs: (K, B, F)
+        k, b, f = vs.shape
+        new_ctx = jnp.moveaxis(vs, 0, 1).reshape(b, k * f)
+        new_state = MultINNState(decoder=states, ctx=new_ctx)
+        rolls = enc_mod.decode(params.encoder, vs)       # shared decode
+    else:
+        states, vs = jax.vmap(
+            lambda p, kk, st: dec.sample_step(p, kk, st)
+        )(params.decoder, keys, state.decoder)
+        new_state = MultINNState(decoder=states, ctx=None)
+        rolls = jax.vmap(enc_mod.decode)(params.encoder, vs)
+    if cfg.encoder_hidden:
+        rolls = (rolls >= 0.5).astype(vs.dtype)          # decode -> binary
+    return new_state, jnp.moveaxis(rolls, 0, 1)          # (B, K, D)
+
+
+def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
+             n_steps: int) -> Tuple[MultINNState, jax.Array]:
+    """Autoregressive multi-track generation as ONE lax.scan program.
+    Returns (state, pianoroll (B, n_steps, K, D))."""
+    keys = jax.random.split(key, n_steps)
+
+    def body(st, kk):
+        return sample_step(params, kk, st)
+
+    final, frames = jax.lax.scan(body, state, keys)      # (T, B, K, D)
+    return final, jnp.moveaxis(frames, 0, 1)

@@ -1,0 +1,182 @@
+"""RNN-NADE decoder (SURVEY C8; math: arXiv:1206.6392 §3.3, reference
+counterpart ``modules/decoders/rnn_nade.py`` [K]).
+
+Model: a NADE over each frame v(t) whose biases are conditioned on the RNN
+state (same conditioning scheme as the RNN-RBM):
+
+    bv(t) = bv + u(t-1) @ Wuv          bh(t) = bh + u(t-1) @ Wuh
+    u(t)  = Cell(u(t-1), [v(t); ctx(t)])
+
+Training is EXACT maximum likelihood (teacher forced; gradients flow through
+everything — no CD approximation). TPU-first: the per-dimension NADE
+recurrence is evaluated in the parallel exclusive-cumsum form over ALL (batch,
+time, dim) positions at once — there is no sequential dim loop in training at
+all (the reference's TF1 graph loops over D even for likelihood).
+
+Generation runs the sequential per-dim sweep inside a single jitted time scan
+(fused Pallas sweep when available — SURVEY hard part #1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flax import struct
+
+from multinn_tpu.models.base import DecoderConfig, rnn_input
+from multinn_tpu.nn import rnn as rnn_nn
+from multinn_tpu.ops import nade_ops
+from multinn_tpu.training.metrics import frame_metrics
+from multinn_tpu.nn import nade as nade_nn
+
+
+@struct.dataclass
+class Params:
+    cell: object
+    w: jax.Array            # (F, H) NADE encode weights
+    v: jax.Array            # (F, H) NADE decode weights
+    bv: jax.Array           # (F,)
+    bh: jax.Array           # (H,)
+    wuv: jax.Array          # (U, F)
+    wuh: jax.Array          # (U, H)
+    cfg: DecoderConfig = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class State:
+    cell: object
+    v_prev: jax.Array
+
+
+def init(key: jax.Array, cfg: DecoderConfig) -> Params:
+    kc, kw, kv, kuv, kuh = jax.random.split(key, 5)
+    f, h, u = cfg.n_visible, cfg.n_hidden, cfg.n_rnn
+    return Params(
+        cell=rnn_nn.cell_init(cfg.cell, kc, f + cfg.n_ctx, u,
+                              w_std=cfg.w_std),
+        w=cfg.w_std * jax.random.normal(kw, (f, h)),
+        v=cfg.w_std * jax.random.normal(kv, (f, h)),
+        bv=jnp.zeros((f,)),
+        bh=jnp.zeros((h,)),
+        wuv=cfg.w_std * jax.random.normal(kuv, (u, f)),
+        wuh=cfg.w_std * jax.random.normal(kuh, (u, h)),
+        cfg=cfg,
+    )
+
+
+def init_state(params: Params, batch_shape: Tuple[int, ...]) -> State:
+    cfg = params.cfg
+    return State(
+        cell=rnn_nn.cell_zero_state(cfg.cell, batch_shape, cfg.n_rnn),
+        v_prev=jnp.zeros((*batch_shape, cfg.n_visible)),
+    )
+
+
+def _scan_states(params: Params, state: State, x_tm: jax.Array):
+    cfg = params.cfg
+    final, us = rnn_nn.cell_scan(cfg.cell, params.cell, state.cell, x_tm)
+    u0 = rnn_nn.state_h(state.cell)
+    u_prev = jnp.concatenate([u0[None], us[:-1]], axis=0)
+    return final, u_prev
+
+
+def _biases(params: Params, u_prev: jax.Array):
+    return (params.bv + u_prev @ params.wuv,
+            params.bh + u_prev @ params.wuh)
+
+
+def _nll(params: Params, x: jax.Array, ctx: Optional[jax.Array]):
+    """Mean per-frame negative log-likelihood + logits for metrics.
+    x: (B, T, F)."""
+    x_tm = jnp.swapaxes(x, 0, 1)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+    state = init_state(params, x.shape[:1])
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
+    bv_t, bh_t = _biases(params, u_prev)
+    ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)
+    return -jnp.mean(ll), (x_tm, bv_t, bh_t)
+
+
+def loss(params: Params, key: jax.Array, x: jax.Array,
+         ctx: Optional[jax.Array] = None):
+    """Exact NLL loss. ``key`` is unused (kept for the decoder contract).
+    Returns (scalar_loss, metrics)."""
+    del key
+    nll, (x_tm, bv_t, bh_t) = _nll(params, x, ctx)
+    # teacher-forced conditional probabilities for frame metrics
+    logits = jax.lax.stop_gradient(nade_nn.conditionals_logits(
+        x_tm, params.w, params.v, bv_t, bh_t))
+    probs = jax.nn.sigmoid(logits)
+    metrics = frame_metrics(probs, x_tm)
+    metrics["nll"] = nll
+    metrics["loss"] = nll
+    return nll, metrics
+
+
+def log_likelihood(params: Params, key: jax.Array, x: jax.Array,
+                   ctx: Optional[jax.Array] = None) -> jax.Array:
+    """EXACT per-sequence log-likelihood (B,), summed over time — the paper's
+    Table-1 quantity (reported per frame by dividing by T upstream)."""
+    del key
+    x_tm = jnp.swapaxes(x, 0, 1)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+    state = init_state(params, x.shape[:1])
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
+    bv_t, bh_t = _biases(params, u_prev)
+    ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)
+    return jnp.sum(ll, axis=0)
+
+
+# alias so trainer can treat decoders uniformly
+log_likelihood_proxy = log_likelihood
+
+
+def prime(params: Params, state: State, x: jax.Array,
+          ctx: Optional[jax.Array] = None) -> State:
+    cfg = params.cfg
+    x_tm = jnp.swapaxes(x, 0, 1)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+    final, _ = rnn_nn.cell_scan(cfg.cell, params.cell, state.cell,
+                                rnn_input(x_tm, ctx_tm))
+    return State(cell=final, v_prev=x[:, -1, :])
+
+
+def sample_step(params: Params, key: jax.Array, state: State,
+                ctx: Optional[jax.Array] = None,
+                k: Optional[int] = None) -> Tuple[State, jax.Array]:
+    """One generation step: ancestral NADE sample at biases from u(t-1),
+    then advance the cell. ``k`` is ignored (NADE sampling is exact)."""
+    del k
+    cfg = params.cfg
+    u_prev = rnn_nn.state_h(state.cell)
+    bv_t, bh_t = _biases(params, u_prev)
+    v = nade_ops.nade_sample(key, params.w, params.v, bv_t, bh_t,
+                             batch_shape=u_prev.shape[:-1])
+    new_cell = rnn_nn.cell_step(cfg.cell, params.cell, state.cell,
+                                rnn_input(v, ctx))
+    return State(cell=new_cell, v_prev=v), v
+
+
+def generate(params: Params, key: jax.Array, state: State, n_steps: int,
+             ctx: Optional[jax.Array] = None,
+             k: Optional[int] = None) -> Tuple[State, jax.Array]:
+    """Autoregressive generation as ONE lax.scan program (T outer steps, D
+    inner sequential dims — the inner sweep is the Pallas fusion target)."""
+    del k
+    keys = jax.random.split(key, n_steps)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+
+    def body(st, inp):
+        if ctx_tm is None:
+            st, v = sample_step(params, inp, st, None)
+        else:
+            kk, c = inp
+            st, v = sample_step(params, kk, st, c)
+        return st, v
+
+    xs = keys if ctx_tm is None else (keys, ctx_tm)
+    final, vs = jax.lax.scan(body, state, xs)
+    return final, jnp.swapaxes(vs, 0, 1)

@@ -1,0 +1,191 @@
+"""RNN-RBM decoder (SURVEY C7; math: arXiv:1206.6392 §2.3, reference
+counterpart ``modules/decoders/rnn_rbm.py`` [K] — MultINN uses LSTM cells in
+place of the paper's vanilla RNN, both supported via DecoderConfig.cell).
+
+Model: an RBM over each frame v(t) whose biases are conditioned on the hidden
+state of a deterministic RNN that consumed frames < t:
+
+    bh(t) = bh + u(t-1) @ Wuh          bv(t) = bv + u(t-1) @ Wuv
+    u(t)  = Cell(u(t-1), [v(t); ctx(t)])
+
+TPU-first training: the RNN runs once as a time-major lax.scan (teacher
+forcing), producing ALL conditioned biases in two batched MXU matmuls; the
+CD-k Gibbs chains of every (batch, time) position are then independent and run
+as ONE batched chain over (T, B, D) — k sequential sweeps total for the whole
+batch instead of the reference's per-step tf.while_loop chains.
+
+Generation is a single jitted lax.scan over time: each step runs the Gibbs
+chain at that step's biases starting from the previous frame, then advances
+the cell — no host round-trips (SURVEY call stack 3.2's latency fix).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flax import struct
+
+from multinn_tpu.models.base import DecoderConfig, rnn_input
+from multinn_tpu.nn import rbm as rbm_nn
+from multinn_tpu.nn import rnn as rnn_nn
+from multinn_tpu.ops import gibbs as gibbs_ops
+from multinn_tpu.training.metrics import frame_metrics, binary_cross_entropy
+
+
+@struct.dataclass
+class Params:
+    cell: object            # rnn_nn.LSTMParams | VanillaRNNParams
+    w: jax.Array            # (F, H) RBM weights
+    bv: jax.Array           # (F,)
+    bh: jax.Array           # (H,)
+    wuv: jax.Array          # (U, F) state -> visible-bias conditioning
+    wuh: jax.Array          # (U, H) state -> hidden-bias conditioning
+    cfg: DecoderConfig = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class State:
+    """Carried generation/priming state: RNN state + previous frame."""
+    cell: object
+    v_prev: jax.Array       # (..., F)
+
+
+def init(key: jax.Array, cfg: DecoderConfig) -> Params:
+    kc, kw, kuv, kuh = jax.random.split(key, 4)
+    f, h, u = cfg.n_visible, cfg.n_hidden, cfg.n_rnn
+    return Params(
+        cell=rnn_nn.cell_init(cfg.cell, kc, f + cfg.n_ctx, u,
+                              w_std=cfg.w_std),
+        w=cfg.w_std * jax.random.normal(kw, (f, h)),
+        bv=jnp.zeros((f,)),
+        bh=jnp.zeros((h,)),
+        wuv=cfg.w_std * jax.random.normal(kuv, (u, f)),
+        wuh=cfg.w_std * jax.random.normal(kuh, (u, h)),
+        cfg=cfg,
+    )
+
+
+def init_state(params: Params, batch_shape: Tuple[int, ...]) -> State:
+    cfg = params.cfg
+    return State(
+        cell=rnn_nn.cell_zero_state(cfg.cell, batch_shape, cfg.n_rnn),
+        v_prev=jnp.zeros((*batch_shape, cfg.n_visible)),
+    )
+
+
+def _scan_states(params: Params, state: State, x_tm: jax.Array
+                 ) -> Tuple[object, jax.Array]:
+    """Run the cell over time-major inputs; return (final_cell_state, u_prev)
+    where u_prev[t] = hidden state BEFORE consuming x[t] (bias conditioning
+    uses u(t-1) per the paper)."""
+    cfg = params.cfg
+    final, us = rnn_nn.cell_scan(cfg.cell, params.cell, state.cell, x_tm)
+    u0 = rnn_nn.state_h(state.cell)
+    u_prev = jnp.concatenate([u0[None], us[:-1]], axis=0)   # (T, B, U)
+    return final, u_prev
+
+
+def _biases(params: Params, u_prev: jax.Array):
+    bv_t = params.bv + u_prev @ params.wuv
+    bh_t = params.bh + u_prev @ params.wuh
+    return bv_t, bh_t
+
+
+def loss(params: Params, key: jax.Array, x: jax.Array,
+         ctx: Optional[jax.Array] = None):
+    """CD-k loss, teacher forced. x: (B, T, F); ctx: (B, T, C) or None.
+
+    Returns (scalar_loss, metrics). Gradients flow into the RNN through the
+    conditioned biases of BOTH free-energy terms; never through the chain.
+    """
+    cfg = params.cfg
+    x_tm = jnp.swapaxes(x, 0, 1)                      # (T, B, F)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+    state = init_state(params, x.shape[:1])
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
+    bv_t, bh_t = _biases(params, u_prev)              # (T, B, F/H)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    cd = gibbs_ops.cd_loss(k1, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k)
+
+    # Monitoring: mean-field reconstruction + transduction frame metrics.
+    recon = rbm_nn.reconstruction(k2, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k)
+    recon = jax.lax.stop_gradient(recon)
+    metrics = frame_metrics(recon, x_tm)
+    metrics["bce_recon"] = binary_cross_entropy(recon, x_tm)
+    metrics["free_energy"] = jnp.mean(
+        rbm_nn.free_energy(x_tm, params.w, bv_t, bh_t))
+    metrics["pll"] = jnp.mean(jax.lax.stop_gradient(
+        rbm_nn.pseudo_log_likelihood(k3, x_tm, params.w, bv_t, bh_t)))
+    metrics["loss"] = cd
+    return cd, metrics
+
+
+def log_likelihood_proxy(params: Params, key: jax.Array, x: jax.Array,
+                         ctx: Optional[jax.Array] = None) -> jax.Array:
+    """Per-sequence pseudo-LL (RBM LL is intractable; PLL is the eval proxy).
+    Returns (B,) summed over time."""
+    x_tm = jnp.swapaxes(x, 0, 1)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+    state = init_state(params, x.shape[:1])
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
+    bv_t, bh_t = _biases(params, u_prev)
+    pll = rbm_nn.pseudo_log_likelihood(key, x_tm, params.w, bv_t, bh_t)
+    return jnp.sum(pll, axis=0)
+
+
+def prime(params: Params, state: State, x: jax.Array,
+          ctx: Optional[jax.Array] = None) -> State:
+    """Advance the RNN state over a seed sequence x: (B, T, F)."""
+    cfg = params.cfg
+    x_tm = jnp.swapaxes(x, 0, 1)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+    final, _ = rnn_nn.cell_scan(cfg.cell, params.cell, state.cell,
+                                rnn_input(x_tm, ctx_tm))
+    return State(cell=final, v_prev=x[:, -1, :])
+
+
+def sample_step(params: Params, key: jax.Array, state: State,
+                ctx: Optional[jax.Array] = None,
+                k: Optional[int] = None) -> Tuple[State, jax.Array]:
+    """One generation step: Gibbs-sample v(t) at biases from u(t-1), chain
+    initialized at v(t-1) (paper §2.3 sampling procedure), then advance the
+    cell. ctx: (..., C) for this step."""
+    cfg = params.cfg
+    k = cfg.gen_k if k is None else k
+    u_prev = rnn_nn.state_h(state.cell)
+    bv_t, bh_t = _biases(params, u_prev)
+    v = gibbs_ops.gibbs_chain(key, state.v_prev, params.w, bv_t, bh_t, k=k)
+    new_cell = rnn_nn.cell_step(cfg.cell, params.cell, state.cell,
+                                rnn_input(v, ctx))
+    return State(cell=new_cell, v_prev=v), v
+
+
+def generate(params: Params, key: jax.Array, state: State, n_steps: int,
+             ctx: Optional[jax.Array] = None,
+             k: Optional[int] = None) -> Tuple[State, jax.Array]:
+    """Autoregressive generation as ONE lax.scan program.
+
+    ctx: optional (B, n_steps, C) precomputed per-step context (only valid
+    when context does not depend on generated frames — the feedback
+    architecture drives sample_step itself instead).
+    Returns (final_state, v_seq (B, n_steps, F)).
+    """
+    keys = jax.random.split(key, n_steps)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+
+    def body(st, inp):
+        if ctx_tm is None:
+            kk = inp
+            st, v = sample_step(params, kk, st, None, k)
+        else:
+            kk, c = inp
+            st, v = sample_step(params, kk, st, c, k)
+        return st, v
+
+    xs = keys if ctx_tm is None else (keys, ctx_tm)
+    final, vs = jax.lax.scan(body, state, xs)
+    return final, jnp.swapaxes(vs, 0, 1)

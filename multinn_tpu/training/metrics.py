@@ -1,0 +1,51 @@
+"""Frame-level training metrics (SURVEY C15).
+
+Transduction-style metrics over binary pianoroll frames, following
+Boulanger-Lewandowski et al. 2013 (arXiv:1212.1936 §4): with TP/FP/FN counted
+over active notes,
+
+    ACC = TP / (TP + FP + FN)      (the "transduction accuracy")
+    P   = TP / (TP + FP),  R = TP / (TP + FN),  F1 = 2PR/(P+R)
+
+All functions take predictions and targets of identical shape (..., D) with
+values in {0,1} (predictions may be probabilities — thresholded at 0.5) and
+reduce over every axis. Pure jnp — safe inside jit and shard_map (counts are
+summed locally; wrap in psum upstream for exact global metrics if needed).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def frame_metrics(pred: jax.Array, target: jax.Array,
+                  threshold: float = 0.5) -> Dict[str, jax.Array]:
+    p = (pred >= threshold).astype(jnp.float32)
+    t = (target >= 0.5).astype(jnp.float32)
+    tp = jnp.sum(p * t)
+    fp = jnp.sum(p * (1 - t))
+    fn = jnp.sum((1 - p) * t)
+    eps = 1e-8
+    precision = tp / (tp + fp + eps)
+    recall = tp / (tp + fn + eps)
+    f1 = 2 * precision * recall / (precision + recall + eps)
+    acc_td = tp / (tp + fp + fn + eps)          # transduction ACC
+    exact = jnp.mean((p == t).astype(jnp.float32))
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "acc_transduction": acc_td,
+        "acc_elementwise": exact,
+    }
+
+
+def binary_cross_entropy(probs: jax.Array, target: jax.Array) -> jax.Array:
+    """Mean per-frame BCE (the reference's reconstruction-loss proxy)."""
+    eps = 1e-7
+    probs = jnp.clip(probs, eps, 1 - eps)
+    ce = -(target * jnp.log(probs) + (1 - target) * jnp.log(1 - probs))
+    return jnp.mean(jnp.sum(ce, axis=-1))
