@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Generation entry point (SURVEY C21; reference counterpart ``generate.py``).
+
+    python generate.py --run runs/jsb_rnnrbm [--generate.n_steps=1024 ...]
+    python generate.py --config configs/jsb_rnnrbm.json --step 1200
+
+Restores the checkpoint (best by default, latest with --latest), primes on
+validation seed windows, samples, writes .mid files + an .npz of pianorolls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
+    p.add_argument("--run", help="run dir (reads its config.json + ckpt/)")
+    p.add_argument("--config", help="explicit config JSON (alternative)")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: best, else latest)")
+    p.add_argument("--latest", action="store_true",
+                   help="use latest instead of best checkpoint")
+    p.add_argument("--no-seed", action="store_true",
+                   help="generate from scratch (no priming)")
+    return p.parse_known_args(argv)
+
+
+def main(argv=None) -> int:
+    args, overrides = parse_args(argv)
+    from multinn_tpu.utils import config as cfg_mod
+    cfg_path = args.config or os.path.join(args.run or "", "config.json")
+    if not os.path.exists(cfg_path):
+        print(f"config not found: {cfg_path}", file=sys.stderr)
+        return 2
+    cfg = cfg_mod.load_json(cfg_path)
+    if args.run:
+        cfg = cfg_mod.apply_overrides(cfg, [f"train.run_dir={args.run}"])
+    if overrides:
+        cfg = cfg_mod.apply_overrides(cfg, overrides)
+    cfg = cfg.validate()
+
+    import jax
+    from multinn_tpu.data.datasets import Dataset
+    from multinn_tpu.training.trainer import Trainer
+    from multinn_tpu.training.generator import Generator
+
+    dataset = Dataset(cfg.data)
+    trainer = Trainer(cfg, dataset=dataset)
+    step = args.step
+    if step is None and not args.latest:
+        step = trainer.ckpt.best_step()
+    trainer.restore(step=step)
+
+    gen = Generator(cfg, trainer.params)
+    gcfg = cfg.generate
+    seed = None
+    if not args.no_seed and gcfg.seed_steps > 0:
+        seed = dataset.seed_windows("valid", n=gcfg.n_samples)
+        seed = seed[:, :gcfg.seed_steps]
+    key = jax.random.PRNGKey(cfg.train.seed + 7)
+    out_dir = os.path.join(cfg.train.run_dir, gcfg.out_dir)
+    rolls, paths = gen.generate_to_files(
+        key, out_dir, n_samples=gcfg.n_samples, n_steps=gcfg.n_steps,
+        seed=seed, bpm=gcfg.bpm)
+    np.savez_compressed(os.path.join(out_dir, "pianorolls.npz"),
+                        rolls=rolls)
+    print(f"wrote {len(paths)} MIDI files to {out_dir} "
+          f"(pianoroll shape {rolls.shape}, density {rolls.mean():.4f})")
+    trainer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

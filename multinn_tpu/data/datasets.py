@@ -1,0 +1,300 @@
+"""Dataset loaders and the batcher (SURVEY C4).
+
+Corpus presets match the reference's experiment matrix [B:7-11]: JSB Chorales,
+Nottingham (single-track, 88 pitches), LPD-5-cleansed and Lakh (5-track).
+Sources:
+
+  * ``midi_dir``  — directory of .mid files via the first-party parser (C1).
+  * ``npz``       — .npz of pianorolls (key 'rolls': object array or a single
+                    stacked array, (T, K, D) or (T, D) each).
+  * ``pickle``    — the canonical Boulanger-Lewandowski corpus pickle:
+                    {'train'|'valid'|'test': [sequence = [tuple of active
+                    MIDI pitches per step]]} (how JSB/Nottingham are
+                    distributed publicly).
+  * ``synthetic`` — deterministic in-memory corpus generator (no data files
+                    on this image; also used by tests/bench — SURVEY §4.3).
+
+The batcher chops every roll into fixed windows (stateless truncated BPTT,
+SURVEY §5.7), splits train/valid/test, and yields uint8 host batches; the
+trainer transfers them and casts on-device (1 byte/cell over PCIe, not 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multinn_tpu.data import midi as midi_mod
+from multinn_tpu.data import pianoroll as pr
+
+PRESETS: Dict[str, dict] = {
+    # dataset -> spec knobs (reference configs [B:7-11])
+    "jsb": dict(n_tracks=1, pitch_min=21, pitch_max=108, steps_per_quarter=4),
+    "nottingham": dict(n_tracks=1, pitch_min=21, pitch_max=108,
+                       steps_per_quarter=4),
+    "lpd5": dict(n_tracks=5, pitch_min=24, pitch_max=107,
+                 steps_per_quarter=4),
+    "lakh": dict(n_tracks=5, pitch_min=24, pitch_max=107,
+                 steps_per_quarter=4),
+    "synthetic": dict(n_tracks=5, pitch_min=24, pitch_max=107,
+                      steps_per_quarter=4),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data-pipeline config (SURVEY C17 feeds this)."""
+
+    dataset: str = "synthetic"          # preset name
+    source: str = "synthetic"           # synthetic | midi_dir | npz | pickle
+    path: str = ""
+    steps_per_quarter: int = 4
+    pitch_min: int = 21
+    pitch_max: int = 108
+    n_tracks: int = 1
+    window: int = 64                    # training window length (grid steps)
+    batch_size: int = 32
+    splits: Tuple[float, float, float] = (0.8, 0.1, 0.1)
+    seed: int = 0
+    synthetic_songs: int = 64
+    synthetic_steps: int = 256
+
+    @staticmethod
+    def from_preset(dataset: str, **overrides) -> "DataConfig":
+        base = dict(PRESETS[dataset], dataset=dataset)
+        if dataset == "synthetic":
+            base["source"] = "synthetic"
+        base.update(overrides)
+        return DataConfig(**base)
+
+    def spec(self) -> pr.RollSpec:
+        return pr.RollSpec(steps_per_quarter=self.steps_per_quarter,
+                           pitch_min=self.pitch_min,
+                           pitch_max=self.pitch_max,
+                           n_tracks=self.n_tracks)
+
+    @property
+    def n_pitches(self) -> int:
+        return self.pitch_max - self.pitch_min + 1
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpus (SURVEY §4.3/§4.6 — no data files ship with this image)
+# ---------------------------------------------------------------------------
+
+_MAJOR = np.array([0, 2, 4, 5, 7, 9, 11])
+
+
+def synthetic_song(rng: np.random.Generator, n_steps: int, n_tracks: int,
+                   n_pitches: int) -> np.ndarray:
+    """A deterministic musical-ish multitrack roll: drum grid, walking bass,
+    block chords, scale melody. Enough temporal/inter-track structure for
+    models to measurably learn."""
+    roll = np.zeros((n_steps, n_tracks, n_pitches), np.uint8)
+    root = int(rng.integers(2, 14))
+    scale = (root + _MAJOR[None, :] + 12 * np.arange(6)[:, None]).ravel()
+    scale = scale[scale < n_pitches]
+
+    def put(t, k, p):
+        if 0 <= p < n_pitches:
+            roll[t, k % n_tracks, p] = 1
+
+    melody = int(rng.integers(len(scale) // 2, len(scale) - 1))
+    for t in range(n_steps):
+        if n_tracks >= 5:
+            # drums: kick every 4, snare off-beat, hats every 2
+            if t % 4 == 0:
+                put(t, 0, 4)
+            if t % 8 == 4:
+                put(t, 0, 8)
+            if t % 2 == 0:
+                put(t, 0, 18)
+            # bass: roots on beats, walking
+            if t % 4 == 0:
+                put(t, 3, int(scale[(t // 4) % 4]))
+            # piano: block chord every bar (16 steps), held 8
+            c = (t // 16) % 3
+            if t % 16 < 8:
+                for off in (0, 2, 4):
+                    put(t, 1, int(scale[(c + off) % len(scale)]))
+            # guitar: arpeggio
+            put(t, 2, int(scale[(c + (t % 4)) % len(scale)]))
+        # melody (track last, or the only track): random scale walk, 8th notes
+        if t % 2 == 0:
+            melody = int(np.clip(melody + rng.integers(-2, 3),
+                                 0, len(scale) - 1))
+            put(t, n_tracks - 1, int(scale[melody]))
+            if n_tracks == 1 and t % 16 == 0:    # chorale-ish: add a 3rd+5th
+                put(t, 0, int(scale[max(0, melody - 2)]))
+                put(t, 0, int(scale[max(0, melody - 4)]))
+    return roll
+
+
+def synthetic_corpus(cfg: DataConfig) -> List[np.ndarray]:
+    rng = np.random.default_rng(cfg.seed)
+    return [synthetic_song(rng, cfg.synthetic_steps, cfg.n_tracks,
+                           cfg.n_pitches)
+            for _ in range(cfg.synthetic_songs)]
+
+
+# ---------------------------------------------------------------------------
+# file loaders
+# ---------------------------------------------------------------------------
+
+def load_midi_dir(path: str, spec: pr.RollSpec) -> List[np.ndarray]:
+    files = sorted(glob.glob(os.path.join(path, "**", "*.mid"),
+                             recursive=True)
+                   + glob.glob(os.path.join(path, "**", "*.midi"),
+                               recursive=True))
+    rolls = []
+    for f in files:
+        try:
+            rolls.append(pr.midi_to_roll(midi_mod.load(f), spec))
+        except (midi_mod.MidiParseError, OSError, IndexError):
+            continue                             # skip corrupt files
+    return rolls
+
+
+def load_npz(path: str, spec: pr.RollSpec) -> List[np.ndarray]:
+    data = np.load(path, allow_pickle=True)
+    if "rolls" in data:
+        arrs = list(data["rolls"])
+    else:
+        arrs = [data[k] for k in sorted(data.files)]
+    out = []
+    for a in arrs:
+        a = np.asarray(a)
+        if a.ndim == 2:
+            a = a[:, None, :]
+        assert a.shape[-1] == spec.n_pitches, \
+            f"npz roll pitch dim {a.shape[-1]} != spec {spec.n_pitches}"
+        out.append((a > 0).astype(np.uint8))
+    return out
+
+
+def _tuples_to_roll(seq, spec: pr.RollSpec) -> np.ndarray:
+    roll = np.zeros((len(seq), 1, spec.n_pitches), np.uint8)
+    for t, active in enumerate(seq):
+        for pitch in active:
+            p = int(pitch) - spec.pitch_min
+            if 0 <= p < spec.n_pitches:
+                roll[t, 0, p] = 1
+    return roll
+
+
+def load_pickle(path: str, spec: pr.RollSpec) -> Dict[str, List[np.ndarray]]:
+    """Boulanger-Lewandowski corpus pickle with its OWN train/valid/test
+    split (respected rather than re-split)."""
+    with open(path, "rb") as f:
+        raw = pickle.load(f, encoding="latin-1")
+    return {split: [_tuples_to_roll(s, spec) for s in raw[split]]
+            for split in ("train", "valid", "test") if split in raw}
+
+
+# ---------------------------------------------------------------------------
+# Dataset: windows + splits + batching
+# ---------------------------------------------------------------------------
+
+class Dataset:
+    """Windowed pianoroll dataset with train/valid/test splits.
+
+    windows[split]: (N, window, K, D) uint8.
+    """
+
+    def __init__(self, cfg: DataConfig):
+        self.cfg = cfg
+        spec = cfg.spec()
+        presplit: Optional[Dict[str, List[np.ndarray]]] = None
+        if cfg.source == "synthetic":
+            rolls = synthetic_corpus(cfg)
+        elif cfg.source == "midi_dir":
+            rolls = load_midi_dir(cfg.path, spec)
+        elif cfg.source == "npz":
+            rolls = load_npz(cfg.path, spec)
+        elif cfg.source == "pickle":
+            presplit = load_pickle(cfg.path, spec)
+            rolls = []
+        else:
+            raise ValueError(f"unknown source '{cfg.source}'")
+
+        def windows_of(rs: Sequence[np.ndarray]) -> np.ndarray:
+            ws = [pr.chop_windows(r, cfg.window, pad=True) for r in rs]
+            ws = [w for w in ws if len(w)]
+            if not ws:
+                return np.zeros((0, cfg.window, cfg.n_tracks, cfg.n_pitches),
+                                np.uint8)
+            return np.concatenate(ws)
+
+        if presplit is not None:
+            self.windows = {
+                {"valid": "valid"}.get(k, k): windows_of(v)
+                for k, v in presplit.items()}
+            self.windows.setdefault(
+                "valid", self.windows.get("test",
+                                          windows_of([])))
+        else:
+            if not rolls:
+                raise ValueError(
+                    f"no usable rolls from source={cfg.source} "
+                    f"path={cfg.path!r}")
+            rng = np.random.default_rng(cfg.seed)
+            order = rng.permutation(len(rolls))
+            n = len(rolls)
+            n_train = max(1, int(cfg.splits[0] * n))
+            n_valid = max(1, int(cfg.splits[1] * n)) if n > 2 else 0
+            train_ids = order[:n_train]
+            valid_ids = order[n_train:n_train + n_valid]
+            test_ids = order[n_train + n_valid:]
+            self.windows = {
+                "train": windows_of([rolls[i] for i in train_ids]),
+                "valid": windows_of([rolls[i] for i in valid_ids]),
+                "test": windows_of([rolls[i] for i in test_ids]),
+            }
+            if not len(self.windows["valid"]):
+                self.windows["valid"] = self.windows["train"][:1]
+            if not len(self.windows["test"]):
+                self.windows["test"] = self.windows["valid"]
+
+    @property
+    def n_pitches(self) -> int:
+        return self.cfg.n_pitches
+
+    @property
+    def n_tracks(self) -> int:
+        return self.cfg.n_tracks
+
+    def n_batches(self, split: str = "train") -> int:
+        return max(1, len(self.windows[split]) // self.cfg.batch_size)
+
+    def batches(self, split: str = "train", epoch: int = 0,
+                shuffle: bool = True,
+                drop_remainder: bool = True) -> Iterator[np.ndarray]:
+        """Yield (batch, window, K, D) uint8 host arrays. Deterministic order
+        per (seed, epoch). Short final batch is dropped when training (static
+        shapes — one XLA program per run, SURVEY L0 rules)."""
+        data = self.windows[split]
+        bs = self.cfg.batch_size
+        idx = np.arange(len(data))
+        if shuffle:
+            rng = np.random.default_rng((self.cfg.seed, epoch))
+            rng.shuffle(idx)
+        n_full = len(data) // bs
+        for i in range(n_full):
+            yield data[idx[i * bs:(i + 1) * bs]]
+        if not drop_remainder and len(data) % bs:
+            tail = data[idx[n_full * bs:]]
+            pad = np.zeros((bs - len(tail), *tail.shape[1:]), tail.dtype)
+            yield np.concatenate([tail, pad])
+
+    def seed_windows(self, split: str = "valid", n: int = 1) -> np.ndarray:
+        """Seed pianorolls for the generator (C14 priming)."""
+        data = self.windows[split]
+        if not len(data):
+            data = self.windows["train"]
+        reps = -(-n // len(data))
+        return np.concatenate([data] * reps)[:n]

@@ -1,0 +1,257 @@
+"""First-party Standard MIDI File (SMF) reader/writer (SURVEY C1 and the C14
+inverse path).
+
+The reference delegates MIDI parsing to pretty_midi/pypianoroll [B:5]; neither
+is installed on this image and there is no network, so the framework ships its
+own minimal, dependency-free SMF layer. Scope: everything pianoroll modeling
+needs — note on/off with velocities per (track, channel, program), tempo meta,
+drum-channel detection, running status, format 0/1 — and a format-1 writer for
+emitting generated pianorolls.
+
+Timing is kept SYMBOLIC (ticks + ticks-per-quarter-note): pianoroll
+quantization operates on the musical grid, so no tempo-map/second conversion
+is needed (matches the reference's fixed-grid quantization [B:11]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct as _struct
+from typing import Dict, List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Note:
+    pitch: int          # 0..127
+    velocity: int       # 1..127
+    start: int          # absolute ticks
+    end: int            # absolute ticks (exclusive)
+
+
+@dataclasses.dataclass
+class Instrument:
+    program: int        # 0..127
+    is_drum: bool
+    name: str = ""
+    notes: List[Note] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class MidiFile:
+    ticks_per_quarter: int = 480
+    instruments: List[Instrument] = dataclasses.field(default_factory=list)
+    tempo_us_per_quarter: int = 500000      # first tempo event (120 bpm)
+
+    @property
+    def bpm(self) -> float:
+        return 6e7 / self.tempo_us_per_quarter
+
+    def end_tick(self) -> int:
+        return max((n.end for ins in self.instruments for n in ins.notes),
+                   default=0)
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+def _read_varint(data: bytes, pos: int) -> Tuple[int, int]:
+    value = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value = (value << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return value, pos
+
+
+class MidiParseError(ValueError):
+    pass
+
+
+def _parse_track(data: bytes, collector: "_EventCollector") -> None:
+    pos = 0
+    tick = 0
+    running_status: Optional[int] = None
+    while pos < len(data):
+        delta, pos = _read_varint(data, pos)
+        tick += delta
+        status = data[pos]
+        if status >= 0x80:
+            pos += 1
+            if status < 0xF0:
+                running_status = status
+        else:
+            if running_status is None:
+                raise MidiParseError("data byte with no running status")
+            status = running_status
+
+        if status == 0xFF:                      # meta event
+            meta_type = data[pos]
+            length, pos2 = _read_varint(data, pos + 1)
+            payload = data[pos2:pos2 + length]
+            pos = pos2 + length
+            collector.meta(tick, meta_type, payload)
+        elif status in (0xF0, 0xF7):            # sysex — skip
+            length, pos2 = _read_varint(data, pos)
+            pos = pos2 + length
+        else:
+            kind = status & 0xF0
+            channel = status & 0x0F
+            if kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
+                d1, d2 = data[pos], data[pos + 1]
+                pos += 2
+            elif kind in (0xC0, 0xD0):
+                d1, d2 = data[pos], 0
+                pos += 1
+            else:                               # pragma: no cover
+                raise MidiParseError(f"bad status byte 0x{status:02x}")
+            collector.channel_event(tick, kind, channel, d1, d2)
+
+
+class _EventCollector:
+    """Accumulates note on/off pairs into Instruments keyed by
+    (track, channel, program) with drum channel 9 handling."""
+
+    def __init__(self, track_idx: int, out: "MidiFile",
+                 instruments: Dict[Tuple[int, int, int], Instrument]):
+        self.track_idx = track_idx
+        self.out = out
+        self.instruments = instruments
+        self.program = [0] * 16                 # current program per channel
+        # (channel, pitch) -> list of (start_tick, velocity)
+        self.open_notes: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+        self.track_name = ""
+        self.saw_tempo = False
+
+    def meta(self, tick: int, meta_type: int, payload: bytes) -> None:
+        if meta_type == 0x51 and len(payload) == 3 and not self.out._tempo_set:
+            self.out.tempo_us_per_quarter = int.from_bytes(payload, "big")
+            self.out._tempo_set = True
+        elif meta_type == 0x03:
+            self.track_name = payload.decode("latin-1", "replace")
+
+    def _instrument(self, channel: int) -> Instrument:
+        key = (self.track_idx, channel, self.program[channel])
+        if key not in self.instruments:
+            self.instruments[key] = Instrument(
+                program=self.program[channel], is_drum=(channel == 9),
+                name=self.track_name)
+        return self.instruments[key]
+
+    def channel_event(self, tick, kind, channel, d1, d2) -> None:
+        if kind == 0xC0:
+            self.program[channel] = d1
+        elif kind == 0x90 and d2 > 0:           # note on
+            self.open_notes.setdefault((channel, d1), []).append((tick, d2))
+        elif kind == 0x80 or (kind == 0x90 and d2 == 0):   # note off
+            stack = self.open_notes.get((channel, d1))
+            if stack:
+                start, vel = stack.pop(0)
+                if tick > start:
+                    self._instrument(channel).notes.append(
+                        Note(pitch=d1, velocity=vel, start=start, end=tick))
+
+    def finish(self) -> None:
+        # close dangling notes at their start+1 tick (defensive)
+        for (channel, pitch), stack in self.open_notes.items():
+            for start, vel in stack:
+                self._instrument(channel).notes.append(
+                    Note(pitch=pitch, velocity=vel, start=start,
+                         end=start + 1))
+        self.open_notes.clear()
+
+
+def loads(data: bytes) -> MidiFile:
+    """Parse SMF bytes into a MidiFile."""
+    if data[:4] != b"MThd":
+        raise MidiParseError("not a MIDI file (missing MThd)")
+    header_len = int.from_bytes(data[4:8], "big")
+    fmt, ntrks, division = _struct.unpack(">HHH", data[8:14])
+    if division & 0x8000:
+        raise MidiParseError("SMPTE time division not supported")
+    out = MidiFile(ticks_per_quarter=division or 480)
+    out._tempo_set = False
+    instruments: Dict[Tuple[int, int, int], Instrument] = {}
+    pos = 8 + header_len
+    track_idx = 0
+    while pos + 8 <= len(data) and track_idx < ntrks:
+        if data[pos:pos + 4] != b"MTrk":
+            chunk_len = int.from_bytes(data[pos + 4:pos + 8], "big")
+            pos += 8 + chunk_len                # skip alien chunk
+            continue
+        chunk_len = int.from_bytes(data[pos + 4:pos + 8], "big")
+        chunk = data[pos + 8:pos + 8 + chunk_len]
+        collector = _EventCollector(track_idx, out, instruments)
+        _parse_track(chunk, collector)
+        collector.finish()
+        pos += 8 + chunk_len
+        track_idx += 1
+    out.instruments = [ins for ins in instruments.values() if ins.notes]
+    for ins in out.instruments:
+        ins.notes.sort(key=lambda n: (n.start, n.pitch))
+    del out._tempo_set
+    return out
+
+
+def load(path: str) -> MidiFile:
+    with open(path, "rb") as f:
+        return loads(f.read())
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+def _varint(value: int) -> bytes:
+    buf = [value & 0x7F]
+    value >>= 7
+    while value:
+        buf.append((value & 0x7F) | 0x80)
+        value >>= 7
+    return bytes(reversed(buf))
+
+
+def _track_chunk(events: bytes) -> bytes:
+    events += b"\x00\xff\x2f\x00"               # end-of-track
+    return b"MTrk" + len(events).to_bytes(4, "big") + events
+
+
+def dumps(mid: MidiFile) -> bytes:
+    """Serialize to a format-1 SMF: tempo track + one track per instrument.
+    Drum instruments land on channel 9; others round-robin the rest."""
+    n_tracks = 1 + len(mid.instruments)
+    header = (b"MThd" + (6).to_bytes(4, "big")
+              + _struct.pack(">HHH", 1, n_tracks, mid.ticks_per_quarter))
+
+    tempo = b"\x00\xff\x51\x03" + mid.tempo_us_per_quarter.to_bytes(3, "big")
+    chunks = [_track_chunk(tempo)]
+
+    melodic_channels = [c for c in range(16) if c != 9]
+    mel_i = 0
+    for ins in mid.instruments:
+        if ins.is_drum:
+            channel = 9
+        else:
+            channel = melodic_channels[mel_i % len(melodic_channels)]
+            mel_i += 1
+        # (tick, order, bytes) — offs before ons at the same tick (order 0 < 1)
+        events: List[Tuple[int, int, bytes]] = []
+        events.append((0, 0, bytes([0xC0 | channel, ins.program & 0x7F])))
+        for n in ins.notes:
+            events.append((n.start, 1, bytes(
+                [0x90 | channel, n.pitch & 0x7F, max(1, min(127, n.velocity))])))
+            events.append((n.end, 0, bytes([0x80 | channel, n.pitch & 0x7F, 0])))
+        events.sort(key=lambda e: (e[0], e[1]))
+        buf = bytearray()
+        last_tick = 0
+        for tick, _, ev in events:
+            buf += _varint(tick - last_tick) + ev
+            last_tick = tick
+        chunks.append(_track_chunk(bytes(buf)))
+    return header + b"".join(chunks)
+
+
+def save(mid: MidiFile, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(dumps(mid))

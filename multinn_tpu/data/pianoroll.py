@@ -1,0 +1,151 @@
+"""Pianoroll quantization / binarization / track splitting (SURVEY C2, C3).
+
+Converts first-party MidiFile objects to binarized pianoroll arrays on a fixed
+musical grid (4th/8th/16th-note steps [B:11]), clips pitch range (e.g. MIDI
+21–108 → 88 dims [B:5]), and splits multitrack files into a canonical track
+set (LPD-5: drums, piano, guitar, bass, strings [B:9]) by program-range
+mapping, merging all drum channels. Also the inverse: pianoroll → MidiFile.
+
+Pure numpy host code — it feeds the batcher, which device_puts whole epochs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multinn_tpu.data import midi as midi_mod
+
+# Canonical LPD-5 track set [B:9] with MuseGAN-style program-range mapping:
+# drums = drum channels; piano 0–7; guitar 24–31; bass 32–39; everything
+# else -> strings.
+LPD5_TRACKS = ("drums", "piano", "guitar", "bass", "strings")
+
+
+def lpd5_track_index(program: int, is_drum: bool) -> int:
+    if is_drum:
+        return 0
+    if 0 <= program <= 7:
+        return 1
+    if 24 <= program <= 31:
+        return 2
+    if 32 <= program <= 39:
+        return 3
+    return 4
+
+
+@dataclasses.dataclass(frozen=True)
+class RollSpec:
+    """Grid/pitch spec for quantization.
+
+    steps_per_quarter: 4 = 16th-note grid (the reference's default fine grid
+        [B:11]); 2 = 8th, 1 = quarter.
+    pitch_min/pitch_max: inclusive clip range; (21, 108) = the 88-key range.
+    n_tracks: 1 = merge everything; 5 = LPD-5 split.
+    """
+
+    steps_per_quarter: int = 4
+    pitch_min: int = 21
+    pitch_max: int = 108
+    n_tracks: int = 1
+
+    @property
+    def n_pitches(self) -> int:
+        return self.pitch_max - self.pitch_min + 1
+
+
+def midi_to_roll(mid: midi_mod.MidiFile, spec: RollSpec) -> np.ndarray:
+    """Quantize+binarize a MidiFile to (T, K, D) uint8.
+
+    A note sounding in [start, end) ticks activates every grid step whose
+    center falls inside it, with onset rounding to the nearest step — short
+    notes always light at least their onset step.
+    """
+    ticks_per_step = mid.ticks_per_quarter / spec.steps_per_quarter
+    end_tick = mid.end_tick()
+    n_steps = max(1, int(round(end_tick / ticks_per_step)))
+    roll = np.zeros((n_steps, spec.n_tracks, spec.n_pitches), np.uint8)
+    for ins in mid.instruments:
+        k = (lpd5_track_index(ins.program, ins.is_drum)
+             if spec.n_tracks == 5 else 0)
+        if k >= spec.n_tracks:
+            k = spec.n_tracks - 1
+        for note in ins.notes:
+            if not (spec.pitch_min <= note.pitch <= spec.pitch_max):
+                continue
+            s = int(round(note.start / ticks_per_step))
+            e = int(round(note.end / ticks_per_step))
+            e = max(e, s + 1)
+            s, e = min(s, n_steps - 1), min(e, n_steps)
+            roll[s:e, k, note.pitch - spec.pitch_min] = 1
+    return roll
+
+
+def roll_to_midi(roll: np.ndarray, spec: RollSpec,
+                 ticks_per_quarter: int = 480,
+                 bpm: float = 120.0,
+                 velocity: int = 100,
+                 track_programs: Optional[Sequence[int]] = None
+                 ) -> midi_mod.MidiFile:
+    """Inverse of midi_to_roll: (T, K, D) binary → MidiFile (C14 output path).
+    Consecutive active steps of one pitch merge into one note."""
+    roll = np.asarray(roll)
+    if roll.ndim == 2:
+        roll = roll[:, None, :]
+    t_len, k_tracks, d = roll.shape
+    assert d == spec.n_pitches, (d, spec.n_pitches)
+    ticks_per_step = int(round(ticks_per_quarter / spec.steps_per_quarter))
+    if track_programs is None:
+        # LPD-5 defaults: drums(any), acoustic piano, guitar, bass, strings
+        track_programs = ([0, 0, 24, 32, 48][:k_tracks] if k_tracks == 5
+                          else [0] * k_tracks)
+    mid = midi_mod.MidiFile(
+        ticks_per_quarter=ticks_per_quarter,
+        tempo_us_per_quarter=int(round(6e7 / bpm)))
+    for k in range(k_tracks):
+        is_drum = (k_tracks == 5 and k == 0)
+        ins = midi_mod.Instrument(program=int(track_programs[k]),
+                                  is_drum=is_drum,
+                                  name=LPD5_TRACKS[k] if k_tracks == 5 else "")
+        track = roll[:, k, :]
+        # pad with a zero row so note-offs at the end resolve
+        padded = np.concatenate([track, np.zeros((1, d), track.dtype)])
+        diff = np.diff(padded.astype(np.int8), axis=0)
+        for p in range(d):
+            onsets = np.nonzero(diff[:, p] == 1)[0] + 1
+            offsets = np.nonzero(diff[:, p] == -1)[0] + 1
+            if track[0, p]:
+                onsets = np.concatenate([[0], onsets])
+            for s, e in zip(onsets, offsets):
+                ins.notes.append(midi_mod.Note(
+                    pitch=p + spec.pitch_min, velocity=velocity,
+                    start=int(s) * ticks_per_step,
+                    end=int(e) * ticks_per_step))
+        if ins.notes:
+            ins.notes.sort(key=lambda n: (n.start, n.pitch))
+            mid.instruments.append(ins)
+    return mid
+
+
+def chop_windows(roll: np.ndarray, window: int, hop: Optional[int] = None,
+                 pad: bool = False) -> np.ndarray:
+    """Chop a (T, K, D) roll into fixed windows (N, window, K, D) — the
+    reference's stateless truncated-BPTT windowing (SURVEY §5.7). ``hop``
+    defaults to ``window`` (non-overlapping); ``pad`` zero-pads the tail."""
+    hop = hop or window
+    t = roll.shape[0]
+    if pad and t % hop:
+        pad_len = hop - (t % hop)
+        roll = np.concatenate(
+            [roll, np.zeros((pad_len, *roll.shape[1:]), roll.dtype)])
+        t = roll.shape[0]
+    if t < window:
+        if not pad:
+            return np.zeros((0, window, *roll.shape[1:]), roll.dtype)
+        roll = np.concatenate(
+            [roll, np.zeros((window - t, *roll.shape[1:]), roll.dtype)])
+        t = window
+    starts = range(0, t - window + 1, hop)
+    return np.stack([roll[s:s + window] for s in starts])

@@ -1,0 +1,62 @@
+"""Checkpoint/resume (SURVEY C18, §5.3/§5.4).
+
+orbax-backed (async-capable, sharding-aware, atomic-rename) checkpoints of a
+single pytree ``{params, opt_state, rng, step, epoch}`` — the ONE artifact
+consumed by trainer-resume, evaluation and the generator (the reference's
+shared tf.train.Saver format is this contract [B:5]). Retention: keep-last N
+plus keep-best on validation loss. Restart recovery = restore-latest (JAX/TPU
+jobs are gang-scheduled; no elastic membership — §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    def __init__(self, directory: str, keep_last: int = 3,
+                 keep_best: bool = True):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep_last,
+            best_fn=(lambda m: m["valid_loss"]) if keep_best else None,
+            best_mode="min" if keep_best else None,
+            keep_checkpoints_without_metrics=True,
+            enable_async_checkpointing=True,
+        )
+        self._mngr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Dict[str, Any],
+             metrics: Optional[Dict[str, float]] = None) -> None:
+        self._mngr.save(step, args=ocp.args.StandardSave(state),
+                        metrics=metrics)
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mngr.best_step()
+
+    def restore(self, template: Dict[str, Any],
+                step: Optional[int] = None) -> Tuple[Dict[str, Any], int]:
+        """Restore into the structure of ``template`` (shapes/dtypes/static
+        fields come from the template — required because params pytrees carry
+        non-array static config). step=None -> latest."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mngr.restore(
+            step, args=ocp.args.StandardRestore(template))
+        return restored, step
+
+    def close(self) -> None:
+        self._mngr.wait_until_finished()
+        self._mngr.close()

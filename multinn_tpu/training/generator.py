@@ -1,0 +1,78 @@
+"""Generation engine (SURVEY C14/L5; reference counterpart ``generator.py``).
+
+Primes model state on a seed pianoroll, autoregressively samples T steps for
+all tracks, assembles the multi-track pianoroll and writes ``.mid`` via the
+first-party MIDI writer. The reference's per-step ``sess.run`` chatter
+(SURVEY call stack 3.2) is replaced by ONE jitted lax.scan device program for
+the whole generation — the <1 s 64-bar target lives here [B:5].
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multinn_tpu.data import pianoroll as pr
+from multinn_tpu.models import multinn
+
+
+class Generator:
+    """Public generator API (B:5). Shares the trainer's checkpoint artifact:
+    construct with params restored by ``Trainer.restore`` or fresh ones."""
+
+    def __init__(self, cfg, params: multinn.MultINNParams):
+        self.cfg = cfg
+        self.params = params
+
+        def _impl(params, key, seed, n_steps: int, batch: int):
+            state = multinn.init_state(params, batch)
+            if seed is not None:
+                state = multinn.prime(params, state, seed)
+            _, roll = multinn.generate(params, key, state, n_steps)
+            return roll
+
+        # one compiled program per (n_steps, batch, seed-shape) combination
+        self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch"))
+
+    def _generate_impl(self, key, seed, n_steps: int, batch: int):
+        return self._jit_impl(self.params, key, seed, n_steps, batch)
+
+    def generate(self, key: jax.Array, n_steps: int,
+                 seed: Optional[np.ndarray] = None,
+                 batch: int = 1) -> np.ndarray:
+        """Returns a binary pianoroll (batch, n_steps, K, D) on host.
+        ``seed``: optional (batch, T_seed, K, D) priming pianoroll."""
+        seed_dev = (None if seed is None
+                    else jnp.asarray(seed).astype(jnp.float32))
+        if seed_dev is not None:
+            batch = seed_dev.shape[0]
+        roll = self._generate_impl(key, seed_dev, n_steps, batch)
+        return np.asarray(jax.device_get(roll)).astype(np.uint8)
+
+    def to_midi(self, roll: np.ndarray, path: str,
+                bpm: float = 120.0) -> None:
+        """Write one generated pianoroll (T, K, D) as a .mid file."""
+        spec = self.cfg.data.spec()
+        mid = pr.roll_to_midi(roll, spec, bpm=bpm)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        from multinn_tpu.data import midi as midi_mod
+        midi_mod.save(mid, path)
+
+    def generate_to_files(self, key: jax.Array, out_dir: str,
+                          n_samples: int, n_steps: int,
+                          seed: Optional[np.ndarray] = None,
+                          bpm: float = 120.0) -> Tuple[np.ndarray, list]:
+        rolls = self.generate(key, n_steps, seed=seed,
+                              batch=(seed.shape[0] if seed is not None
+                                     else n_samples))
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i in range(min(n_samples, rolls.shape[0])):
+            p = os.path.join(out_dir, f"sample_{i:03d}.mid")
+            self.to_midi(rolls[i], p, bpm=bpm)
+            paths.append(p)
+        return rolls, paths

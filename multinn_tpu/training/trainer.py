@@ -1,0 +1,333 @@
+"""Training engine (SURVEY C13; reference counterpart ``trainer.py`` [K]).
+
+Epoch loop over windowed pianoroll batches; optax Adam/SGD with global-norm
+clipping; CD-k updates for RBM decoders / exact-gradient updates for NADE
+(both via ``multinn.loss`` — the distinction lives in the decoder);
+optional greedy layer-wise DBN-encoder pre-training; per-epoch validation,
+early stopping, best/last orbax checkpoints, JSONL+console metrics.
+
+TPU-first: ONE jitted (or shard_map'ped) train-step program; the host loop
+only feeds uint8 batches and reads metric scalars. Under a mesh (SURVEY §5.8)
+the step is wrapped in shard_map with the batch sharded over ``data`` and
+gradients pmean-reduced across it; RNG keys are folded with the data-axis
+index so Gibbs noise decorrelates across shards while staying reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multinn_tpu.data.datasets import Dataset
+from multinn_tpu.models import multinn
+from multinn_tpu.models import encoders as enc_mod
+from multinn_tpu.parallel import mesh as mesh_mod
+from multinn_tpu.training.checkpoint import Checkpointer
+from multinn_tpu.utils import profiling
+from multinn_tpu.utils.logging import (MetricsLogger, format_metrics,
+                                       setup_logger)
+
+
+class FaultInjected(RuntimeError):
+    """Raised by --train.fault_inject_step (SURVEY §5.3 resume-path CI)."""
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    chain = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.optimizer == "adam":
+        if cfg.weight_decay:
+            chain.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+        else:
+            chain.append(optax.adam(cfg.lr))
+    elif cfg.optimizer == "sgd":
+        chain.append(optax.sgd(cfg.lr, momentum=0.9))
+    else:
+        raise ValueError(f"unknown optimizer '{cfg.optimizer}'")
+    return optax.chain(*chain)
+
+
+class Trainer:
+    """Public trainer API (B:5 surface: model/trainer/generator share the
+    checkpoint artifact — see training/checkpoint.py)."""
+
+    def __init__(self, cfg, dataset: Optional[Dataset] = None,
+                 params: Optional[multinn.MultINNParams] = None):
+        self.cfg = cfg
+        self.log = setup_logger(run_dir=cfg.train.run_dir)
+        self.dataset = dataset if dataset is not None else Dataset(cfg.data)
+        self.mesh = mesh_mod.make_mesh(cfg.mesh)
+
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.rng, init_key = jax.random.split(self.rng)
+        self.params = (params if params is not None
+                       else multinn.init(init_key, cfg.model))
+        self.optimizer = make_optimizer(cfg.train)
+        self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            self.params = mesh_mod.put_replicated(self.params, self.mesh)
+            self.opt_state = mesh_mod.put_replicated(self.opt_state, self.mesh)
+
+        self.step = 0
+        self.epoch = 0
+        self.best_valid = float("inf")
+        self._bad_epochs = 0
+
+        self.metrics_log = MetricsLogger(cfg.train.run_dir)
+        self.ckpt = Checkpointer(os.path.join(cfg.train.run_dir, "ckpt"),
+                                 keep_last=cfg.train.keep_last,
+                                 keep_best=cfg.train.keep_best)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    # step builders
+    # ------------------------------------------------------------------
+
+    def _loss_fn(self, params, batch_u8, key):
+        x = batch_u8.astype(jnp.float32)
+        return multinn.loss(params, key, x)
+
+    def _build_train_step(self):
+        opt = self.optimizer
+
+        def step_fn(params, opt_state, batch, key):
+            with profiling.annotate("train_step"):
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True)(params, batch, key)
+                if self.mesh is not None:
+                    grads = jax.lax.pmean(grads, mesh_mod.DATA_AXIS)
+                    metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                metrics["grad_norm"] = optax.global_norm(grads)
+                return params, opt_state, metrics
+
+        if self.mesh is None:
+            return jax.jit(step_fn, donate_argnums=(0, 1))
+
+        def sharded(params, opt_state, batch, key):
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(mesh_mod.DATA_AXIS))
+            return step_fn(params, opt_state, batch, key)
+
+        mapped = jax.shard_map(
+            sharded, mesh=self.mesh,
+            in_specs=(P(), P(), P(mesh_mod.DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+        return jax.jit(mapped, donate_argnums=(0, 1))
+
+    def _build_eval_step(self):
+        def eval_fn(params, batch, key):
+            loss, metrics = self._loss_fn(params, batch, key)
+            ll = multinn.log_likelihood(
+                params, key, batch.astype(jnp.float32))
+            t = batch.shape[1] * self.cfg.model.n_tracks
+            metrics["ll_per_frame"] = jnp.mean(ll) / t
+            if self.mesh is not None:
+                metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
+            return metrics
+
+        if self.mesh is None:
+            return jax.jit(eval_fn)
+
+        def sharded(params, batch, key):
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(mesh_mod.DATA_AXIS))
+            return eval_fn(params, batch, key)
+
+        mapped = jax.shard_map(
+            sharded, mesh=self.mesh,
+            in_specs=(P(), P(mesh_mod.DATA_AXIS), P()),
+            out_specs=P(), check_vma=False)
+        return jax.jit(mapped)
+
+    def _put_batch(self, batch_u8: np.ndarray) -> jax.Array:
+        if self.mesh is not None:
+            return mesh_mod.put_data_sharded(batch_u8, self.mesh)
+        return jnp.asarray(batch_u8)
+
+    # ------------------------------------------------------------------
+    # encoder pre-training (C13 module-wise pre-training hook)
+    # ------------------------------------------------------------------
+
+    def pretrain_encoders(self) -> None:
+        """Greedy layer-wise CD pre-training of DBN encoders [K]: train each
+        RBM layer bottom-up on the previous layers' features; decoders
+        untouched. No-op for pass-through encoders."""
+        cfg = self.cfg
+        n_layers = len(cfg.model.encoder_hidden)
+        if n_layers == 0 or cfg.train.pretrain_encoder_epochs == 0:
+            return
+        shared = cfg.model.mode in ("feedback", "joint")
+        opt = optax.adam(cfg.train.pretrain_lr)
+
+        def layer_loss(enc_params, key, x, layer):
+            if shared:
+                return enc_mod.pretrain_loss(enc_params, key, x, layer)
+            keys = jax.random.split(key, cfg.model.n_tracks)
+            losses = jax.vmap(
+                lambda p, kk, xx: enc_mod.pretrain_loss(p, kk, xx, layer)
+            )(enc_params, keys, x)
+            return jnp.mean(losses)
+
+        @partial(jax.jit, static_argnames=("layer",))
+        def pre_step(enc_params, opt_state, batch, key, layer):
+            x = batch.astype(jnp.float32)
+            if cfg.model.mode == "joint":
+                b, t, k, d = x.shape
+                x = x.reshape(b, t, k * d)
+            elif shared:
+                x = jnp.moveaxis(x, 2, 0)        # (K, B, T, D), broadcast enc
+            else:
+                x = jnp.moveaxis(x, 2, 0)
+            loss, grads = jax.value_and_grad(layer_loss)(
+                enc_params, key, x, layer)
+            updates, opt_state = opt.update(grads, opt_state, enc_params)
+            return optax.apply_updates(enc_params, updates), opt_state, loss
+
+        enc_params = self.params.encoder
+        for layer in range(n_layers):
+            opt_state = opt.init(enc_params)
+            for ep in range(self.cfg.train.pretrain_encoder_epochs):
+                losses = []
+                for batch in self.dataset.batches("train", epoch=ep):
+                    self.rng, k = jax.random.split(self.rng)
+                    enc_params, opt_state, loss = pre_step(
+                        enc_params, opt_state, jnp.asarray(batch), k, layer)
+                    losses.append(float(loss))
+                self.log.info("pretrain layer %d epoch %d cd-loss %.4f",
+                              layer, ep, np.mean(losses))
+        self.params = self.params.replace(encoder=enc_params)
+        self.opt_state = self.optimizer.init(self.params)
+
+    # ------------------------------------------------------------------
+    # checkpoint plumbing (§5.4: one artifact, three consumers)
+    # ------------------------------------------------------------------
+
+    def _state_dict(self) -> Dict[str, Any]:
+        return {"params": self.params, "opt_state": self.opt_state,
+                "rng": jax.random.key_data(self.rng) if jnp.issubdtype(
+                    self.rng.dtype, jax.dtypes.prng_key) else self.rng,
+                "step": self.step, "epoch": self.epoch,
+                "best_valid": self.best_valid}
+
+    def save_checkpoint(self, metrics: Optional[Dict[str, float]] = None):
+        self.ckpt.save(self.step, self._state_dict(), metrics=metrics)
+
+    def restore(self, step: Optional[int] = None) -> int:
+        state, at = self.ckpt.restore(self._state_dict(), step=step)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.rng = jnp.asarray(state["rng"])
+        self.step = int(state["step"])
+        self.epoch = int(state["epoch"])
+        self.best_valid = float(state["best_valid"])
+        self.log.info("restored checkpoint @ step %d (epoch %d)",
+                      self.step, self.epoch)
+        return at
+
+    def maybe_resume(self) -> bool:
+        if self.ckpt.latest_step() is not None:
+            self.restore()
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+
+    def train_epoch(self) -> Dict[str, float]:
+        cfg = self.cfg.train
+        timer = profiling.StepTimer()
+        timer.start()
+        last_metrics: Dict[str, Any] = {}
+        for batch in self.dataset.batches("train", epoch=self.epoch):
+            self.rng, key = jax.random.split(self.rng)
+            dev_batch = self._put_batch(batch)
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, dev_batch, key)
+            self.step += 1
+            if cfg.fault_inject_step == self.step:
+                raise FaultInjected(f"fault injected at step {self.step}")
+            if self.step % cfg.log_every_steps == 0:
+                metrics = jax.device_get(metrics)
+                metrics["steps_per_sec"] = 1.0 / max(timer.mean, 1e-9)
+                self.metrics_log.log(self.step, metrics, "train")
+                self.log.info("step %d %s", self.step,
+                              format_metrics(metrics,
+                                             ("loss", "f1", "grad_norm",
+                                              "steps_per_sec")))
+                last_metrics = metrics
+            if cfg.ckpt_every_steps and self.step % cfg.ckpt_every_steps == 0:
+                self.save_checkpoint()
+            timer.lap(jax.tree.leaves(metrics)[0])
+        return last_metrics
+
+    def evaluate(self, split: str = "valid") -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        n = 0
+        key = jax.random.PRNGKey(self.cfg.train.seed + 1000 + self.epoch)
+        for batch in self.dataset.batches(split, shuffle=False,
+                                          drop_remainder=False):
+            key, k = jax.random.split(key)
+            m = jax.device_get(self._eval_step(
+                self.params, self._put_batch(batch), k))
+            for name, v in m.items():
+                a = np.asarray(v)
+                if a.ndim == 0:
+                    sums[name] = sums.get(name, 0.0) + float(a)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg.train
+        self.log.info("training '%s': %d train windows, model=%s/%s mode=%s",
+                      self.cfg.name, len(self.dataset.windows["train"]),
+                      self.cfg.model.decoder_type, self.cfg.model.cell,
+                      self.cfg.model.mode)
+        if self.epoch == 0 and self.step == 0:
+            self.pretrain_encoders()
+        final_eval: Dict[str, float] = {}
+        while self.epoch < cfg.epochs:
+            t0 = time.time()
+            self.train_epoch()
+            self.epoch += 1
+            if self.epoch % cfg.eval_every_epochs == 0:
+                ev = self.evaluate("valid")
+                final_eval = ev
+                self.metrics_log.log(self.step, ev, "valid")
+                self.log.info("epoch %d (%.1fs) valid %s", self.epoch,
+                              time.time() - t0,
+                              format_metrics(ev, ("loss", "f1",
+                                                  "ll_per_frame")))
+                valid_loss = float(ev.get("loss", np.inf))
+                self.save_checkpoint(metrics={"valid_loss": valid_loss})
+                if valid_loss < self.best_valid - 1e-6:
+                    self.best_valid = valid_loss
+                    self._bad_epochs = 0
+                else:
+                    self._bad_epochs += 1
+                    if (cfg.early_stop_patience
+                            and self._bad_epochs >= cfg.early_stop_patience):
+                        self.log.info("early stop at epoch %d", self.epoch)
+                        break
+            else:
+                self.save_checkpoint()
+        self.ckpt.wait()
+        return final_eval
+
+    def close(self) -> None:
+        self.metrics_log.close()
+        self.ckpt.close()

@@ -1,0 +1,164 @@
+"""Typed experiment configs (SURVEY C17, §5.6).
+
+Dataclass-based configs serializable to/from JSON (run-dir provenance), with
+CLI ``--a.b.c=value`` dot-path overrides — dependency-light (no hydra), typed
+conversion driven by dataclass field annotations. One JSON file per driver
+experiment lives in ``configs/`` [B:6-12].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import typing
+from typing import Any, Dict, List, Tuple, get_args, get_origin
+
+from multinn_tpu.data.datasets import DataConfig
+from multinn_tpu.models.multinn import MultINNConfig
+from multinn_tpu.parallel.mesh import MeshConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 10
+    lr: float = 1e-3
+    optimizer: str = "adam"            # adam | sgd
+    grad_clip: float = 5.0             # global-norm clip; 0 disables
+    weight_decay: float = 0.0
+    seed: int = 42
+    eval_every_epochs: int = 1
+    log_every_steps: int = 50
+    ckpt_every_steps: int = 500
+    keep_last: int = 3
+    keep_best: bool = True
+    early_stop_patience: int = 0       # epochs without valid improvement; 0=off
+    pretrain_encoder_epochs: int = 0   # greedy layer-wise DBN pretraining
+    pretrain_lr: float = 1e-3
+    remat: bool = False                # jax.checkpoint the time scan (§5.7)
+    fault_inject_step: int = -1        # §5.3 debug: raise at this step
+    run_dir: str = "runs/default"
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    n_steps: int = 1024                # 64 bars × 16 steps/bar [B:5]
+    n_samples: int = 2
+    seed_steps: int = 32
+    gibbs_k: int = 0                   # 0 = use model cfg gen_k
+    bpm: float = 120.0
+    out_dir: str = "samples"
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "experiment"
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: MultINNConfig = dataclasses.field(default_factory=MultINNConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    generate: GenerateConfig = dataclasses.field(
+        default_factory=GenerateConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def validate(self) -> "ExperimentConfig":
+        if self.model.n_tracks != self.data.n_tracks:
+            raise ValueError(
+                f"model.n_tracks={self.model.n_tracks} != "
+                f"data.n_tracks={self.data.n_tracks}")
+        if self.model.n_pitches != self.data.n_pitches:
+            raise ValueError(
+                f"model.n_pitches={self.model.n_pitches} != data pitch range "
+                f"{self.data.n_pitches}")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# generic dataclass <-> dict/JSON with typed coercion
+# ---------------------------------------------------------------------------
+
+def _coerce(value: Any, typ: Any) -> Any:
+    origin = get_origin(typ)
+    if dataclasses.is_dataclass(typ) and isinstance(value, dict):
+        return from_dict(typ, value)
+    if origin in (tuple, Tuple) and isinstance(value, (list, tuple)):
+        args = get_args(typ)
+        if len(args) == 2 and args[1] is Ellipsis:
+            return tuple(_coerce(v, args[0]) for v in value)
+        if args:
+            return tuple(_coerce(v, t) for v, t in zip(value, args))
+        return tuple(value)
+    if origin in (list, List) and isinstance(value, (list, tuple)):
+        (arg,) = get_args(typ) or (Any,)
+        return [_coerce(v, arg) for v in value]
+    if typ is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes", "on")
+    if typ in (int, float) and isinstance(value, str):
+        return typ(value)
+    if typ is float and isinstance(value, int):
+        return float(value)
+    if origin is typing.Union:           # Optional[...]
+        for arg in get_args(typ):
+            if arg is type(None):
+                if value is None or value == "none":
+                    return None
+                continue
+            try:
+                return _coerce(value, arg)
+            except (TypeError, ValueError):
+                continue
+    return value
+
+
+def from_dict(cls, d: Dict[str, Any]):
+    """Build dataclass ``cls`` from a (possibly nested) plain dict, coercing
+    scalar types per field annotations. Unknown keys are an error (catches
+    config typos — §5.6)."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    hints = typing.get_type_hints(cls)
+    unknown = set(d) - set(fields)
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: "
+                         f"{sorted(unknown)}")
+    kwargs = {k: _coerce(v, hints[k]) for k, v in d.items()}
+    return cls(**kwargs)
+
+
+def to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def load_json(path: str) -> ExperimentConfig:
+    with open(path) as f:
+        return from_dict(ExperimentConfig, json.load(f))
+
+
+def save_json(cfg: ExperimentConfig, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2)
+        f.write("\n")
+
+
+def apply_overrides(cfg: ExperimentConfig,
+                    overrides: List[str]) -> ExperimentConfig:
+    """Apply CLI ``a.b.c=value`` dot-path overrides (leading ``--`` allowed).
+    Values are parsed as JSON when possible, else kept as strings, then
+    coerced by field type."""
+    d = to_dict(cfg)
+    for ov in overrides:
+        ov = ov.lstrip("-")
+        if "=" not in ov:
+            raise ValueError(f"override '{ov}' is not key=value")
+        path, raw = ov.split("=", 1)
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node = d
+        keys = path.split(".")
+        for k in keys[:-1]:
+            if k not in node:
+                raise ValueError(f"unknown config path '{path}'")
+            node = node[k]
+        if keys[-1] not in node:
+            raise ValueError(f"unknown config path '{path}'")
+        node[keys[-1]] = value
+    return from_dict(ExperimentConfig, d)

@@ -1,0 +1,87 @@
+"""Metrics/observability sinks (SURVEY C19, §5.5).
+
+Every jitted step returns a metrics pytree; the host side writes it to (a) a
+JSONL ledger in the run dir (the machine-readable record), (b) python logging
+to console, and (c) TensorBoard scalars when a writer backend is importable
+(guarded — not installed on this image).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def setup_logger(name: str = "multinn",
+                 run_dir: Optional[str] = None) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter(
+        "%(asctime)s %(name)s %(levelname)s %(message)s", "%H:%M:%S")
+    sh = logging.StreamHandler(sys.stderr)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if run_dir:
+        os.makedirs(run_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(run_dir, "train.log"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    logger.propagate = False
+    return logger
+
+
+def _scalarize(v: Any):
+    a = np.asarray(v)
+    if a.ndim == 0:
+        return float(a)
+    return [float(x) for x in a.ravel()]
+
+
+class MetricsLogger:
+    """JSONL ledger + optional TensorBoard scalars."""
+
+    def __init__(self, run_dir: str, filename: str = "metrics.jsonl"):
+        os.makedirs(run_dir, exist_ok=True)
+        self.path = os.path.join(run_dir, filename)
+        self._file = open(self.path, "a", buffering=1)
+        self._tb = None
+        try:                                  # pragma: no cover - optional dep
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: Dict[str, Any],
+            prefix: str = "train") -> None:
+        record = {"step": int(step), "time": time.time(), "split": prefix}
+        for k, v in metrics.items():
+            record[k] = _scalarize(v)
+        self._file.write(json.dumps(record) + "\n")
+        if self._tb is not None:              # pragma: no cover
+            for k, v in record.items():
+                if isinstance(v, float):
+                    self._tb.add_scalar(f"{prefix}/{k}", v, step)
+
+    def close(self) -> None:
+        self._file.close()
+        if self._tb is not None:              # pragma: no cover
+            self._tb.close()
+
+
+def format_metrics(metrics: Dict[str, Any], keys=None) -> str:
+    parts = []
+    for k, v in metrics.items():
+        if keys and k not in keys:
+            continue
+        a = np.asarray(v)
+        if a.ndim == 0:
+            parts.append(f"{k}={float(a):.4f}")
+    return " ".join(parts)
