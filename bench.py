@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY §6 metric axes; run on the real TPU chip).
+
+Measures the three driver metric axes on the flagship config:
+  1. pianoroll steps/sec/chip (train) — MultINN 5-track feedback RNN-RBM
+  2. 64-bar 5-track generation latency (1024 grid steps, one scan program)
+  3. Gibbs sweeps/s (batched block-Gibbs chain)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The reference publishes no numbers (BASELINE.md) — ``vs_baseline`` is measured
+against the driver's north-star target of 1.0 s for 64-bar 5-track generation
+[B:5]: vs_baseline = 1.0 / latency (>1 beats the target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def _warmup_compile_service():
+    """This environment's remote TPU compile service has a 1-8 min cold start
+    on the FIRST large compile of a process (see repo memory); a small
+    grad-of-scan warmup first has been observed to shrink it."""
+    import jax
+    import jax.numpy as jnp
+
+    def tiny(p):
+        def body(c, x):
+            return jnp.tanh(c @ p + x), c
+        c, ys = jax.lax.scan(body, jnp.zeros((1, 8)), jnp.ones((4, 1, 8)))
+        return jnp.sum(ys) + jnp.sum(c)
+
+    jax.block_until_ready(jax.jit(jax.grad(tiny))(jnp.eye(8)))
+
+
+def bench():
+    import jax
+    import jax.numpy as jnp
+
+    from multinn_tpu.models import multinn
+    from multinn_tpu.models.multinn import MultINNConfig
+    from multinn_tpu.nn import rbm as rbm_nn
+    from multinn_tpu.utils.profiling import timeit
+
+    _warmup_compile_service()
+
+    cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
+                        decoder_type="rnn-rbm", n_hidden=150, n_rnn=100,
+                        cd_k=1, gen_k=10)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+
+    # ---- 1) train throughput --------------------------------------------
+    import optax
+    B, T = 16, 64
+    x = jax.random.bernoulli(jax.random.PRNGKey(1), 0.06,
+                             (B, T, cfg.n_tracks, cfg.n_pitches)
+                             ).astype(jnp.float32)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, k):
+        (loss, _), g = jax.value_and_grad(
+            lambda q: multinn.loss(q, k, x), has_aux=True)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, loss
+
+    p, s = params, opt_state
+    k = jax.random.PRNGKey(2)
+    t0 = time.time()
+    p, s, loss = train_step(p, s, k)
+    jax.block_until_ready(loss)
+    compile_train = time.time() - t0
+    times = []
+    for i in range(20):
+        t0 = time.time()
+        p, s, loss = train_step(p, s, jax.random.fold_in(k, i))
+        jax.block_until_ready(loss)
+        times.append(time.time() - t0)
+    step_s = sorted(times)[len(times) // 2]
+    train_steps_per_sec = (B * T) / step_s          # pianoroll steps/sec/chip
+
+    # ---- 2) 64-bar 5-track generation latency ----------------------------
+    n_steps = 1024                                   # 64 bars x 16 steps/bar
+    state = multinn.init_state(params, 1)
+    gen = jax.jit(lambda kk: multinn.generate(params, kk, state, n_steps)[1])
+    t0 = time.time()
+    r = gen(jax.random.PRNGKey(3))
+    jax.block_until_ready(r)
+    compile_gen = time.time() - t0
+    res = timeit(gen, jax.random.PRNGKey(4), iters=5, warmup=1)
+    gen_latency = res["min_s"]
+
+    # ---- 3) Gibbs sweeps/s ------------------------------------------------
+    D, H, BB, K_SWEEPS = 84, 150, 4096, 25
+    w = 0.01 * jax.random.normal(jax.random.PRNGKey(5), (D, H))
+    bv = jnp.zeros((D,))
+    bh = jnp.zeros((H,))
+    v0 = jax.random.bernoulli(jax.random.PRNGKey(6), 0.1, (BB, D)
+                              ).astype(jnp.float32)
+    chain = jax.jit(lambda kk: rbm_nn.gibbs_chain(kk, v0, w, bv, bh,
+                                                  k=K_SWEEPS))
+    res_g = timeit(chain, jax.random.PRNGKey(7), iters=10, warmup=2)
+    gibbs_sweeps_per_sec = K_SWEEPS * BB / res_g["min_s"]
+
+    return {
+        "metric": "gen_latency_64bar_5track",
+        "value": round(gen_latency, 4),
+        "unit": "s",
+        "vs_baseline": round(1.0 / gen_latency, 2),
+        "extra": {
+            "train_pianoroll_steps_per_sec_per_chip":
+                round(train_steps_per_sec, 0),
+            "train_step_ms": round(step_s * 1e3, 2),
+            "gibbs_sweeps_per_sec": round(gibbs_sweeps_per_sec, 0),
+            "compile_train_s": round(compile_train, 1),
+            "compile_gen_s": round(compile_gen, 1),
+            "device": str(jax.devices()[0]),
+            "note": ("vs_baseline = north-star 1.0s / measured latency; "
+                     "reference publishes no numbers (BASELINE.md)"),
+        },
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(bench()))

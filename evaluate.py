@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Evaluation entry point (SURVEY C21/§3.5; reference counterpart
+``evaluate.py``).
+
+    python evaluate.py --run runs/jsb_rnnrbm [--split test] [--no-musical]
+
+Restores the checkpoint, computes test-split losses + frame metrics (C15) and
+exact/pseudo log-likelihood per frame, then generates samples and reports
+musical statistics (C16) side-by-side with the training corpus' statistics.
+Writes a JSON report into the run dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
+    p.add_argument("--run", help="run dir (config.json + ckpt/)")
+    p.add_argument("--config", help="explicit config JSON")
+    p.add_argument("--split", default="test")
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--latest", action="store_true")
+    p.add_argument("--no-musical", action="store_true",
+                   help="skip generation + musical metrics")
+    p.add_argument("--n-gen", type=int, default=4,
+                   help="samples for musical metrics")
+    return p.parse_known_args(argv)
+
+
+def main(argv=None) -> int:
+    args, overrides = parse_args(argv)
+    from multinn_tpu.utils import config as cfg_mod
+    cfg_path = args.config or os.path.join(args.run or "", "config.json")
+    if not os.path.exists(cfg_path):
+        print(f"config not found: {cfg_path}", file=sys.stderr)
+        return 2
+    cfg = cfg_mod.load_json(cfg_path)
+    if args.run:
+        cfg = cfg_mod.apply_overrides(cfg, [f"train.run_dir={args.run}"])
+    if overrides:
+        cfg = cfg_mod.apply_overrides(cfg, overrides)
+    cfg = cfg.validate()
+
+    import jax
+    from multinn_tpu.data.datasets import Dataset
+    from multinn_tpu.eval import musical
+    from multinn_tpu.training.generator import Generator
+    from multinn_tpu.training.trainer import Trainer
+
+    dataset = Dataset(cfg.data)
+    trainer = Trainer(cfg, dataset=dataset)
+    step = args.step
+    if step is None and not args.latest:
+        step = trainer.ckpt.best_step()
+    trainer.restore(step=step)
+
+    report = {"run": cfg.train.run_dir, "step": trainer.step,
+              "split": args.split}
+    report["frame"] = {k: float(v) for k, v in
+                       trainer.evaluate(args.split).items()}
+
+    if not args.no_musical:
+        steps_per_bar = cfg.data.steps_per_quarter * 4
+        drum_track = 0 if cfg.model.n_tracks == 5 else None
+        gen = Generator(cfg, trainer.params)
+        seed = dataset.seed_windows(args.split, n=args.n_gen)
+        seed = seed[:, :cfg.generate.seed_steps]
+        rolls = gen.generate(jax.random.PRNGKey(cfg.train.seed + 99),
+                             cfg.generate.n_steps, seed=seed)
+        report["musical_generated"] = musical.evaluate_rolls(
+            rolls, steps_per_bar, cfg.data.pitch_min, drum_track)
+        corpus = dataset.windows["train"][:max(args.n_gen * 4, 32)]
+        report["musical_corpus"] = musical.evaluate_rolls(
+            corpus, steps_per_bar, cfg.data.pitch_min, drum_track)
+
+    out = os.path.join(cfg.train.run_dir, f"eval_{args.split}.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print(f"\nwrote {out}", file=sys.stderr)
+    trainer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

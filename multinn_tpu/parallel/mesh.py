@@ -32,11 +32,21 @@ SEQ_AXIS = "seq"            # reserved (time-sharded scan design slot, §2.2)
 class MeshConfig:
     """data=0 means 'all devices not used by track'; track=1 disables track
     sharding. use_mesh=False runs plain single-device jit (the default on one
-    chip)."""
+    chip).
+
+    style selects how the step is partitioned:
+      * "gspmd"     — params/batch are device_put with NamedShardings and the
+        jitted global-view step is partitioned by XLA's SPMD propagation;
+        supports data × track simultaneously (the feedback architecture's
+        per-step latent all-gather is inserted by the partitioner).
+      * "shard_map" — explicit per-shard code with manual pmean of grads
+        (data axis only; the fully-explicit collective path of SURVEY §5.8).
+    """
 
     use_mesh: bool = False
     data: int = 0
     track: int = 1
+    style: str = "gspmd"
 
     def resolved_data(self, n_devices: int) -> int:
         if self.data > 0:
@@ -88,3 +98,44 @@ def put_data_sharded(array, mesh: Optional[Mesh]):
     if mesh is None:
         return array
     return jax.device_put(array, NamedSharding(mesh, P(DATA_AXIS)))
+
+
+# ---------------------------------------------------------------------------
+# GSPMD shardings for MultINN pytrees (dp × track)
+# ---------------------------------------------------------------------------
+
+def multinn_param_shardings(params, mesh: Mesh, track_sharded: bool):
+    """NamedSharding tree matching a MultINNParams pytree.
+
+    Per-track-STACKED subtrees (decoder always; encoder only in per-track
+    mode) shard their leading K axis over ``track``; shared/joint subtrees
+    replicate. XLA SPMD propagates these through the whole train step —
+    including the feedback architecture's cross-track latent gather.
+    """
+    mode = params.cfg.mode
+    rep = NamedSharding(mesh, P())
+    trk = NamedSharding(mesh, P(TRACK_AXIS))
+
+    def shard_subtree(tree, stacked: bool):
+        return jax.tree.map(lambda _: trk if stacked else rep, tree)
+
+    dec_stacked = track_sharded and mode in ("per-track", "feedback")
+    enc_stacked = track_sharded and mode == "per-track"
+    return params.replace(
+        encoder=shard_subtree(params.encoder, enc_stacked),
+        decoder=shard_subtree(params.decoder, dec_stacked))
+
+
+def batch_sharding(mesh: Mesh, track_sharded: bool) -> NamedSharding:
+    """(B, T, K, D) pianoroll batches: B over data, K over track."""
+    if track_sharded:
+        return NamedSharding(mesh, P(DATA_AXIS, None, TRACK_AXIS, None))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def put_multinn_sharded(params, mesh: Optional[Mesh],
+                        track_sharded: bool = False):
+    if mesh is None:
+        return params
+    shardings = multinn_param_shardings(params, mesh, track_sharded)
+    return jax.tree.map(jax.device_put, params, shardings)

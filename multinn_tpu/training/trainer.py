@@ -68,15 +68,21 @@ class Trainer:
         self.dataset = dataset if dataset is not None else Dataset(cfg.data)
         self.mesh = mesh_mod.make_mesh(cfg.mesh)
 
+        self._gspmd = self.mesh is not None and cfg.mesh.style == "gspmd"
+        self.track_sharded = self._gspmd and cfg.mesh.track > 1
+
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self.rng, init_key = jax.random.split(self.rng)
         self.params = (params if params is not None
                        else multinn.init(init_key, cfg.model))
-        self.optimizer = make_optimizer(cfg.train)
-        self.opt_state = self.optimizer.init(self.params)
-        if self.mesh is not None:
+        if self._gspmd:
+            self.params = mesh_mod.put_multinn_sharded(
+                self.params, self.mesh, self.track_sharded)
+        elif self.mesh is not None:
             self.params = mesh_mod.put_replicated(self.params, self.mesh)
-            self.opt_state = mesh_mod.put_replicated(self.opt_state, self.mesh)
+        self.optimizer = make_optimizer(cfg.train)
+        # init AFTER placement: optax state inherits param shardings
+        self.opt_state = self.optimizer.init(self.params)
 
         self.step = 0
         self.epoch = 0
@@ -100,12 +106,13 @@ class Trainer:
 
     def _build_train_step(self):
         opt = self.optimizer
+        explicit_pmean = self.mesh is not None and not self._gspmd
 
         def step_fn(params, opt_state, batch, key):
             with profiling.annotate("train_step"):
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True)(params, batch, key)
-                if self.mesh is not None:
+                if explicit_pmean:
                     grads = jax.lax.pmean(grads, mesh_mod.DATA_AXIS)
                     metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
                 updates, opt_state = opt.update(grads, opt_state, params)
@@ -113,7 +120,10 @@ class Trainer:
                 metrics["grad_norm"] = optax.global_norm(grads)
                 return params, opt_state, metrics
 
-        if self.mesh is None:
+        if self.mesh is None or self._gspmd:
+            # GSPMD: global-view program; argument shardings (params/batch
+            # placed in __init__/_put_batch) drive XLA's SPMD partitioner,
+            # which inserts the grad psums and the feedback all-gather.
             return jax.jit(step_fn, donate_argnums=(0, 1))
 
         def sharded(params, opt_state, batch, key):
@@ -129,17 +139,19 @@ class Trainer:
         return jax.jit(mapped, donate_argnums=(0, 1))
 
     def _build_eval_step(self):
+        explicit_pmean = self.mesh is not None and not self._gspmd
+
         def eval_fn(params, batch, key):
             loss, metrics = self._loss_fn(params, batch, key)
             ll = multinn.log_likelihood(
                 params, key, batch.astype(jnp.float32))
             t = batch.shape[1] * self.cfg.model.n_tracks
             metrics["ll_per_frame"] = jnp.mean(ll) / t
-            if self.mesh is not None:
+            if explicit_pmean:
                 metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
             return metrics
 
-        if self.mesh is None:
+        if self.mesh is None or self._gspmd:
             return jax.jit(eval_fn)
 
         def sharded(params, batch, key):
@@ -154,6 +166,9 @@ class Trainer:
         return jax.jit(mapped)
 
     def _put_batch(self, batch_u8: np.ndarray) -> jax.Array:
+        if self._gspmd:
+            return jax.device_put(batch_u8, mesh_mod.batch_sharding(
+                self.mesh, self.track_sharded))
         if self.mesh is not None:
             return mesh_mod.put_data_sharded(batch_u8, self.mesh)
         return jnp.asarray(batch_u8)

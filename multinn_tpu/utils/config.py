@@ -68,6 +68,15 @@ class ExperimentConfig:
             raise ValueError(
                 f"model.n_pitches={self.model.n_pitches} != data pitch range "
                 f"{self.data.n_pitches}")
+        if self.mesh.use_mesh and self.mesh.track > 1:
+            if self.mesh.style != "gspmd":
+                raise ValueError("track sharding requires mesh.style=gspmd")
+            if self.model.mode == "joint":
+                raise ValueError("joint mode has no track axis to shard")
+            if self.model.n_tracks % self.mesh.track:
+                raise ValueError(
+                    f"n_tracks={self.model.n_tracks} not divisible by "
+                    f"mesh.track={self.mesh.track}")
         return self
 
 

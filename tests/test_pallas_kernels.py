@@ -1,0 +1,156 @@
+"""Pallas kernel tests (SURVEY §4.5): kernels vs pure-XLA fallbacks in
+interpreter mode on CPU — distribution-level parity (the RNG contract pins
+streams to differ between impls; means/conditionals must match), shapes,
+binarity, and determinism per seed."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multinn_tpu.nn import nade as nade_nn
+from multinn_tpu.nn import rbm as rbm_nn
+from multinn_tpu.ops import gibbs_pallas, nade_pallas
+
+
+# ---------------------------------------------------------------------------
+# Gibbs kernel
+# ---------------------------------------------------------------------------
+
+def test_gibbs_kernel_shapes_binary_deterministic():
+    key = jax.random.PRNGKey(0)
+    d, h = 24, 16
+    p = rbm_nn.init(jax.random.PRNGKey(1), d, h, w_std=0.5)
+    v0 = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.4, (4, 8, d)).astype(jnp.float32)
+    vk = gibbs_pallas.gibbs_chain(key, v0, p.w, p.bv, p.bh, k=3,
+                                  interpret=True)
+    assert vk.shape == v0.shape
+    assert set(np.unique(np.asarray(vk))) <= {0.0, 1.0}
+    vk2 = gibbs_pallas.gibbs_chain(key, v0, p.w, p.bv, p.bh, k=3,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(vk), np.asarray(vk2))
+    vk3 = gibbs_pallas.gibbs_chain(jax.random.PRNGKey(9), v0, p.w, p.bv,
+                                   p.bh, k=3, interpret=True)
+    assert not np.array_equal(np.asarray(vk), np.asarray(vk3))
+
+
+def test_gibbs_kernel_stationary_distribution_matches_xla():
+    """Long chains from both impls must land in the same stationary
+    distribution: compare mean visible activations over a large batch."""
+    d, h = 12, 8
+    p = rbm_nn.init(jax.random.PRNGKey(1), d, h, w_std=0.8)
+    p = p.replace(bv=jnp.linspace(-1.0, 1.0, d))
+    v0 = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.5, (4096, d)).astype(jnp.float32)
+    k = 20
+    vk_pallas = gibbs_pallas.gibbs_chain(jax.random.PRNGKey(3), v0, p.w,
+                                         p.bv, p.bh, k=k, interpret=True)
+    vk_xla = rbm_nn.gibbs_chain(jax.random.PRNGKey(4), v0, p.w, p.bv, p.bh,
+                                k=k)
+    np.testing.assert_allclose(np.asarray(vk_pallas.mean(0)),
+                               np.asarray(vk_xla.mean(0)), atol=0.04)
+
+
+def test_gibbs_kernel_per_sample_biases():
+    """RNN-RBM contract: (B, T, D)-shaped conditioned biases."""
+    d, h = 16, 8
+    p = rbm_nn.init(jax.random.PRNGKey(1), d, h, w_std=0.3)
+    v0 = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.3, (8, 4, d)).astype(jnp.float32)
+    bv = jnp.broadcast_to(p.bv, (8, 4, d)) + 0.2
+    bh = jnp.broadcast_to(p.bh, (8, 4, h)) - 0.1
+    vk = gibbs_pallas.gibbs_chain(jax.random.PRNGKey(3), v0, p.w, bv, bh,
+                                  k=2, interpret=True)
+    assert vk.shape == (8, 4, d)
+    # strong positive visible bias on dim 0 must raise its activation
+    bv_hi = bv.at[..., 0].set(6.0)
+    vk_hi = gibbs_pallas.gibbs_chain(jax.random.PRNGKey(3), v0, p.w, bv_hi,
+                                     bh, k=5, interpret=True)
+    assert float(vk_hi[..., 0].mean()) > 0.9
+
+
+def test_gibbs_kernel_batch_padding():
+    """Non-multiple-of-tile batch sizes must round-trip through padding."""
+    d, h = 12, 8
+    p = rbm_nn.init(jax.random.PRNGKey(1), d, h, w_std=0.3)
+    v0 = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.3, (13, d)).astype(jnp.float32)
+    vk = gibbs_pallas.gibbs_chain(jax.random.PRNGKey(3), v0, p.w, p.bv,
+                                  p.bh, k=1, interpret=True)
+    assert vk.shape == (13, d)
+
+
+# ---------------------------------------------------------------------------
+# NADE sweep kernel
+# ---------------------------------------------------------------------------
+
+def all_states(d):
+    return jnp.array(list(itertools.product([0.0, 1.0], repeat=d)),
+                     dtype=jnp.float32)
+
+
+def test_nade_kernel_distribution_matches_log_prob():
+    """Empirical distribution of kernel samples vs the exact NADE likelihood
+    (the same end-to-end check the XLA sampler passes in test_nade.py)."""
+    p = nade_nn.init(jax.random.PRNGKey(0), 6, 4, w_std=0.5)
+    p = p.replace(bv=0.3 * jnp.arange(6, dtype=jnp.float32) - 0.5)
+    n = 20000
+    xs = nade_pallas.sample(jax.random.PRNGKey(1), p.w, p.v, p.bv, p.bh,
+                            batch_shape=(n,), interpret=True)
+    assert xs.shape == (n, 6)
+    assert set(np.unique(np.asarray(xs))) <= {0.0, 1.0}
+    pow2 = 2 ** jnp.arange(5, -1, -1)
+    idx = np.asarray((xs * pow2).sum(-1)).astype(int)
+    emp = np.bincount(idx, minlength=64) / n
+    exact = np.exp(np.asarray(
+        nade_nn.log_prob(all_states(6), p.w, p.v, p.bv, p.bh)))
+    tvd = 0.5 * np.abs(emp - exact).sum()
+    assert tvd < 0.03, f"TVD {tvd}"
+
+
+def test_nade_kernel_batched_biases_and_determinism():
+    p = nade_nn.init(jax.random.PRNGKey(0), 8, 6, w_std=0.3)
+    bv = jnp.broadcast_to(p.bv, (5, 8)) + jnp.linspace(-1, 1, 5)[:, None]
+    bh = jnp.broadcast_to(p.bh, (5, 6))
+    xs = nade_pallas.sample(jax.random.PRNGKey(1), p.w, p.v, bv, bh,
+                            batch_shape=(5,), interpret=True)
+    assert xs.shape == (5, 8)
+    xs2 = nade_pallas.sample(jax.random.PRNGKey(1), p.w, p.v, bv, bh,
+                             batch_shape=(5,), interpret=True)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(xs2))
+
+
+def test_nade_kernel_respects_bias_conditioning():
+    """Huge positive visible bias -> all ones; huge negative -> all zeros."""
+    p = nade_nn.init(jax.random.PRNGKey(0), 8, 6, w_std=0.01)
+    ones = nade_pallas.sample(jax.random.PRNGKey(1), p.w, p.v,
+                              p.bv + 10.0, p.bh, batch_shape=(16,),
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(ones), 1.0)
+    zeros = nade_pallas.sample(jax.random.PRNGKey(2), p.w, p.v,
+                               p.bv - 10.0, p.bh, batch_shape=(16,),
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(zeros), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def test_dispatch_auto_uses_xla_on_cpu():
+    """On the CPU test backend, impl='auto' must fall back to XLA (pallas is
+    TPU-only here) and produce valid chains."""
+    from multinn_tpu.ops import gibbs as gibbs_ops
+    from multinn_tpu.ops import nade_ops
+    p = rbm_nn.init(jax.random.PRNGKey(1), 8, 6, w_std=0.3)
+    v0 = jnp.zeros((4, 8))
+    vk = gibbs_ops.gibbs_chain(jax.random.PRNGKey(0), v0, p.w, p.bv, p.bh,
+                               k=2, impl="auto")
+    assert vk.shape == (4, 8)
+    np_ = nade_nn.init(jax.random.PRNGKey(2), 8, 6)
+    xs = nade_ops.nade_sample(jax.random.PRNGKey(3), np_.w, np_.v, np_.bv,
+                              np_.bh, batch_shape=(4,), impl="auto")
+    assert xs.shape == (4, 8)
