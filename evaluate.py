@@ -36,6 +36,8 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args, overrides = parse_args(argv)
+    from multinn_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     from multinn_tpu.utils import config as cfg_mod
     cfg_path = args.config or os.path.join(args.run or "", "config.json")
     if not os.path.exists(cfg_path):

@@ -47,9 +47,11 @@ class DecoderConfig:
     n_rnn: int = 100
     n_ctx: int = 0
     cell: str = "lstm"
+    rnn_layers: int = 1
     cd_k: int = 1
     gen_k: int = 10
     w_std: float = 0.01
+    remat: bool = False      # jax.checkpoint the time scan (SURVEY §5.7)
 
 
 def get_decoder(name: str):

@@ -50,9 +50,11 @@ class MultINNConfig:
     n_hidden: int = 150
     n_rnn: int = 100
     cell: str = "lstm"
+    rnn_layers: int = 1
     cd_k: int = 1
     gen_k: int = 10
     w_std: float = 0.01
+    remat: bool = False        # gradient-checkpoint the time scans (§5.7)
 
     def __post_init__(self):
         if self.mode not in MODES:
@@ -77,7 +79,8 @@ class MultINNConfig:
         return DecoderConfig(
             n_visible=self.feature_dim(), n_hidden=self.n_hidden,
             n_rnn=self.n_rnn, n_ctx=self.ctx_dim(), cell=self.cell,
-            cd_k=self.cd_k, gen_k=self.gen_k, w_std=self.w_std)
+            rnn_layers=self.rnn_layers, cd_k=self.cd_k, gen_k=self.gen_k,
+            w_std=self.w_std, remat=self.remat)
 
 
 @struct.dataclass

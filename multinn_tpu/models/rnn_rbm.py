@@ -57,8 +57,8 @@ def init(key: jax.Array, cfg: DecoderConfig) -> Params:
     kc, kw, kuv, kuh = jax.random.split(key, 4)
     f, h, u = cfg.n_visible, cfg.n_hidden, cfg.n_rnn
     return Params(
-        cell=rnn_nn.cell_init(cfg.cell, kc, f + cfg.n_ctx, u,
-                              w_std=cfg.w_std),
+        cell=rnn_nn.stacked_init(cfg.cell, kc, f + cfg.n_ctx, u,
+                                 cfg.rnn_layers, w_std=cfg.w_std),
         w=cfg.w_std * jax.random.normal(kw, (f, h)),
         bv=jnp.zeros((f,)),
         bh=jnp.zeros((h,)),
@@ -71,7 +71,8 @@ def init(key: jax.Array, cfg: DecoderConfig) -> Params:
 def init_state(params: Params, batch_shape: Tuple[int, ...]) -> State:
     cfg = params.cfg
     return State(
-        cell=rnn_nn.cell_zero_state(cfg.cell, batch_shape, cfg.n_rnn),
+        cell=rnn_nn.stacked_zero_state(cfg.cell, batch_shape,
+                                       cfg.n_rnn, cfg.rnn_layers),
         v_prev=jnp.zeros((*batch_shape, cfg.n_visible)),
     )
 
@@ -82,8 +83,9 @@ def _scan_states(params: Params, state: State, x_tm: jax.Array
     where u_prev[t] = hidden state BEFORE consuming x[t] (bias conditioning
     uses u(t-1) per the paper)."""
     cfg = params.cfg
-    final, us = rnn_nn.cell_scan(cfg.cell, params.cell, state.cell, x_tm)
-    u0 = rnn_nn.state_h(state.cell)
+    final, us = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
+                                    x_tm, remat=cfg.remat)
+    u0 = rnn_nn.state_h(state.cell[-1])
     u_prev = jnp.concatenate([u0[None], us[:-1]], axis=0)   # (T, B, U)
     return final, u_prev
 
@@ -143,8 +145,9 @@ def prime(params: Params, state: State, x: jax.Array,
     cfg = params.cfg
     x_tm = jnp.swapaxes(x, 0, 1)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
-    final, _ = rnn_nn.cell_scan(cfg.cell, params.cell, state.cell,
-                                rnn_input(x_tm, ctx_tm))
+    final, _ = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
+                                   rnn_input(x_tm, ctx_tm),
+                                   remat=cfg.remat)
     return State(cell=final, v_prev=x[:, -1, :])
 
 
@@ -156,11 +159,11 @@ def sample_step(params: Params, key: jax.Array, state: State,
     cell. ctx: (..., C) for this step."""
     cfg = params.cfg
     k = cfg.gen_k if k is None else k
-    u_prev = rnn_nn.state_h(state.cell)
+    u_prev = rnn_nn.state_h(state.cell[-1])
     bv_t, bh_t = _biases(params, u_prev)
     v = gibbs_ops.gibbs_chain(key, state.v_prev, params.w, bv_t, bh_t, k=k)
-    new_cell = rnn_nn.cell_step(cfg.cell, params.cell, state.cell,
-                                rnn_input(v, ctx))
+    new_cell = rnn_nn.stacked_step(cfg.cell, params.cell, state.cell,
+                                   rnn_input(v, ctx))
     return State(cell=new_cell, v_prev=v), v
 
 

@@ -152,6 +152,68 @@ def vanilla_scan(params, state, xs):
 
 
 # ---------------------------------------------------------------------------
+# Stacked (multi-layer) cells: params/state = tuple of per-layer pytrees.
+# Layer l+1 consumes layer l's hidden trajectory; each layer is its own
+# time-major scan (XLA pipelines the layer loops).
+# ---------------------------------------------------------------------------
+
+def stacked_init(cell_type: str, key, n_in: int, n_hidden: int,
+                 n_layers: int, **kw):
+    keys = jax.random.split(key, n_layers)
+    sizes = [n_in] + [n_hidden] * (n_layers - 1)
+    init = CELLS[cell_type][0]
+    return tuple(init(keys[i], sizes[i], n_hidden, **kw)
+                 for i in range(n_layers))
+
+
+def stacked_zero_state(cell_type: str, batch_shape, n_hidden: int,
+                       n_layers: int, dtype=jnp.float32):
+    zero = CELLS[cell_type][1]
+    return tuple(zero(batch_shape, n_hidden, dtype) for _ in range(n_layers))
+
+
+def stacked_step(cell_type: str, params, states, x):
+    step = CELLS[cell_type][2]
+    new_states = []
+    inp = x
+    for p, st in zip(params, states):
+        st = step(p, st, inp)
+        new_states.append(st)
+        inp = st.h
+    return tuple(new_states)
+
+
+def stacked_scan(cell_type: str, params, states, xs,
+                 remat: bool = False):
+    """Run all layers over time-major xs. ``remat=True`` wraps each layer's
+    scan body in jax.checkpoint: backward recomputes the step instead of
+    storing per-step residuals — O(T) activation memory becomes O(T) carries
+    only (SURVEY §5.7's long-window lever)."""
+    scan = CELLS[cell_type][3]
+    finals = []
+    inp = xs
+    for p, st in zip(params, states):
+        if remat:
+            final, hs = _remat_cell_scan(cell_type, p, st, inp)
+        else:
+            final, hs = scan(p, st, inp)
+        finals.append(final)
+        inp = hs
+    return tuple(finals), inp
+
+
+def _remat_cell_scan(cell_type: str, params, state, xs):
+    step = CELLS[cell_type][2]
+
+    @jax.checkpoint
+    def body(st, x_t):
+        st = step(params, st, x_t)
+        return st, st.h
+
+    return jax.lax.scan(body, state, xs)
+
+
+# ---------------------------------------------------------------------------
 # Generic cell dispatch (used by decoders; 'lstm' is the MultINN default)
 # ---------------------------------------------------------------------------
 

@@ -65,7 +65,8 @@ class Generator:
     def generate_to_files(self, key: jax.Array, out_dir: str,
                           n_samples: int, n_steps: int,
                           seed: Optional[np.ndarray] = None,
-                          bpm: float = 120.0) -> Tuple[np.ndarray, list]:
+                          bpm: float = 120.0,
+                          write_images: bool = True) -> Tuple[np.ndarray, list]:
         rolls = self.generate(key, n_steps, seed=seed,
                               batch=(seed.shape[0] if seed is not None
                                      else n_samples))
@@ -75,4 +76,7 @@ class Generator:
             p = os.path.join(out_dir, f"sample_{i:03d}.mid")
             self.to_midi(rolls[i], p, bpm=bpm)
             paths.append(p)
+        if write_images:                       # pianoroll PNG summaries (C19)
+            from multinn_tpu.utils.images import save_sample_grid
+            save_sample_grid(rolls[:n_samples], out_dir)
         return rolls, paths

@@ -34,7 +34,6 @@ class TrainConfig:
     early_stop_patience: int = 0       # epochs without valid improvement; 0=off
     pretrain_encoder_epochs: int = 0   # greedy layer-wise DBN pretraining
     pretrain_lr: float = 1e-3
-    remat: bool = False                # jax.checkpoint the time scan (§5.7)
     fault_inject_step: int = -1        # §5.3 debug: raise at this step
     run_dir: str = "runs/default"
 
@@ -135,9 +134,18 @@ def to_dict(cfg) -> Dict[str, Any]:
     return dataclasses.asdict(cfg)
 
 
+def _migrate(d: Dict[str, Any]) -> Dict[str, Any]:
+    """Renamed-key migrations for configs written by older versions (keeps
+    from_dict strict for typo catching while old run dirs stay loadable)."""
+    train = d.get("train", {})
+    if "remat" in train:                     # moved: train.remat -> model.remat
+        d.setdefault("model", {})["remat"] = train.pop("remat")
+    return d
+
+
 def load_json(path: str) -> ExperimentConfig:
     with open(path) as f:
-        return from_dict(ExperimentConfig, json.load(f))
+        return from_dict(ExperimentConfig, _migrate(json.load(f)))
 
 
 def save_json(cfg: ExperimentConfig, path: str) -> None:

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Dataset preparation utilities (SURVEY C21's ``scripts/`` surface).
+
+Subcommands:
+  cache  — parse a corpus (midi_dir / pickle / synthetic) once and write a
+           windowed-roll ``.npz`` cache that ``--data.source=npz`` loads fast:
+             python scripts/prepare_dataset.py cache --preset lpd5 \
+                 --source midi_dir --path data/lpd5 --out data/lpd5_rolls.npz
+  synth  — render the synthetic corpus to actual .mid files (also exercises
+           the first-party MIDI writer end-to-end):
+             python scripts/prepare_dataset.py synth --out data/synth --songs 8
+  stats  — print corpus statistics (rolls, windows, density, musical metrics):
+             python scripts/prepare_dataset.py stats --preset jsb \
+                 --source pickle --path data/jsb.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def add_data_args(p):
+    p.add_argument("--preset", default="synthetic")
+    p.add_argument("--source", default=None,
+                   help="synthetic | midi_dir | npz | pickle "
+                        "(default: preset's)")
+    p.add_argument("--path", default="")
+    p.add_argument("--window", type=int, default=None)
+    p.add_argument("--songs", type=int, default=16,
+                   help="synthetic corpus size")
+
+
+def make_cfg(args):
+    from multinn_tpu.data.datasets import DataConfig
+    kw = dict(synthetic_songs=args.songs)
+    if args.source:
+        kw["source"] = args.source
+    if args.path:
+        kw["path"] = args.path
+    if args.window:
+        kw["window"] = args.window
+    return DataConfig.from_preset(args.preset, **kw)
+
+
+def cmd_cache(args) -> int:
+    from multinn_tpu.data.datasets import Dataset
+    ds = Dataset(make_cfg(args))
+    rolls = np.concatenate([ds.windows[s] for s in
+                            ("train", "valid", "test")])
+    np.savez_compressed(args.out, rolls=rolls)
+    print(f"wrote {args.out}: {rolls.shape} uint8 "
+          f"({os.path.getsize(args.out) / 1e6:.1f} MB)")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from multinn_tpu.data import pianoroll as pr
+    from multinn_tpu.data import midi as midi_mod
+    from multinn_tpu.data.datasets import synthetic_corpus
+    cfg = make_cfg(args)
+    os.makedirs(args.out, exist_ok=True)
+    for i, roll in enumerate(synthetic_corpus(cfg)):
+        mid = pr.roll_to_midi(roll, cfg.spec())
+        midi_mod.save(mid, os.path.join(args.out, f"synth_{i:04d}.mid"))
+    print(f"wrote {cfg.synthetic_songs} MIDI files to {args.out}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    import json
+    from multinn_tpu.data.datasets import Dataset
+    from multinn_tpu.eval import musical
+    cfg = make_cfg(args)
+    ds = Dataset(cfg)
+    out = {}
+    for split, w in ds.windows.items():
+        out[split] = {"windows": int(len(w)), "shape": list(w.shape[1:]),
+                      "density": float(w.mean())}
+    corpus = ds.windows["train"][:64]
+    out["musical_train"] = musical.evaluate_rolls(
+        corpus, steps_per_bar=cfg.steps_per_quarter * 4,
+        pitch_min=cfg.pitch_min,
+        drum_track=0 if cfg.n_tracks == 5 else None)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("cache", cmd_cache), ("synth", cmd_synth),
+                     ("stats", cmd_stats)):
+        sp = sub.add_parser(name)
+        add_data_args(sp)
+        if name == "cache":
+            sp.add_argument("--out", required=True)
+        if name == "synth":
+            sp.add_argument("--out", required=True)
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,40 @@
+"""Golden fixed-seed regression tests (SURVEY §4.2): with the reference
+unavailable as an executable, fixed-seed parity [B:5] is pinned as
+SELF-reproducibility — stored artifacts (loss value + sampled pianorolls at
+fixed PRNG seeds, CPU backend) must match bit-for-bit across commits.
+
+Regenerate intentionally with ``python tests/golden_gen.py``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.golden_gen import build
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "golden.npz")
+
+
+@pytest.fixture(scope="module")
+def current():
+    return build()
+
+
+@pytest.fixture(scope="module")
+def stored():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden file missing — run tests/golden_gen.py")
+    return np.load(GOLDEN)
+
+
+@pytest.mark.parametrize("dec", ["rnn_rbm", "rnn_nade"])
+def test_golden_loss(dec, current, stored):
+    np.testing.assert_allclose(current[f"{dec}_loss"],
+                               stored[f"{dec}_loss"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("dec", ["rnn_rbm", "rnn_nade"])
+def test_golden_generation_bit_exact(dec, current, stored):
+    np.testing.assert_array_equal(current[f"{dec}_roll"],
+                                  stored[f"{dec}_roll"])

@@ -1,0 +1,53 @@
+"""Pianoroll PNG summaries (C19/§5.5) and dataset-prep scripts (C21)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from multinn_tpu.utils import images
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_render_pianoroll():
+    roll = np.zeros((8, 2, 12), np.uint8)
+    roll[0, 0, 3] = 1
+    roll[2, 1, 7] = 1
+    img = images.render_pianoroll(roll, scale=1)
+    assert img.shape == (12, 8, 3)
+    # pitch 3 renders at row (12-1-3)=8 in track-0 color, red-dominant
+    assert img[8, 0, 0] > 0
+    assert img[12 - 1 - 7, 2, 2] > 0      # track 1 blue at pitch 7, t=2
+    assert img.sum() == (np.array([230, 60, 60]).sum()
+                         + np.array([60, 120, 230]).sum())
+
+
+def test_save_pianoroll_png(tmp_path):
+    roll = (np.random.default_rng(0).random((16, 3, 24)) < 0.1).astype(
+        np.uint8)
+    p = images.save_pianoroll_png(roll, str(tmp_path / "x.png"))
+    from PIL import Image
+    im = Image.open(p)
+    assert im.size == (16 * 2, 24 * 2)
+
+
+def test_prepare_dataset_synth_cache_roundtrip(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    midi_dir = str(tmp_path / "midi")
+    npz = str(tmp_path / "rolls.npz")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/prepare_dataset.py"),
+         "synth", "--out", midi_dir, "--songs", "2"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert len(os.listdir(midi_dir)) == 2
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/prepare_dataset.py"),
+         "cache", "--preset", "lpd5", "--source", "midi_dir",
+         "--path", midi_dir, "--out", npz],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    data = np.load(npz)
+    assert data["rolls"].shape[2:] == (5, 84)

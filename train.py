@@ -46,6 +46,8 @@ def build_config(args, overrides):
 
 def main(argv=None) -> int:
     args, overrides = parse_args(argv)
+    from multinn_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     cfg = build_config(args, overrides)
 
     from multinn_tpu.training.trainer import Trainer
