@@ -62,7 +62,8 @@ def bench():
     @jax.jit
     def train_step(p, s, k):
         (loss, _), g = jax.value_and_grad(
-            lambda q: multinn.loss(q, k, x), has_aux=True)(p)
+            lambda q: multinn.loss(q, k, x, detailed=False),
+            has_aux=True)(p)
         u, s = opt.update(g, s)
         return optax.apply_updates(p, u), s, loss
 

@@ -146,7 +146,14 @@ def synthetic_corpus(cfg: DataConfig) -> List[np.ndarray]:
 # file loaders
 # ---------------------------------------------------------------------------
 
-def load_midi_dir(path: str, spec: pr.RollSpec) -> List[np.ndarray]:
+def load_midi_dir(path: str, spec: pr.RollSpec,
+                  use_native: Optional[bool] = None) -> List[np.ndarray]:
+    """Parse every .mid under ``path``. Uses the native C++ fast path
+    (multinn_tpu.data.native, bit-exact with the Python layer) when the
+    shared library is buildable; ``use_native=False`` forces pure Python."""
+    from multinn_tpu.data import native
+    if use_native is None:
+        use_native = native.available()
     files = sorted(glob.glob(os.path.join(path, "**", "*.mid"),
                              recursive=True)
                    + glob.glob(os.path.join(path, "**", "*.midi"),
@@ -154,8 +161,11 @@ def load_midi_dir(path: str, spec: pr.RollSpec) -> List[np.ndarray]:
     rolls = []
     for f in files:
         try:
-            rolls.append(pr.midi_to_roll(midi_mod.load(f), spec))
-        except (midi_mod.MidiParseError, OSError, IndexError):
+            if use_native:
+                rolls.append(native.midi_file_to_roll(f, spec))
+            else:
+                rolls.append(pr.midi_to_roll(midi_mod.load(f), spec))
+        except (midi_mod.MidiParseError, ValueError, OSError, IndexError):
             continue                             # skip corrupt files
     return rolls
 

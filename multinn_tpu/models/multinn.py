@@ -153,27 +153,29 @@ def _mean_tree(tree):
 # loss / likelihood
 # ---------------------------------------------------------------------------
 
-def loss(params: MultINNParams, key: jax.Array, x: jax.Array):
+def loss(params: MultINNParams, key: jax.Array, x: jax.Array,
+         detailed: bool = True):
     """Unified teacher-forced loss over all tracks. x: (B, T, K, D).
     Returns (scalar_loss, metrics) — metrics averaged over tracks, plus
-    per-track losses under 'loss_per_track'."""
+    per-track losses under 'loss_per_track'. ``detailed=False`` is the
+    trainer's hot path (loss-only metrics)."""
     cfg = params.cfg
     dec = _dec(cfg)
     if cfg.mode == "joint":
         b, t, k, d = x.shape
         feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
-        return dec.loss(params.decoder, key, feats)
+        return dec.loss(params.decoder, key, feats, detailed=detailed)
 
     feats_k = _encode_tracks(params, x)                  # (K, B, T, F)
     keys = jax.random.split(key, cfg.n_tracks)
     if cfg.mode == "feedback":
         ctx = _feedback_ctx(feats_k)                     # (B, T, K·F)
         losses, metrics = jax.vmap(
-            lambda p, kk, xx: dec.loss(p, kk, xx, ctx=ctx)
+            lambda p, kk, xx: dec.loss(p, kk, xx, ctx=ctx, detailed=detailed)
         )(params.decoder, keys, feats_k)
     else:
         losses, metrics = jax.vmap(
-            lambda p, kk, xx: dec.loss(p, kk, xx)
+            lambda p, kk, xx: dec.loss(p, kk, xx, detailed=detailed)
         )(params.decoder, keys, feats_k)
     metrics = _mean_tree(metrics)
     metrics["loss_per_track"] = losses

@@ -103,11 +103,14 @@ def _nll(params: Params, x: jax.Array, ctx: Optional[jax.Array]):
 
 
 def loss(params: Params, key: jax.Array, x: jax.Array,
-         ctx: Optional[jax.Array] = None):
+         ctx: Optional[jax.Array] = None, detailed: bool = True):
     """Exact NLL loss. ``key`` is unused (kept for the decoder contract).
-    Returns (scalar_loss, metrics)."""
+    Returns (scalar_loss, metrics). ``detailed=False`` skips the extra
+    conditional-probability pass used for frame metrics (trainer hot path)."""
     del key
     nll, (x_tm, bv_t, bh_t) = _nll(params, x, ctx)
+    if not detailed:
+        return nll, {"loss": nll}
     # teacher-forced conditional probabilities for frame metrics
     logits = jax.lax.stop_gradient(nade_nn.conditionals_logits(
         x_tm, params.w, params.v, bv_t, bh_t))

@@ -97,11 +97,15 @@ def _biases(params: Params, u_prev: jax.Array):
 
 
 def loss(params: Params, key: jax.Array, x: jax.Array,
-         ctx: Optional[jax.Array] = None):
+         ctx: Optional[jax.Array] = None, detailed: bool = True):
     """CD-k loss, teacher forced. x: (B, T, F); ctx: (B, T, C) or None.
 
     Returns (scalar_loss, metrics). Gradients flow into the RNN through the
     conditioned biases of BOTH free-energy terms; never through the chain.
+
+    ``detailed=False`` skips the monitoring extras (mean-field reconstruction
+    pass, PLL, frame metrics) — the trainer's hot path uses it and computes
+    full metrics only on logging steps.
     """
     cfg = params.cfg
     x_tm = jnp.swapaxes(x, 0, 1)                      # (T, B, F)
@@ -112,6 +116,8 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
 
     k1, k2, k3 = jax.random.split(key, 3)
     cd = gibbs_ops.cd_loss(k1, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k)
+    if not detailed:
+        return cd, {"loss": cd}
 
     # Monitoring: mean-field reconstruction + transduction frame metrics.
     recon = rbm_nn.reconstruction(k2, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k)

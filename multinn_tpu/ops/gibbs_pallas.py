@@ -70,11 +70,16 @@ def _kernel(seed_ref, v0_ref, w_ref, bv_ref, bh_ref, out_ref, *, k: int):
     out_ref[:] = jax.lax.fori_loop(0, k, sweep, v)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6))
 def gibbs_chain(key: jax.Array, v0: jax.Array, w, bv, bh, k: int,
                 interpret: bool = False) -> jax.Array:
     """Drop-in for nn.rbm.gibbs_chain (distribution-level parity; RNG stream
-    differs — see module docstring). v0: (..., D); biases broadcastable."""
+    differs — see module docstring). v0: (..., D); biases broadcastable.
+
+    Differentiation contract: binary sampling is piecewise-constant, so the
+    tangent is zero almost everywhere — declared via custom_jvp so the kernel
+    is safe inside value_and_grad (CD-k additionally stop_gradients the chain
+    output; see nn.rbm.cd_loss)."""
     orig_shape = v0.shape
     d, h_dim = w.shape
     v0_2d = v0.reshape(-1, d)
@@ -123,3 +128,9 @@ def gibbs_chain(key: jax.Array, v0: jax.Array, w, bv, bh, k: int,
         ),
     )(seed, v0_2d, w, bv_2d, bh_2d)
     return out[:b].reshape(orig_shape)
+
+
+@gibbs_chain.defjvp
+def _gibbs_chain_jvp(k, interpret, primals, tangents):
+    out = gibbs_chain(*primals, k, interpret)
+    return out, jnp.zeros_like(out)

@@ -104,6 +104,7 @@ def _sample_2d(key, w, v, bv_db, bh_hb, interpret: bool = False):
     )(seed, w, v, bv_db, bh_hb)
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6))
 def sample(key: jax.Array, w, v, bv, bh, batch_shape=(),
            interpret: bool = False) -> jax.Array:
     """Drop-in for nn.nade.sample. bv/bh may carry batch dims (RNN-NADE's
@@ -113,3 +114,9 @@ def sample(key: jax.Array, w, v, bv, bh, batch_shape=(),
     bh_b = jnp.broadcast_to(bh, (*batch_shape, h_dim)).reshape(-1, h_dim)
     out = _sample_2d(key, w, v, bv_b.T, bh_b.T, interpret=interpret)
     return out.T.reshape(*batch_shape, d)
+
+
+@sample.defjvp
+def _sample_jvp(batch_shape, interpret, primals, tangents):
+    out = sample(*primals, batch_shape, interpret)
+    return out, jnp.zeros_like(out)

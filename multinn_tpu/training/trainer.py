@@ -93,25 +93,29 @@ class Trainer:
         self.ckpt = Checkpointer(os.path.join(cfg.train.run_dir, "ckpt"),
                                  keep_last=cfg.train.keep_last,
                                  keep_best=cfg.train.keep_best)
-        self._train_step = self._build_train_step()
+        # hot path skips monitoring extras; the detailed step runs only on
+        # logging steps (both warm the same compile-service session)
+        self._train_step = self._build_train_step(detailed=False)
+        self._train_step_detailed = self._build_train_step(detailed=True)
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------
     # step builders
     # ------------------------------------------------------------------
 
-    def _loss_fn(self, params, batch_u8, key):
+    def _loss_fn(self, params, batch_u8, key, detailed=True):
         x = batch_u8.astype(jnp.float32)
-        return multinn.loss(params, key, x)
+        return multinn.loss(params, key, x, detailed=detailed)
 
-    def _build_train_step(self):
+    def _build_train_step(self, detailed: bool = True):
         opt = self.optimizer
         explicit_pmean = self.mesh is not None and not self._gspmd
 
         def step_fn(params, opt_state, batch, key):
             with profiling.annotate("train_step"):
                 (loss, metrics), grads = jax.value_and_grad(
-                    self._loss_fn, has_aux=True)(params, batch, key)
+                    lambda p, b, k: self._loss_fn(p, b, k, detailed),
+                    has_aux=True)(params, batch, key)
                 if explicit_pmean:
                     grads = jax.lax.pmean(grads, mesh_mod.DATA_AXIS)
                     metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
@@ -271,7 +275,10 @@ class Trainer:
         for batch in self.dataset.batches("train", epoch=self.epoch):
             self.rng, key = jax.random.split(self.rng)
             dev_batch = self._put_batch(batch)
-            self.params, self.opt_state, metrics = self._train_step(
+            log_step = (self.step + 1) % cfg.log_every_steps == 0
+            step_fn = (self._train_step_detailed if log_step
+                       else self._train_step)
+            self.params, self.opt_state, metrics = step_fn(
                 self.params, self.opt_state, dev_batch, key)
             self.step += 1
             if cfg.fault_inject_step == self.step:

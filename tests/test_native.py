@@ -1,0 +1,80 @@
+"""Native C++ ingest fast path (native/midi_fast.cpp): bit-exact parity with
+the pure-Python MIDI+quantize layer, and a corpus-scale speed sanity check."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from multinn_tpu.data import midi, native, pianoroll as pr
+from multinn_tpu.data.datasets import DataConfig, load_midi_dir, \
+    synthetic_corpus
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not buildable (no g++)")
+
+
+def synth_midi_files(tmp_path, n=4, n_tracks=5):
+    cfg = DataConfig.from_preset("lpd5" if n_tracks == 5 else "jsb",
+                                 synthetic_songs=n, synthetic_steps=128)
+    spec = cfg.spec()
+    paths = []
+    for i, roll in enumerate(synthetic_corpus(cfg)):
+        p = str(tmp_path / f"s{i}.mid")
+        midi.save(pr.roll_to_midi(roll, spec), p)
+        paths.append(p)
+    return paths, spec
+
+
+def test_parse_parity(tmp_path):
+    paths, spec = synth_midi_files(tmp_path)
+    for p in paths:
+        m = midi.load(p)
+        notes, tpqn, tempo = native.parse_bytes(open(p, "rb").read())
+        assert tpqn == m.ticks_per_quarter
+        assert tempo == m.tempo_us_per_quarter
+        py_notes = sorted(
+            (n.start, n.end, n.pitch, ins.program, int(ins.is_drum))
+            for ins in m.instruments for n in ins.notes)
+        nat_notes = sorted(
+            (int(r["start_tick"]), int(r["end_tick"]), int(r["pitch"]),
+             int(r["program"]), int(r["is_drum"])) for r in notes)
+        assert py_notes == nat_notes
+
+
+def test_roll_parity_bit_exact(tmp_path):
+    paths, spec = synth_midi_files(tmp_path)
+    for p in paths:
+        py_roll = pr.midi_to_roll(midi.load(p), spec)
+        nat_roll = native.midi_file_to_roll(p, spec)
+        np.testing.assert_array_equal(py_roll, nat_roll)
+
+
+def test_load_midi_dir_uses_native(tmp_path):
+    synth_midi_files(tmp_path)
+    spec = DataConfig.from_preset("lpd5").spec()
+    r_native = load_midi_dir(str(tmp_path), spec, use_native=True)
+    r_python = load_midi_dir(str(tmp_path), spec, use_native=False)
+    assert len(r_native) == len(r_python) == 4
+    for a, b in zip(r_native, r_python):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_speedup(tmp_path):
+    """Corpus-scale sanity: native ingest must beat pure Python clearly."""
+    paths, spec = synth_midi_files(tmp_path, n=12)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        load_midi_dir(str(tmp_path), spec, use_native=False)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        load_midi_dir(str(tmp_path), spec, use_native=True)
+    t_nat = time.perf_counter() - t0
+    assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_native_rejects_garbage():
+    with pytest.raises(ValueError):
+        native.parse_bytes(b"not a midi file at all")

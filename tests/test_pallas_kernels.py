@@ -154,3 +154,33 @@ def test_dispatch_auto_uses_xla_on_cpu():
     xs = nade_ops.nade_sample(jax.random.PRNGKey(3), np_.w, np_.v, np_.bv,
                               np_.bh, batch_shape=(4,), impl="auto")
     assert xs.shape == (4, 8)
+
+
+def test_gibbs_kernel_safe_under_grad():
+    """The kernel must be usable inside value_and_grad (zero-tangent JVP):
+    the CD-style loss around it gets correct bias gradients."""
+    d, h = 12, 8
+    p = rbm_nn.init(jax.random.PRNGKey(1), d, h, w_std=0.3)
+    v0 = jnp.ones((16, d))
+
+    def loss(bv):
+        vk = jax.lax.stop_gradient(gibbs_pallas.gibbs_chain(
+            jax.random.PRNGKey(0), v0, p.w, bv, p.bh, k=1, interpret=True))
+        return jnp.mean(rbm_nn.free_energy(v0, p.w, bv, p.bh)
+                        - rbm_nn.free_energy(vk, p.w, bv, p.bh))
+
+    g = jax.grad(loss)(p.bv)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.all(np.asarray(g) < 0)      # data all-ones pushes bv up
+
+
+def test_nade_kernel_safe_under_grad():
+    p = nade_nn.init(jax.random.PRNGKey(0), 8, 6, w_std=0.3)
+
+    def f(bv):
+        xs = nade_pallas.sample(jax.random.PRNGKey(1), p.w, p.v, bv, p.bh,
+                                batch_shape=(4,), interpret=True)
+        return jnp.sum(xs * bv)           # grads flow to bv only directly
+
+    g = jax.grad(f)(p.bv)
+    assert np.all(np.isfinite(np.asarray(g)))
