@@ -73,13 +73,16 @@ def bench():
     p, s, loss = train_step(p, s, k)
     jax.block_until_ready(loss)
     compile_train = time.time() - t0
-    times = []
-    for i in range(20):
-        t0 = time.time()
+    # Chained (non-blocking) measurement: the training loop dispatches steps
+    # asynchronously (data-dependent on donated params), so per-step blocking
+    # would measure this environment's ~20 ms host<->TPU tunnel round-trip,
+    # not device time. Block once after N steps.
+    n_iter = 30
+    t0 = time.time()
+    for i in range(n_iter):
         p, s, loss = train_step(p, s, jax.random.fold_in(k, i))
-        jax.block_until_ready(loss)
-        times.append(time.time() - t0)
-    step_s = sorted(times)[len(times) // 2]
+    jax.block_until_ready(loss)
+    step_s = (time.time() - t0) / n_iter
     train_steps_per_sec = (B * T) / step_s          # pianoroll steps/sec/chip
 
     # ---- 2) 64-bar 5-track generation latency ----------------------------
@@ -93,17 +96,24 @@ def bench():
     res = timeit(gen, jax.random.PRNGKey(4), iters=5, warmup=1)
     gen_latency = res["min_s"]
 
-    # ---- 3) Gibbs sweeps/s ------------------------------------------------
+    # ---- 3) Gibbs sweeps/s (in-program amortized: scan of chains) ---------
     D, H, BB, K_SWEEPS = 84, 150, 4096, 25
     w = 0.01 * jax.random.normal(jax.random.PRNGKey(5), (D, H))
     bv = jnp.zeros((D,))
     bh = jnp.zeros((H,))
     v0 = jax.random.bernoulli(jax.random.PRNGKey(6), 0.1, (BB, D)
                               ).astype(jnp.float32)
-    chain = jax.jit(lambda kk: rbm_nn.gibbs_chain(kk, v0, w, bv, bh,
-                                                  k=K_SWEEPS))
-    res_g = timeit(chain, jax.random.PRNGKey(7), iters=10, warmup=2)
-    gibbs_sweeps_per_sec = K_SWEEPS * BB / res_g["min_s"]
+    n_chains = 40
+
+    def many(kk):
+        def body(v, k1):
+            return rbm_nn.gibbs_chain(k1, v, w, bv, bh, k=K_SWEEPS), None
+        v, _ = jax.lax.scan(body, v0, jax.random.split(kk, n_chains))
+        return v
+
+    chain = jax.jit(many)
+    res_g = timeit(chain, jax.random.PRNGKey(7), iters=5, warmup=2)
+    gibbs_sweeps_per_sec = n_chains * K_SWEEPS * BB / res_g["min_s"]
 
     return {
         "metric": "gen_latency_64bar_5track",

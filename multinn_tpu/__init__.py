@@ -17,3 +17,32 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Public API surface (B:5: model / trainer / generator). Lazy so that
+# importing the package does not initialize a JAX backend prematurely.
+_EXPORTS = {
+    "MultINNConfig": ("multinn_tpu.models.multinn", "MultINNConfig"),
+    "MultINNParams": ("multinn_tpu.models.multinn", "MultINNParams"),
+    "multinn": ("multinn_tpu.models", "multinn"),
+    "Trainer": ("multinn_tpu.training.trainer", "Trainer"),
+    "Generator": ("multinn_tpu.training.generator", "Generator"),
+    "Dataset": ("multinn_tpu.data.datasets", "Dataset"),
+    "DataConfig": ("multinn_tpu.data.datasets", "DataConfig"),
+    "ExperimentConfig": ("multinn_tpu.utils.config", "ExperimentConfig"),
+    "TrainConfig": ("multinn_tpu.utils.config", "TrainConfig"),
+    "GenerateConfig": ("multinn_tpu.utils.config", "GenerateConfig"),
+    "MeshConfig": ("multinn_tpu.parallel.mesh", "MeshConfig"),
+    "load_config": ("multinn_tpu.utils.config", "load_json"),
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+        module, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'multinn_tpu' has no attribute '{name}'")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))

@@ -32,11 +32,19 @@ def _pallas_supported(v0, w) -> bool:
 
 def gibbs_chain(key: jax.Array, v0: jax.Array, w, bv, bh, k: int,
                 impl: str = "auto") -> jax.Array:
-    """k-sweep block Gibbs from v0. v0: (..., D); biases broadcastable."""
+    """k-sweep block Gibbs from v0. v0: (..., D); biases broadcastable.
+
+    impl='auto' picks the Pallas kernel on TPU (override with env
+    MULTINN_GIBBS_IMPL=xla|pallas — perf A/B knob)."""
     if impl == "auto":
-        use_pallas = (jax.default_backend() == "tpu"
-                      and _pallas_supported(v0, w))
-        impl = "pallas" if use_pallas else "xla"
+        import os
+        forced = os.environ.get("MULTINN_GIBBS_IMPL")
+        if forced:
+            impl = forced
+        else:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and _pallas_supported(v0, w))
+            impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         from multinn_tpu.ops import gibbs_pallas
         return gibbs_pallas.gibbs_chain(key, v0, w, bv, bh, k)

@@ -55,6 +55,24 @@ class MeshConfig:
         return n_devices // self.track
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (SURVEY §5.8): call once per process BEFORE
+    make_mesh on multi-host pods; after this, ``jax.devices()`` spans the
+    slice and the (data, track) mesh lays out over ICI within a slice and DCN
+    across slices (XLA places the collectives — no transport code here).
+    Arguments default to TPU auto-detection (GCE metadata / megascale env).
+    JAX/TPU jobs are gang-scheduled; there is no elastic membership (§5.3) —
+    recovery is checkpoint-resume."""
+    import jax
+    kwargs = {}
+    if coordinator is not None:
+        kwargs.update(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(cfg: MeshConfig,
               devices: Optional[list] = None) -> Optional[Mesh]:
     if not cfg.use_mesh:

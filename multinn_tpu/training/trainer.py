@@ -267,6 +267,28 @@ class Trainer:
     # loops
     # ------------------------------------------------------------------
 
+    def profile_steps(self, n_steps: int) -> str:
+        """Capture a device trace of n warmed-up train steps into
+        <run_dir>/trace (TensorBoard / Perfetto — SURVEY §5.1)."""
+        trace_dir = os.path.join(self.cfg.train.run_dir, "trace")
+        batch = next(iter(self.dataset.batches("train", epoch=0)))
+        dev_batch = self._put_batch(batch)
+        params, opt_state = self.params, self.opt_state
+        # warm the compile outside the trace
+        params, opt_state, m = self._train_step(
+            params, opt_state, dev_batch, jax.random.PRNGKey(0))
+        jax.block_until_ready(m["loss"])
+        with profiling.device_trace(trace_dir):
+            for i in range(n_steps):
+                params, opt_state, m = self._train_step(
+                    params, opt_state, dev_batch, jax.random.PRNGKey(i + 1))
+            jax.block_until_ready(m["loss"])
+        self.log.info("wrote device trace of %d steps to %s",
+                      n_steps, trace_dir)
+        # donated buffers: keep the advanced state
+        self.params, self.opt_state = params, opt_state
+        return trace_dir
+
     def train_epoch(self) -> Dict[str, float]:
         cfg = self.cfg.train
         timer = profiling.StepTimer()

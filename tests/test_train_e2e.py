@@ -147,3 +147,14 @@ def test_config_json_roundtrip_and_overrides(tmp_path):
 def test_unknown_config_key_rejected():
     with pytest.raises(ValueError, match="unknown config keys"):
         cfg_mod.from_dict(cfg_mod.TrainConfig, {"typo_key": 1})
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    """§5.1: the device-trace capture path produces a TensorBoard/Perfetto
+    trace directory."""
+    cfg = tiny_cfg(tmp_path, name="prof")
+    trainer = Trainer(cfg)
+    trace_dir = trainer.profile_steps(2)
+    assert os.path.isdir(trace_dir)
+    assert any(os.scandir(trace_dir)), "trace dir is empty"
+    trainer.close()

@@ -24,6 +24,10 @@ def parse_args(argv=None):
                                     "no --config is given")
     p.add_argument("--no-resume", action="store_true",
                    help="do not auto-resume from run_dir checkpoints")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler device trace of the first N "
+                        "steps of epoch 0 into <run_dir>/trace "
+                        "(TensorBoard/Perfetto; SURVEY §5.1)")
     return p.parse_known_args(argv)
 
 
@@ -59,6 +63,8 @@ def main(argv=None) -> int:
     trainer = Trainer(cfg)
     if not args.no_resume:
         trainer.maybe_resume()
+    if args.profile_steps:
+        trainer.profile_steps(args.profile_steps)
     final = trainer.train()
     trainer.log.info("done: %s", {k: round(v, 4) for k, v in final.items()
                                   if isinstance(v, float)})
