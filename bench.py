@@ -73,14 +73,30 @@ def bench():
     p, s, loss = train_step(p, s, k)
     jax.block_until_ready(loss)
     compile_train = time.time() - t0
-    # Chained (non-blocking) measurement: the training loop dispatches steps
-    # asynchronously (data-dependent on donated params), so per-step blocking
-    # would measure this environment's ~20 ms host<->TPU tunnel round-trip,
-    # not device time. Block once after N steps.
-    n_iter = 30
+    # In-program measurement (lax.scan of N optimizer steps — what the
+    # Trainer runs with steps_per_call>1): per-EXECUTE host overhead on this
+    # tunneled TPU is ~30 ms, 20x the actual device step time, so the fused
+    # multi-step program is both the honest device number and the real
+    # production configuration.
+    n_iter = 20
+
+    @jax.jit
+    def train_many(p, s, key):
+        def body(carry, kk):
+            p, s = carry
+            (l, _), g = jax.value_and_grad(
+                lambda q: multinn.loss(q, kk, x, detailed=False),
+                has_aux=True)(p)
+            u2, s = opt.update(g, s)
+            return (optax.apply_updates(p, u2), s), l
+        (p, s), ls = jax.lax.scan(body, (p, s),
+                                  jax.random.split(key, n_iter))
+        return p, s, ls[-1]
+
+    p, s, loss = train_many(p, s, k)
+    jax.block_until_ready(loss)                      # compile
     t0 = time.time()
-    for i in range(n_iter):
-        p, s, loss = train_step(p, s, jax.random.fold_in(k, i))
+    p, s, loss = train_many(p, s, jax.random.fold_in(k, 1))
     jax.block_until_ready(loss)
     step_s = (time.time() - t0) / n_iter
     train_steps_per_sec = (B * T) / step_s          # pianoroll steps/sec/chip

@@ -241,12 +241,11 @@ class Dataset:
             return np.concatenate(ws)
 
         if presplit is not None:
-            self.windows = {
-                {"valid": "valid"}.get(k, k): windows_of(v)
-                for k, v in presplit.items()}
-            self.windows.setdefault(
-                "valid", self.windows.get("test",
-                                          windows_of([])))
+            # corpus pickles carry their own canonical split — respect it
+            self.windows = {k: windows_of(v) for k, v in presplit.items()}
+            self.windows.setdefault("valid",
+                                    self.windows.get("test", windows_of([])))
+            self.windows.setdefault("test", self.windows["valid"])
         else:
             if not rolls:
                 raise ValueError(

@@ -286,9 +286,27 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState
 
 
 def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
-             n_steps: int) -> Tuple[MultINNState, jax.Array]:
-    """Autoregressive multi-track generation as ONE lax.scan program.
-    Returns (state, pianoroll (B, n_steps, K, D))."""
+             n_steps: int, fused: Optional[bool] = None
+             ) -> Tuple[MultINNState, jax.Array]:
+    """Autoregressive multi-track generation as ONE device program.
+    Returns (state, pianoroll (B, n_steps, K, D)).
+
+    ``fused`` selects the whole-generation Pallas kernel
+    (ops/gen_fused.py: the full T-step loop incl. Gibbs chains, feedback
+    context and LSTM advance in one kernel, state resident in VMEM).
+    None = auto: fused on TPU when the config qualifies (rnn-rbm, batch 1,
+    pass encoder, 1-layer LSTM). Both paths sample the same distribution;
+    RNG streams differ (ops/sampling.py contract)."""
+    cfg = params.cfg
+    batch = (state.decoder.v_prev.shape[1] if cfg.mode != "joint"
+             else state.decoder.v_prev.shape[0])
+    if fused is None:
+        from multinn_tpu.ops import gen_fused
+        fused = (jax.default_backend() == "tpu"
+                 and gen_fused.supported(cfg, batch))
+    if fused:
+        return _generate_fused(params, key, state, n_steps)
+
     keys = jax.random.split(key, n_steps)
 
     def body(st, kk):
@@ -296,3 +314,27 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
 
     final, frames = jax.lax.scan(body, state, keys)      # (T, B, K, D)
     return final, jnp.moveaxis(frames, 0, 1)
+
+
+def _generate_fused(params: MultINNParams, key: jax.Array,
+                    state: MultINNState, n_steps: int,
+                    interpret: bool = False
+                    ) -> Tuple[MultINNState, jax.Array]:
+    """Dispatch to the whole-generation fused kernel (see ops/gen_fused.py)
+    and rebuild the MultINNState contract from the kernel outputs."""
+    from multinn_tpu.models import rnn_rbm
+    from multinn_tpu.nn import rnn as rnn_nn
+    from multinn_tpu.ops import gen_fused
+    cfg = params.cfg
+    cell0 = state.decoder.cell[0]                        # stacked LSTMState
+    roll, h_f, c_f = gen_fused.generate_rbm(
+        key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
+        n_steps, cfg.gen_k, interpret=interpret)         # roll (T, K, D)
+    v_last = roll[-1][:, None, :]                        # (K, 1, D)
+    new_dec = rnn_rbm.State(
+        cell=(rnn_nn.LSTMState(h=h_f, c=c_f),), v_prev=v_last)
+    ctx = None
+    if cfg.mode == "feedback":
+        k, _, dd = v_last.shape
+        ctx = jnp.moveaxis(v_last, 0, 1).reshape(1, k * dd)
+    return MultINNState(decoder=new_dec, ctx=ctx), roll[None]   # (1,T,K,D)

@@ -144,11 +144,16 @@ def multinn_param_shardings(params, mesh: Mesh, track_sharded: bool):
         decoder=shard_subtree(params.decoder, dec_stacked))
 
 
-def batch_sharding(mesh: Mesh, track_sharded: bool) -> NamedSharding:
-    """(B, T, K, D) pianoroll batches: B over data, K over track."""
+def batch_sharding(mesh: Mesh, track_sharded: bool,
+                   stacked: bool = False) -> NamedSharding:
+    """(B, T, K, D) pianoroll batches: B over data, K over track.
+    ``stacked`` handles (N, B, T, K, D) multi-step super-batches (leading
+    steps axis unsharded)."""
+    lead = (None,) if stacked else ()
     if track_sharded:
-        return NamedSharding(mesh, P(DATA_AXIS, None, TRACK_AXIS, None))
-    return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P(*lead, DATA_AXIS, None, TRACK_AXIS,
+                                     None))
+    return NamedSharding(mesh, P(*lead, DATA_AXIS))
 
 
 def put_multinn_sharded(params, mesh: Optional[Mesh],

@@ -24,8 +24,16 @@ class Generator:
     """Public generator API (B:5). Shares the trainer's checkpoint artifact:
     construct with params restored by ``Trainer.restore`` or fresh ones."""
 
-    def __init__(self, cfg, params: multinn.MultINNParams):
+    def __init__(self, cfg, params: multinn.MultINNParams, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — generation batch-shards
+        over the ``data`` axis (params replicated; XLA partitions the scan).
+        Sampling is per-sequence independent, so this is embarrassingly
+        parallel across chips."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from multinn_tpu.parallel import mesh as mesh_mod
+            params = mesh_mod.put_replicated(params, mesh)
         self.params = params
 
         def _impl(params, key, seed, n_steps: int, batch: int):
@@ -39,6 +47,11 @@ class Generator:
         self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch"))
 
     def _generate_impl(self, key, seed, n_steps: int, batch: int):
+        if self.mesh is not None and seed is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from multinn_tpu.parallel.mesh import DATA_AXIS
+            seed = jax.device_put(
+                seed, NamedSharding(self.mesh, P(DATA_AXIS)))
         return self._jit_impl(self.params, key, seed, n_steps, batch)
 
     def generate(self, key: jax.Array, n_steps: int,

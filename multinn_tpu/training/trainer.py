@@ -97,6 +97,8 @@ class Trainer:
         # logging steps (both warm the same compile-service session)
         self._train_step = self._build_train_step(detailed=False)
         self._train_step_detailed = self._build_train_step(detailed=True)
+        self._train_multi = (self._build_multi_step()
+                             if cfg.train.steps_per_call > 1 else None)
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------
@@ -142,6 +144,33 @@ class Trainer:
             check_vma=False)
         return jax.jit(mapped, donate_argnums=(0, 1))
 
+    def _build_multi_step(self):
+        """N optimizer steps fused into one device program: lax.scan over a
+        stacked (N, B, T, K, D) super-batch. Removes the per-dispatch host
+        overhead that dominates single-step execution on tunneled TPUs (the
+        in-program step is ~20x faster than a per-step host loop here)."""
+        opt = self.optimizer
+
+        def multi_fn(params, opt_state, batches, key):
+            n = batches.shape[0]
+
+            def body(carry, inp):
+                p, s = carry
+                batch, k = inp
+                (loss, _), grads = jax.value_and_grad(
+                    lambda q, b, kk: self._loss_fn(q, b, kk, False),
+                    has_aux=True)(p, batch, k)
+                updates, s = opt.update(grads, s, p)
+                return (optax.apply_updates(p, updates), s), loss
+
+            keys = jax.random.split(key, n)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (batches, keys))
+            return params, opt_state, {"loss": losses[-1],
+                                       "loss_mean": jnp.mean(losses)}
+
+        return jax.jit(multi_fn, donate_argnums=(0, 1))
+
     def _build_eval_step(self):
         explicit_pmean = self.mesh is not None and not self._gspmd
 
@@ -172,7 +201,8 @@ class Trainer:
     def _put_batch(self, batch_u8: np.ndarray) -> jax.Array:
         if self._gspmd:
             return jax.device_put(batch_u8, mesh_mod.batch_sharding(
-                self.mesh, self.track_sharded))
+                self.mesh, self.track_sharded,
+                stacked=(batch_u8.ndim == 5)))
         if self.mesh is not None:
             return mesh_mod.put_data_sharded(batch_u8, self.mesh)
         return jnp.asarray(batch_u8)
@@ -289,34 +319,72 @@ class Trainer:
         self.params, self.opt_state = params, opt_state
         return trace_dir
 
+    def _post_step(self, metrics, timer, n_steps: int) -> Dict[str, Any]:
+        cfg = self.cfg.train
+        prev = self.step
+        self.step += n_steps
+        out: Dict[str, Any] = {}
+        if (cfg.fault_inject_step > 0
+                and prev < cfg.fault_inject_step <= self.step):
+            raise FaultInjected(f"fault injected at step {self.step}")
+        if prev // cfg.log_every_steps != self.step // cfg.log_every_steps:
+            metrics = jax.device_get(metrics)
+            metrics["steps_per_sec"] = n_steps / max(timer.mean, 1e-9)
+            self.metrics_log.log(self.step, metrics, "train")
+            self.log.info("step %d %s", self.step,
+                          format_metrics(metrics,
+                                         ("loss", "f1", "grad_norm",
+                                          "steps_per_sec")))
+            out = metrics
+        if cfg.ckpt_every_steps and (
+                prev // cfg.ckpt_every_steps
+                != self.step // cfg.ckpt_every_steps):
+            self.save_checkpoint()
+        timer.lap(jax.tree.leaves(metrics)[0])
+        return out
+
     def train_epoch(self) -> Dict[str, float]:
         cfg = self.cfg.train
         timer = profiling.StepTimer()
         timer.start()
         last_metrics: Dict[str, Any] = {}
+        spc = max(cfg.steps_per_call, 1)
+        pending: list = []
+
+        def flush_pending():
+            nonlocal last_metrics
+            while pending:
+                batch = pending.pop(0)
+                self.rng, key = jax.random.split(self.rng)
+                log_step = ((self.step + 1) % cfg.log_every_steps == 0)
+                step_fn = (self._train_step_detailed if log_step
+                           else self._train_step)
+                self.params, self.opt_state, metrics = step_fn(
+                    self.params, self.opt_state, self._put_batch(batch), key)
+                m = self._post_step(metrics, timer, 1)
+                if m:
+                    last_metrics = m
+
+        # if a fault is scheduled, run single-step so it fires at the exact
+        # step (§5.3 CI contract); otherwise fuse spc steps per dispatch
+        fuse = self._train_multi is not None and cfg.fault_inject_step <= 0
         for batch in self.dataset.batches("train", epoch=self.epoch):
-            self.rng, key = jax.random.split(self.rng)
-            dev_batch = self._put_batch(batch)
-            log_step = (self.step + 1) % cfg.log_every_steps == 0
-            step_fn = (self._train_step_detailed if log_step
-                       else self._train_step)
-            self.params, self.opt_state, metrics = step_fn(
-                self.params, self.opt_state, dev_batch, key)
-            self.step += 1
-            if cfg.fault_inject_step == self.step:
-                raise FaultInjected(f"fault injected at step {self.step}")
-            if self.step % cfg.log_every_steps == 0:
-                metrics = jax.device_get(metrics)
-                metrics["steps_per_sec"] = 1.0 / max(timer.mean, 1e-9)
-                self.metrics_log.log(self.step, metrics, "train")
-                self.log.info("step %d %s", self.step,
-                              format_metrics(metrics,
-                                             ("loss", "f1", "grad_norm",
-                                              "steps_per_sec")))
-                last_metrics = metrics
-            if cfg.ckpt_every_steps and self.step % cfg.ckpt_every_steps == 0:
-                self.save_checkpoint()
-            timer.lap(jax.tree.leaves(metrics)[0])
+            if not fuse:
+                pending.append(batch)
+                flush_pending()
+                continue
+            pending.append(batch)
+            if len(pending) == spc:
+                stacked = np.stack(pending)
+                pending.clear()
+                self.rng, key = jax.random.split(self.rng)
+                self.params, self.opt_state, metrics = self._train_multi(
+                    self.params, self.opt_state,
+                    self._put_batch(stacked), key)
+                m = self._post_step(metrics, timer, spc)
+                if m:
+                    last_metrics = m
+        flush_pending()                      # leftover < spc: single steps
         return last_metrics
 
     def evaluate(self, split: str = "valid") -> Dict[str, float]:

@@ -26,6 +26,9 @@ class TrainConfig:
     grad_clip: float = 5.0             # global-norm clip; 0 disables
     weight_decay: float = 0.0
     seed: int = 42
+    steps_per_call: int = 1            # optimizer steps fused into ONE device
+    # program (lax.scan over stacked batches): amortizes per-dispatch host
+    # overhead (~30 ms/exec on tunneled TPU vs ~2 ms device time per step)
     eval_every_epochs: int = 1
     log_every_steps: int = 50
     ckpt_every_steps: int = 500
@@ -67,6 +70,11 @@ class ExperimentConfig:
             raise ValueError(
                 f"model.n_pitches={self.model.n_pitches} != data pitch range "
                 f"{self.data.n_pitches}")
+        if (self.train.steps_per_call > 1 and self.mesh.use_mesh
+                and self.mesh.style == "shard_map"):
+            raise ValueError(
+                "steps_per_call>1 requires mesh.style=gspmd (the shard_map "
+                "path has no multi-step program)")
         if self.mesh.use_mesh and self.mesh.track > 1:
             if self.mesh.style != "gspmd":
                 raise ValueError("track sharding requires mesh.style=gspmd")

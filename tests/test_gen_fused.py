@@ -1,0 +1,93 @@
+"""Whole-generation fused kernel (ops/gen_fused.py) vs the lax.scan path:
+interpret-mode equivalence at the distribution level, state-contract parity,
+and dispatch gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multinn_tpu.models import multinn
+from multinn_tpu.models.multinn import MultINNConfig
+from multinn_tpu.ops import gen_fused
+
+K, D, H, U = 3, 16, 12, 10
+
+
+def cfg_for(mode="feedback", **kw):
+    base = dict(n_tracks=K, n_pitches=D, mode=mode, decoder_type="rnn-rbm",
+                n_hidden=H, n_rnn=U, cd_k=1, gen_k=3, w_std=0.2)
+    base.update(kw)
+    return MultINNConfig(**base)
+
+
+@pytest.mark.parametrize("mode", ["feedback", "per-track"])
+def test_fused_matches_scan_distribution(mode):
+    """Same trained params, same seed count: fused and scan paths must agree
+    in shape/binarity and in mean activation (different RNG streams, same
+    distribution — strong-bias regions must agree tightly)."""
+    cfg = cfg_for(mode)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    # push biases so the marginal distribution has structure
+    dec = params.decoder
+    bv = dec.bv + jnp.linspace(-2.0, 2.0, D)[None, :]
+    params = params.replace(decoder=dec.replace(bv=bv))
+
+    st = multinn.init_state(params, 1)
+    T = 64
+    _, scan_roll = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                    fused=False)
+    st2 = multinn.init_state(params, 1)
+    fin, fused_roll = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    assert fused_roll.shape == scan_roll.shape == (1, T, K, D)
+    assert set(np.unique(np.asarray(fused_roll))) <= {0.0, 1.0}
+    # per-dim mean activation across time must match between impls
+    m_scan = np.asarray(scan_roll.mean(axis=(0, 1, 2)))
+    m_fused = np.asarray(fused_roll.mean(axis=(0, 1, 2)))
+    np.testing.assert_allclose(m_fused, m_scan, atol=0.12)
+    # state contract: final v_prev equals last emitted frame
+    np.testing.assert_array_equal(
+        np.asarray(fin.decoder.v_prev[:, 0, :]),
+        np.asarray(fused_roll[0, -1]))
+    if mode == "feedback":
+        assert fin.ctx.shape == (1, K * D)
+
+
+def test_fused_determinism_and_seed_sensitivity():
+    cfg = cfg_for()
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    st = multinn.init_state(params, 1)
+    _, r1 = multinn._generate_fused(params, jax.random.PRNGKey(7), st, 8,
+                                    interpret=True)
+    _, r2 = multinn._generate_fused(params, jax.random.PRNGKey(7), st, 8,
+                                    interpret=True)
+    _, r3 = multinn._generate_fused(params, jax.random.PRNGKey(8), st, 8,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    assert not np.array_equal(np.asarray(r1), np.asarray(r3))
+
+
+def test_fused_priming_carries_state():
+    """Priming on opposite seeds must change the fused continuation."""
+    cfg = cfg_for()
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    seed_a = jnp.zeros((1, 6, K, D)).at[:, :, :, ::2].set(1.0)
+    seed_b = 1.0 - seed_a
+    st_a = multinn.prime(params, multinn.init_state(params, 1), seed_a)
+    st_b = multinn.prime(params, multinn.init_state(params, 1), seed_b)
+    _, ra = multinn._generate_fused(params, jax.random.PRNGKey(1), st_a, 8,
+                                    interpret=True)
+    _, rb = multinn._generate_fused(params, jax.random.PRNGKey(1), st_b, 8,
+                                    interpret=True)
+    assert not np.array_equal(np.asarray(ra), np.asarray(rb))
+
+
+def test_supported_gating():
+    assert gen_fused.supported(cfg_for(), 1)
+    assert not gen_fused.supported(cfg_for(), 2)                 # batch>1
+    assert not gen_fused.supported(cfg_for(decoder_type="rnn-nade"), 1)
+    assert not gen_fused.supported(cfg_for(encoder_hidden=(8,)), 1)
+    assert not gen_fused.supported(cfg_for(rnn_layers=2), 1)
+    assert not gen_fused.supported(cfg_for(mode="joint"), 1)
+    assert not gen_fused.supported(cfg_for(cell="vanilla"), 1)

@@ -134,3 +134,21 @@ def test_invalid_mesh_configs(tmp_path):
                                      style="shard_map"))
     with pytest.raises(ValueError, match="joint"):
         exp_cfg(tmp_path, MeshConfig(use_mesh=True, track=2), mode="joint")
+
+
+def test_mesh_sharded_generation_matches_single_device(tmp_path):
+    """Generation batch-sharded over the data axis must equal single-device
+    generation bit-for-bit (same keys, GSPMD is semantics-preserving)."""
+    from multinn_tpu.training.generator import Generator
+    cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=False), name="gen_s")
+    t = Trainer(cfg)
+    seed = t.dataset.seed_windows("valid", n=8)
+
+    gen_single = Generator(cfg, t.params)
+    r1 = gen_single.generate(jax.random.PRNGKey(5), n_steps=6, seed=seed)
+
+    mesh = mesh_mod.make_mesh(MeshConfig(use_mesh=True))
+    gen_mesh = Generator(cfg, t.params, mesh=mesh)
+    r2 = gen_mesh.generate(jax.random.PRNGKey(5), n_steps=6, seed=seed)
+    np.testing.assert_array_equal(r1, r2)
+    t.close()

@@ -158,3 +158,65 @@ def test_profile_steps_writes_trace(tmp_path):
     assert os.path.isdir(trace_dir)
     assert any(os.scandir(trace_dir)), "trace dir is empty"
     trainer.close()
+
+
+def test_early_stopping(tmp_path):
+    """Early stop fires after `patience` non-improving validation epochs."""
+    cfg = tiny_cfg(tmp_path, name="es", epochs=50, early_stop_patience=2,
+                   lr=0.0)     # lr=0 -> valid loss never improves
+    trainer = Trainer(cfg)
+    trainer.train()
+    # epoch 1 sets best; epochs 2 and 3 don't improve -> stop at epoch 3
+    assert trainer.epoch <= 4, trainer.epoch
+    trainer.close()
+
+
+def test_steps_per_call_multi_step_training(tmp_path):
+    """Fused multi-step programs (steps_per_call>1) must train equivalently:
+    same number of optimizer steps per epoch, loss decreases, and metrics
+    ledger still gets entries."""
+    cfg1 = tiny_cfg(tmp_path, name="spc1", epochs=2)
+    cfg4 = tiny_cfg(tmp_path, name="spc4", epochs=2, steps_per_call=4,
+                    log_every_steps=4)
+    t1, t4 = Trainer(cfg1), Trainer(cfg4)
+    t1.train()
+    t4.train()
+    assert t1.step == t4.step, (t1.step, t4.step)
+    ev1, ev4 = t1.evaluate("valid"), t4.evaluate("valid")
+    assert np.isfinite(ev4["loss"])
+    # both should have learned about equally (same data order, same steps)
+    assert abs(ev1["loss"] - ev4["loss"]) < 0.5 * abs(ev1["loss"])
+    t1.close()
+    t4.close()
+
+
+def test_steps_per_call_with_mesh(tmp_path):
+    """Multi-step fused program under a GSPMD data-parallel mesh."""
+    from multinn_tpu.parallel.mesh import MeshConfig
+    data = DataConfig.from_preset("synthetic", n_tracks=2, pitch_min=40,
+                                  pitch_max=63, window=8, batch_size=8,
+                                  synthetic_songs=8, synthetic_steps=32)
+    model = MultINNConfig(n_tracks=2, n_pitches=24, mode="per-track",
+                          decoder_type="rnn-nade", n_hidden=8, n_rnn=6,
+                          gen_k=2)
+    cfg = cfg_mod.ExperimentConfig(
+        name="spc_mesh", data=data, model=model,
+        train=cfg_mod.TrainConfig(epochs=1, steps_per_call=2,
+                                  ckpt_every_steps=0,
+                                  run_dir=str(tmp_path / "spc_mesh")),
+        mesh=MeshConfig(use_mesh=True, style="gspmd")).validate()
+    t = Trainer(cfg)
+    t.train()
+    assert np.isfinite(t.evaluate("valid")["loss"])
+    t.close()
+
+
+def test_steps_per_call_rejected_with_shard_map(tmp_path):
+    from multinn_tpu.parallel.mesh import MeshConfig
+    base = tiny_cfg(tmp_path, name="bad")
+    with pytest.raises(ValueError, match="steps_per_call"):
+        cfg_mod.ExperimentConfig(
+            name="bad", data=base.data, model=base.model,
+            train=cfg_mod.TrainConfig(steps_per_call=2,
+                                      run_dir=str(tmp_path / "bad")),
+            mesh=MeshConfig(use_mesh=True, style="shard_map")).validate()
