@@ -303,7 +303,8 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
     if fused is None:
         from multinn_tpu.ops import gen_fused
         fused = (jax.default_backend() == "tpu"
-                 and gen_fused.supported(cfg, batch))
+                 and (gen_fused.supported(cfg, batch)
+                      or gen_fused.supported_nade(cfg, batch)))
     if fused:
         return _generate_fused(params, key, state, n_steps)
 
@@ -322,16 +323,23 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
                     ) -> Tuple[MultINNState, jax.Array]:
     """Dispatch to the whole-generation fused kernel (see ops/gen_fused.py)
     and rebuild the MultINNState contract from the kernel outputs."""
-    from multinn_tpu.models import rnn_rbm
+    from multinn_tpu.models import rnn_nade, rnn_rbm
     from multinn_tpu.nn import rnn as rnn_nn
     from multinn_tpu.ops import gen_fused
     cfg = params.cfg
     cell0 = state.decoder.cell[0]                        # stacked LSTMState
-    roll, h_f, c_f = gen_fused.generate_rbm(
-        key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
-        n_steps, cfg.gen_k, interpret=interpret)         # roll (T, K, D)
+    if cfg.decoder_type == "rnn-nade":
+        roll, h_f, c_f = gen_fused.generate_nade(
+            key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
+            n_steps, interpret=interpret)                # roll (T, K, D)
+        state_cls = rnn_nade.State
+    else:
+        roll, h_f, c_f = gen_fused.generate_rbm(
+            key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
+            n_steps, cfg.gen_k, interpret=interpret)
+        state_cls = rnn_rbm.State
     v_last = roll[-1][:, None, :]                        # (K, 1, D)
-    new_dec = rnn_rbm.State(
+    new_dec = state_cls(
         cell=(rnn_nn.LSTMState(h=h_f, c=c_f),), v_prev=v_last)
     ctx = None
     if cfg.mode == "feedback":

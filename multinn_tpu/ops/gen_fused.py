@@ -193,3 +193,229 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     return (roll.reshape(n_steps, k_tracks, d),
             h_out.reshape(k_tracks, 1, u),
             c_out.reshape(k_tracks, 1, u))
+
+
+# ===========================================================================
+# RNN-NADE whole-generation fused kernel
+# ===========================================================================
+#
+# The NADE per-dimension sweep is restructured so ALL K tracks advance
+# together through the D dims: per-track quantities live in block layouts
+# (running activation a: (1, K*H); per-dim weight rows: (K, K*H) block rows
+# of a dim-major matrix), so each dim costs three small dot_generals for all
+# tracks at once and no transposes/shape-casts ever happen in-kernel:
+#
+#   s     = Vrows_i (K,K*H) · σ(a) (1,K*H)ᵀ            -> (K,1) logits
+#   x_i   = Bernoulli(σ(s + bv_dm rows))                -> (K,1)
+#   a    += x_iᵀ · Wrows_i (K,K*H)                      -> (1,K*H)
+#   z_acc+= x_iᵀ · Mrows_i (K,K*4U)                     -> (1,K*4U)  (LSTM
+#           input projection accumulated during the sweep — the feedback
+#           context never needs materializing)
+#
+# Block matrices are assembled once per call in XLA (wrapper below).
+
+def supported_nade(cfg, batch: int) -> bool:
+    if (batch != 1 or cfg.decoder_type != "rnn-nade"
+            or cfg.encoder_hidden or cfg.cell != "lstm"
+            or cfg.rnn_layers != 1 or cfg.mode == "joint"):
+        return False
+    k, d, h, u = cfg.n_tracks, cfg.n_pitches, cfg.n_hidden, cfg.n_rnn
+    if k > 8:
+        return False                 # dim blocks are stride-8 padded
+    kp = 8
+    vmem = (2 * d * kp * k * (2 * h + 4 * u + u)      # bf16 block matrices
+            + 4 * (k * u * (h + 4 * u))               # compact wuh/wh f32
+            + 4 * 3 * d * kp)                         # bv'/uniform scratches
+    return vmem <= _MAX_VMEM_BYTES
+
+
+_KP = 8   # dim-block row stride: Mosaic requires dynamic sublane offsets to
+          # be provably multiples of 8, so each dim's K track-rows are padded
+          # to 8 (pad rows carry -inf visible bias -> always sample 0 -> their
+          # contributions to every accumulation vanish)
+
+
+def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
+                 wuh_ref, wh_ref, bv_ref, bh_ref, b_ref,
+                 h0_ref, c0_ref, v0_ref,
+                 roll_ref, hout_ref, cout_ref,
+                 h_s, c_s, v_s, bhp_s, bvp_s, u_s, *,
+                 n_steps: int, n_tracks: int, d: int, hid: int, u: int):
+    kseed = seed_ref[0]
+    h_s[:] = h0_ref[:]                    # (1, K*U)
+    c_s[:] = c0_ref[:]
+    v_s[:] = v0_ref[:]                    # (KP, D) (rows >= K are padding;
+    #                                       carried for the state contract)
+    kk = n_tracks
+
+    def step(t, _):
+        h_row = h_s[:]                    # (1, K*U)
+
+        # per-track conditioned biases -> block scratches
+        for k in range(kk):
+            h_k = h_row[:, k * u:(k + 1) * u]                 # (1, U)
+            bhp_s[:, k * hid:(k + 1) * hid] = (
+                bh_ref[k:k + 1, :] + jnp.dot(
+                    h_k, wuh_ref[k * u:(k + 1) * u, :],
+                    preferred_element_type=jnp.float32))
+        # visible biases dim-major: (D*KP, 1) = bv_dm + Wuv_dm · h
+        # (pad rows: bv_dm = -1e9, Wuv_dm = 0 -> stay -1e9)
+        bvp_s[:] = bv_ref[:] + jax.lax.dot_general(
+            wuvdm_ref[:].astype(jnp.float32), h_row,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # all of this step's randomness at once
+        u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, t)
+
+        a0 = bhp_s[:]                     # (1, K*H)
+        zb = jnp.zeros_like(b_ref[:])     # (1, K*4U) input-projection acc
+        vacc0 = jnp.zeros_like(v_s[:])    # (KP, D)
+
+        def dim_body(i, carry):
+            a, z_acc, v_acc = carry
+            base = pl.multiple_of(i * _KP, _KP)
+            h_act = jax.nn.sigmoid(a)                          # (1, K*H)
+            # block matrices are stored bf16 (VMEM budget); compute in f32
+            vrows = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+            # (KP,1)-shaped matmul results are unsupported by Mosaic here;
+            # a VPU broadcast-multiply + lane reduction is equivalent
+            s = jnp.sum(vrows * h_act, axis=1, keepdims=True)  # (KP, 1)
+            p = jax.nn.sigmoid(s + bvp_s[pl.ds(base, _KP), :])
+            x = (u_s[pl.ds(base, _KP), :] < p).astype(jnp.float32)
+            wrows = wdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+            a = a + jax.lax.dot_general(
+                x, wrows, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (1, K*H)
+            mrows = mdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+            z_acc = z_acc + jax.lax.dot_general(
+                x, mrows, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (1, K*4U)
+            col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 1)
+            v_acc = v_acc + x * (col == i).astype(jnp.float32)
+            return (a, z_acc, v_acc)
+
+        _, z_acc, v_new = jax.lax.fori_loop(0, d, dim_body, (a0, zb, vacc0))
+
+        v_s[:] = v_new
+        for k in range(kk):
+            roll_ref[pl.ds(t * kk + k, 1), :] = v_new[k:k + 1, :]
+
+        # LSTM advance: z = z_acc (input projection, incl. feedback ctx)
+        #               + per-track h @ wh + b
+        for k in range(kk):
+            h_k = h_row[:, k * u:(k + 1) * u]
+            z = (z_acc[:, k * 4 * u:(k + 1) * 4 * u]
+                 + jnp.dot(h_k, wh_ref[k * u:(k + 1) * u, :],
+                           preferred_element_type=jnp.float32)
+                 + b_ref[:, k * 4 * u:(k + 1) * 4 * u])        # (1, 4U)
+            i_g = jax.nn.sigmoid(z[:, :u])
+            f_g = jax.nn.sigmoid(z[:, u:2 * u])
+            g_g = jnp.tanh(z[:, 2 * u:3 * u])
+            o_g = jax.nn.sigmoid(z[:, 3 * u:])
+            c_new = f_g * c_s[:, k * u:(k + 1) * u] + i_g * g_g
+            c_s[:, k * u:(k + 1) * u] = c_new
+            h_s[:, k * u:(k + 1) * u] = o_g * jnp.tanh(c_new)
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step, 0)
+    hout_ref[:] = h_s[:]
+    cout_ref[:] = c_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
+                  interpret: bool = False
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused whole-generation for track-stacked rnn_nade.Params (batch 1).
+    h0/c0: (K, 1, U); v0: (K, 1, D).
+    Returns (roll (n_steps, K, D), h_final (K,1,U), c_final (K,1,U))."""
+    lstm = dec_params.cell[0]
+    k, xin_dim, four_u = lstm.wx.shape
+    u = four_u // 4
+    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
+    ctx_dim = xin_dim - d
+    idx = jnp.arange(k)
+    kp = _KP
+
+    def pad_rows(blocks_dkx):
+        """(D, K, X) per-dim track blocks -> (D*KP, X) stride-8-padded bf16
+        (pad rows zero)."""
+        ddim, _, x = blocks_dkx.shape
+        out = jnp.zeros((ddim, kp, x), jnp.bfloat16)
+        out = out.at[:, :k, :].set(blocks_dkx.astype(jnp.bfloat16))
+        return out.reshape(ddim * kp, x)
+
+    def diag_dm(mat_kdh):
+        """(K, D, X) -> padded dim-major block rows (D*KP, K*X)."""
+        ddim, x = mat_kdh.shape[1], mat_kdh.shape[2]
+        out = jnp.zeros((ddim, k, k, x), mat_kdh.dtype)
+        out = out.at[:, idx, idx, :].set(jnp.transpose(mat_kdh, (1, 0, 2)))
+        return pad_rows(out.reshape(ddim, k, k * x))
+
+    w_dm = diag_dm(dec_params.w)                       # (D*KP, K*H) bf16
+    v_dm = diag_dm(dec_params.v)                       # (D*KP, K*H) bf16
+    # LSTM input projection, dim-major over source dims:
+    # row (i*KP + j) holds d z/d v_{j,i} for all target tracks' gates.
+    wx_v = lstm.wx[:, :d, :]                           # (K, D, 4U)
+    if ctx_dim:
+        wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
+        m4 = jnp.transpose(wx_ctx, (2, 1, 0, 3))       # (D, j, k, 4U)
+    else:
+        m4 = jnp.zeros((d, k, k, four_u), lstm.wx.dtype)
+    m4 = m4.at[:, idx, idx, :].add(jnp.transpose(wx_v, (1, 0, 2)))
+    m_dm = pad_rows(m4.reshape(d, k, k * four_u))      # (D*KP, K*4U) bf16
+    # visible-bias conditioning, dim-major rows: row (i*KP + j) = wuv_j[:, i]
+    # placed in lane-block j  ->  (D*KP, K*U)
+    wuv4 = jnp.zeros((d, k, k, u), dec_params.wuv.dtype)
+    wuv4 = wuv4.at[:, idx, idx, :].set(
+        jnp.transpose(dec_params.wuv, (2, 0, 1)))      # (D, K, U)
+    wuv_dm = pad_rows(wuv4.reshape(d, k, k * u))
+    # bv dim-major, pad rows at -1e9 so padded tracks always sample 0
+    bv_full = jnp.full((d, kp), -1e9, jnp.float32)
+    bv_full = bv_full.at[:, :k].set(jnp.transpose(dec_params.bv, (1, 0)))
+    bv_dm = bv_full.reshape(d * kp, 1)
+    v0_pad = jnp.zeros((kp, d), jnp.float32).at[:k].set(v0.reshape(k, d))
+
+    seed = key_to_seed(key).reshape(1)
+    args = (
+        w_dm, v_dm, m_dm, wuv_dm,
+        dec_params.wuh.reshape(k * u, hid),
+        lstm.wh.reshape(k * u, four_u),
+        bv_dm,
+        dec_params.bh,                                 # (K, H)
+        lstm.b.reshape(1, k * four_u),
+        h0.reshape(1, k * u),
+        c0.reshape(1, k * u),
+        v0_pad,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[vmem] * len(args),
+        out_specs=(vmem, vmem, vmem),
+        scratch_shapes=[pltpu.VMEM((1, k * u), jnp.float32),    # h
+                        pltpu.VMEM((1, k * u), jnp.float32),    # c
+                        pltpu.VMEM((kp, d), jnp.float32),       # v
+                        pltpu.VMEM((1, k * hid), jnp.float32),  # bh'
+                        pltpu.VMEM((d * kp, 1), jnp.float32),   # bv'
+                        pltpu.VMEM((d * kp, 1), jnp.float32)],  # uniforms
+    )
+    roll, h_out, c_out = pl.pallas_call(
+        functools.partial(_nade_kernel, n_steps=n_steps, n_tracks=k,
+                          d=d, hid=hid, u=u),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_steps * k, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, k * u), jnp.float32),
+                   jax.ShapeDtypeStruct((1, k * u), jnp.float32)),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_steps * d * k * k * (2 * hid + 4 * u)
+            + 2 * n_steps * k * u * (hid + 4 * u),
+            bytes_accessed=4 * n_steps * (d * k * k * (2 * hid + 4 * u)),
+            transcendentals=n_steps * d * (k * hid + k) + n_steps * 5 * k * u,
+        ),
+    )(seed, *args)
+    return (roll.reshape(n_steps, k, d),
+            h_out.reshape(k, 1, u),
+            c_out.reshape(k, 1, u))
