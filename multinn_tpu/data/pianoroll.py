@@ -12,7 +12,7 @@ Pure numpy host code — it feeds the batcher, which device_puts whole epochs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ so the generator (C14) and the feedback architecture (C12b) can thread it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 

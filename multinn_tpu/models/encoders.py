@@ -28,7 +28,6 @@ import dataclasses
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 
 from multinn_tpu.nn import rbm as rbm_nn
 from multinn_tpu.ops import gibbs as gibbs_ops

@@ -12,7 +12,7 @@ windows (SURVEY §5.7).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

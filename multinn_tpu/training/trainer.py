@@ -15,17 +15,16 @@ index so Gibbs noise decorrelates across shards while staying reproducible.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from multinn_tpu.data.datasets import Dataset
 from multinn_tpu.models import multinn
