@@ -170,12 +170,7 @@ def load_midi_dir(path: str, spec: pr.RollSpec,
     return rolls
 
 
-def load_npz(path: str, spec: pr.RollSpec) -> List[np.ndarray]:
-    data = np.load(path, allow_pickle=True)
-    if "rolls" in data:
-        arrs = list(data["rolls"])
-    else:
-        arrs = [data[k] for k in sorted(data.files)]
+def _check_rolls(arrs, spec: pr.RollSpec) -> List[np.ndarray]:
     out = []
     for a in arrs:
         a = np.asarray(a)
@@ -185,6 +180,24 @@ def load_npz(path: str, spec: pr.RollSpec) -> List[np.ndarray]:
             f"npz roll pitch dim {a.shape[-1]} != spec {spec.n_pitches}"
         out.append((a > 0).astype(np.uint8))
     return out
+
+
+def load_npz(path: str, spec: pr.RollSpec):
+    """Load pianorolls from .npz. Returns either a flat list of rolls (keys
+    'rolls' or arbitrary arrays — gets re-split downstream) or, when the
+    per-split keys written by ``scripts/prepare_dataset.py cache`` are
+    present ('rolls_train' etc.), a {split: [rolls]} dict whose original
+    split assignment is preserved."""
+    data = np.load(path, allow_pickle=True)
+    split_keys = [k for k in data.files if k.startswith("rolls_")]
+    if split_keys:
+        return {k[len("rolls_"):]: _check_rolls(list(data[k]), spec)
+                for k in split_keys}
+    if "rolls" in data:
+        arrs = list(data["rolls"])
+    else:
+        arrs = [data[k] for k in sorted(data.files)]
+    return _check_rolls(arrs, spec)
 
 
 def _tuples_to_roll(seq, spec: pr.RollSpec) -> np.ndarray:
@@ -225,7 +238,12 @@ class Dataset:
         elif cfg.source == "midi_dir":
             rolls = load_midi_dir(cfg.path, spec)
         elif cfg.source == "npz":
-            rolls = load_npz(cfg.path, spec)
+            loaded = load_npz(cfg.path, spec)
+            if isinstance(loaded, dict):        # pre-split cache
+                presplit = loaded
+                rolls = []
+            else:
+                rolls = loaded
         elif cfg.source == "pickle":
             presplit = load_pickle(cfg.path, spec)
             rolls = []
@@ -285,7 +303,10 @@ class Dataset:
                 drop_remainder: bool = True) -> Iterator[np.ndarray]:
         """Yield (batch, window, K, D) uint8 host arrays. Deterministic order
         per (seed, epoch). Short final batch is dropped when training (static
-        shapes — one XLA program per run, SURVEY L0 rules)."""
+        shapes — one XLA program per run, SURVEY L0 rules); with
+        drop_remainder=False the tail is yielded SHORT (never zero-padded —
+        fabricated windows would bias evaluation metrics; the one extra
+        compile for the tail shape is the evaluator's cost to pay)."""
         data = self.windows[split]
         bs = self.cfg.batch_size
         idx = np.arange(len(data))
@@ -296,9 +317,7 @@ class Dataset:
         for i in range(n_full):
             yield data[idx[i * bs:(i + 1) * bs]]
         if not drop_remainder and len(data) % bs:
-            tail = data[idx[n_full * bs:]]
-            pad = np.zeros((bs - len(tail), *tail.shape[1:]), tail.dtype)
-            yield np.concatenate([tail, pad])
+            yield data[idx[n_full * bs:]]
 
     def seed_windows(self, split: str = "valid", n: int = 1) -> np.ndarray:
         """Seed pianorolls for the generator (C14 priming)."""

@@ -6,7 +6,9 @@ a params pytree), with this uniform surface (reference counterpart:
 
     init(key, cfg: DecoderConfig) -> Params
     loss(params, key, x, ctx=None) -> (scalar_loss, metrics: dict)
-        x: (B, T, F) binarized features, teacher-forced.
+        x: (B, T, F) features, teacher-forced — binary pianoroll frames
+           or [0,1] mean-field DBN features (free energy and the NADE
+           likelihood are well-defined on either).
         ctx: optional (B, T, C) extra conditioning (feedback architecture).
     init_state(params, batch_shape) -> State
     prime(params, state, x, ctx=None) -> State        # advance over seed

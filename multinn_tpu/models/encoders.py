@@ -35,11 +35,15 @@ from multinn_tpu.ops import gibbs as gibbs_ops
 
 @dataclasses.dataclass(frozen=True)
 class EncoderConfig:
-    """hidden_sizes=() means pass-through (identity)."""
+    """hidden_sizes=() means pass-through (identity).
+
+    DBN features are mean-field PROBABILITIES (deterministic σ upward pass) —
+    the decoders accept [0,1]-valued visibles (free energy / NADE likelihood
+    are well-defined on them). Stochastic binarization is available by
+    passing a key to ``encode`` but is not part of the training path."""
 
     n_in: int
     hidden_sizes: Tuple[int, ...] = ()
-    sample_output: bool = False     # binarize features by Bernoulli sampling
     w_std: float = 0.01
 
 

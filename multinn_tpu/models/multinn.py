@@ -250,15 +250,15 @@ def prime(params: MultINNParams, state: MultINNState,
     return MultINNState(decoder=states, ctx=None)
 
 
-def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState
-                ) -> Tuple[MultINNState, jax.Array]:
+def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
+                k: Optional[int] = None) -> Tuple[MultINNState, jax.Array]:
     """One generation step over all tracks -> (state, frame (B, K, D) binary
     pianoroll). The feedback mode threads the cross-track context — on a
     track-sharded mesh the context assembly is the per-step all_gather."""
     cfg = params.cfg
     dec = _dec(cfg)
     if cfg.mode == "joint":
-        st, v = dec.sample_step(params.decoder, key, state.decoder)
+        st, v = dec.sample_step(params.decoder, key, state.decoder, k=k)
         roll = enc_mod.decode(params.encoder, v)
         if cfg.encoder_hidden:
             roll = (roll >= 0.5).astype(v.dtype)
@@ -268,7 +268,7 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState
     keys = jax.random.split(key, cfg.n_tracks)
     if cfg.mode == "feedback":
         states, vs = jax.vmap(
-            lambda p, kk, st: dec.sample_step(p, kk, st, ctx=state.ctx)
+            lambda p, kk, st: dec.sample_step(p, kk, st, ctx=state.ctx, k=k)
         )(params.decoder, keys, state.decoder)           # vs: (K, B, F)
         k, b, f = vs.shape
         new_ctx = jnp.moveaxis(vs, 0, 1).reshape(b, k * f)
@@ -276,7 +276,7 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState
         rolls = enc_mod.decode(params.encoder, vs)       # shared decode
     else:
         states, vs = jax.vmap(
-            lambda p, kk, st: dec.sample_step(p, kk, st)
+            lambda p, kk, st: dec.sample_step(p, kk, st, k=k)
         )(params.decoder, keys, state.decoder)
         new_state = MultINNState(decoder=states, ctx=None)
         rolls = jax.vmap(enc_mod.decode)(params.encoder, vs)
@@ -286,8 +286,8 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState
 
 
 def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
-             n_steps: int, fused: Optional[bool] = None
-             ) -> Tuple[MultINNState, jax.Array]:
+             n_steps: int, fused: Optional[bool] = None,
+             k: Optional[int] = None) -> Tuple[MultINNState, jax.Array]:
     """Autoregressive multi-track generation as ONE device program.
     Returns (state, pianoroll (B, n_steps, K, D)).
 
@@ -303,15 +303,15 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
     if fused is None:
         from multinn_tpu.ops import gen_fused
         fused = (jax.default_backend() == "tpu"
-                 and (gen_fused.supported(cfg, batch)
-                      or gen_fused.supported_nade(cfg, batch)))
+                 and (gen_fused.supported(cfg, batch, n_steps)
+                      or gen_fused.supported_nade(cfg, batch, n_steps)))
     if fused:
-        return _generate_fused(params, key, state, n_steps)
+        return _generate_fused(params, key, state, n_steps, k=k)
 
     keys = jax.random.split(key, n_steps)
 
     def body(st, kk):
-        return sample_step(params, kk, st)
+        return sample_step(params, kk, st, k=k)
 
     final, frames = jax.lax.scan(body, state, keys)      # (T, B, K, D)
     return final, jnp.moveaxis(frames, 0, 1)
@@ -319,7 +319,8 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
 
 def _generate_fused(params: MultINNParams, key: jax.Array,
                     state: MultINNState, n_steps: int,
-                    interpret: bool = False
+                    interpret: bool = False,
+                    k: Optional[int] = None
                     ) -> Tuple[MultINNState, jax.Array]:
     """Dispatch to the whole-generation fused kernel (see ops/gen_fused.py)
     and rebuild the MultINNState contract from the kernel outputs."""
@@ -336,7 +337,7 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
     else:
         roll, h_f, c_f = gen_fused.generate_rbm(
             key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
-            n_steps, cfg.gen_k, interpret=interpret)
+            n_steps, cfg.gen_k if k is None else k, interpret=interpret)
         state_cls = rnn_rbm.State
     v_last = roll[-1][:, None, :]                        # (K, 1, D)
     new_dec = state_cls(

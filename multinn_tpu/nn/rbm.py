@@ -134,11 +134,12 @@ def reconstruction(key: jax.Array, v0: jax.Array, w, bv, bh,
     """k-step Gibbs reconstruction with a mean-field final visible pass —
     the monitoring quantity (cross-entropy vs v0 is the reference's loss proxy).
     """
+    k_chain, k_final = jax.random.split(key)   # independent streams
     if k > 1:
-        v = gibbs_chain(key, v0, w, bv, bh, k - 1)
+        v = gibbs_chain(k_chain, v0, w, bv, bh, k - 1)
     else:
         v = v0
-    v_mf, _ = gibbs_step(key, v, w, bv, bh, sample_v=False)
+    v_mf, _ = gibbs_step(k_final, v, w, bv, bh, sample_v=False)
     return v_mf
 
 

@@ -40,8 +40,11 @@ from multinn_tpu.ops.sampling import key_to_seed
 _MAX_VMEM_BYTES = 10 * 1024 * 1024
 
 
-def supported(cfg, batch: int) -> bool:
-    """Gate for the auto-dispatch (see module docstring)."""
+def supported(cfg, batch: int, n_steps: int = 2048) -> bool:
+    """Gate for the auto-dispatch (see module docstring). The (n_steps*K, D)
+    roll output is VMEM-resident for the whole kernel, so n_steps is part of
+    the budget — over-budget requests fall back to the scan path instead of
+    failing at Mosaic compile time."""
     if (batch != 1 or cfg.decoder_type != "rnn-rbm"
             or cfg.encoder_hidden or cfg.cell != "lstm"
             or cfg.rnn_layers != 1 or cfg.mode == "joint"):
@@ -49,7 +52,8 @@ def supported(cfg, batch: int) -> bool:
     k, d, h, u = cfg.n_tracks, cfg.n_pitches, cfg.n_hidden, cfg.n_rnn
     c = cfg.ctx_dim()
     vmem = 4 * (k * d * h + k * u * d + k * u * h
-                + k * (d + c) * 4 * u + k * u * 4 * u)
+                + k * (d + c) * 4 * u + k * u * 4 * u
+                + n_steps * k * d)                   # roll output
     return vmem <= _MAX_VMEM_BYTES
 
 
@@ -108,8 +112,12 @@ def _kernel(seed_ref, w_ref, wuv_ref, wuh_ref, bv_ref, bh_ref,
             v_s[k:k + 1, :] = v
 
         # ---- feedback context + LSTM advance ---------------------------
-        # x = [v_k ; ctx] @ wx_k decomposes into v_k @ wx_k[:D] plus one
-        # (1,D)@(D,4U) product per source track j of the context block.
+        # x = [v_k(t) ; ctx(t)] @ wx_k decomposes into v_k @ wx_k[:D] plus
+        # one (1,D)@(D,4U) product per source track j of the context block.
+        # ctx(t) = latents(t-1) (training's time-shifted feedback — see
+        # multinn._feedback_ctx): the ctx products therefore use v_all, the
+        # PREVIOUS step's samples (at t=0 that is the primed v_prev, which
+        # the scan path carries as state.ctx).
         for k in range(n_tracks):
             base = k * xin_dim
             z = (jnp.dot(new_vs[k], wx_ref[base:base + d, :],
@@ -121,7 +129,8 @@ def _kernel(seed_ref, w_ref, wuv_ref, wuh_ref, bv_ref, bh_ref,
             if ctx_dim:
                 for j in range(n_tracks):
                     rows = base + d + j * d
-                    z = z + jnp.dot(new_vs[j], wx_ref[rows:rows + d, :],
+                    z = z + jnp.dot(v_all[j:j + 1, :],
+                                    wx_ref[rows:rows + d, :],
                                     preferred_element_type=jnp.float32)
             i_g = jax.nn.sigmoid(z[:, :u])
             f_g = jax.nn.sigmoid(z[:, u:2 * u])
@@ -217,7 +226,7 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
 #
 # Block matrices are assembled once per call in XLA (wrapper below).
 
-def supported_nade(cfg, batch: int) -> bool:
+def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
     if (batch != 1 or cfg.decoder_type != "rnn-nade"
             or cfg.encoder_hidden or cfg.cell != "lstm"
             or cfg.rnn_layers != 1 or cfg.mode == "joint"):
@@ -227,8 +236,10 @@ def supported_nade(cfg, batch: int) -> bool:
         return False                 # dim blocks are stride-8 padded
     kp = 8
     vmem = (2 * d * kp * k * (2 * h + 4 * u + u)      # bf16 block matrices
+            + 2 * k * d * k * 4 * u                   # bf16 Wctx
             + 4 * (k * u * (h + 4 * u))               # compact wuh/wh f32
-            + 4 * 3 * d * kp)                         # bv'/uniform scratches
+            + 4 * 3 * d * kp                          # bv'/uniform scratches
+            + 4 * n_steps * k * d)                    # roll output
     return vmem <= _MAX_VMEM_BYTES
 
 
@@ -239,17 +250,34 @@ _KP = 8   # dim-block row stride: Mosaic requires dynamic sublane offsets to
 
 
 def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
-                 wuh_ref, wh_ref, bv_ref, bh_ref, b_ref,
+                 wuh_ref, wh_ref, wctx_ref, bv_ref, bh_ref, b_ref,
                  h0_ref, c0_ref, v0_ref,
                  roll_ref, hout_ref, cout_ref,
-                 h_s, c_s, v_s, bhp_s, bvp_s, u_s, *,
-                 n_steps: int, n_tracks: int, d: int, hid: int, u: int):
+                 h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s, *,
+                 n_steps: int, n_tracks: int, d: int, hid: int, u: int,
+                 ctx_dim: int):
     kseed = seed_ref[0]
     h_s[:] = h0_ref[:]                    # (1, K*U)
     c_s[:] = c0_ref[:]
     v_s[:] = v0_ref[:]                    # (KP, D) (rows >= K are padding;
     #                                       carried for the state contract)
     kk = n_tracks
+
+    def ctx_projection(v_rows):
+        """Feedback-context contribution to every track's LSTM gates:
+        Σ_j v_j @ Wctx[j-block] -> (1, K*4U). ctx(t) = latents(t-1), so this
+        is computed from the PREVIOUS step's samples (training parity with
+        multinn._feedback_ctx's time shift; at t=0 from the primed v_prev)."""
+        z = jnp.zeros_like(b_ref[:])
+        for j in range(kk):
+            z = z + jnp.dot(
+                v_rows[j:j + 1, :],
+                wctx_ref[j * d:(j + 1) * d, :].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+        return z
+
+    if ctx_dim:
+        zctx_s[:] = ctx_projection(v0_ref[:])
 
     def step(t, _):
         h_row = h_s[:]                    # (1, K*U)
@@ -303,14 +331,18 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
         for k in range(kk):
             roll_ref[pl.ds(t * kk + k, 1), :] = v_new[k:k + 1, :]
 
-        # LSTM advance: z = z_acc (input projection, incl. feedback ctx)
-        #               + per-track h @ wh + b
+        # LSTM advance: z = z_acc (own-sample input projection, accumulated
+        # during the sweep) + zctx (previous step's cross-track latents)
+        # + per-track h @ wh + b
+        zctx = zctx_s[:] if ctx_dim else None
         for k in range(kk):
             h_k = h_row[:, k * u:(k + 1) * u]
             z = (z_acc[:, k * 4 * u:(k + 1) * 4 * u]
                  + jnp.dot(h_k, wh_ref[k * u:(k + 1) * u, :],
                            preferred_element_type=jnp.float32)
                  + b_ref[:, k * 4 * u:(k + 1) * 4 * u])        # (1, 4U)
+            if ctx_dim:
+                z = z + zctx[:, k * 4 * u:(k + 1) * 4 * u]
             i_g = jax.nn.sigmoid(z[:, :u])
             f_g = jax.nn.sigmoid(z[:, u:2 * u])
             g_g = jnp.tanh(z[:, 2 * u:3 * u])
@@ -318,6 +350,8 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
             c_new = f_g * c_s[:, k * u:(k + 1) * u] + i_g * g_g
             c_s[:, k * u:(k + 1) * u] = c_new
             h_s[:, k * u:(k + 1) * u] = o_g * jnp.tanh(c_new)
+        if ctx_dim:
+            zctx_s[:] = ctx_projection(v_new)
         return 0
 
     jax.lax.fori_loop(0, n_steps, step, 0)
@@ -357,16 +391,22 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
 
     w_dm = diag_dm(dec_params.w)                       # (D*KP, K*H) bf16
     v_dm = diag_dm(dec_params.v)                       # (D*KP, K*H) bf16
-    # LSTM input projection, dim-major over source dims:
-    # row (i*KP + j) holds d z/d v_{j,i} for all target tracks' gates.
+    # Own-sample LSTM input projection, dim-major (DIAGONAL blocks only —
+    # x(t) = [v_k(t); ctx(t)=latents(t-1)], so only the v_k(t) part can be
+    # accumulated during the sweep; the ctx part is applied from the
+    # previous step's samples via Wctx below).
     wx_v = lstm.wx[:, :d, :]                           # (K, D, 4U)
-    if ctx_dim:
-        wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
-        m4 = jnp.transpose(wx_ctx, (2, 1, 0, 3))       # (D, j, k, 4U)
-    else:
-        m4 = jnp.zeros((d, k, k, four_u), lstm.wx.dtype)
+    m4 = jnp.zeros((d, k, k, four_u), lstm.wx.dtype)
     m4 = m4.at[:, idx, idx, :].add(jnp.transpose(wx_v, (1, 0, 2)))
     m_dm = pad_rows(m4.reshape(d, k, k * four_u))      # (D*KP, K*4U) bf16
+    # Feedback-context projection: rows [j*D + i] map source sample v_{j,i}
+    # (from step t-1) to all K target tracks' gates.
+    if ctx_dim:
+        wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
+        wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(
+            k * d, k * four_u).astype(jnp.bfloat16)
+    else:
+        wctx = jnp.zeros((k * d, k * four_u), jnp.bfloat16)
     # visible-bias conditioning, dim-major rows: row (i*KP + j) = wuv_j[:, i]
     # placed in lane-block j  ->  (D*KP, K*U)
     wuv4 = jnp.zeros((d, k, k, u), dec_params.wuv.dtype)
@@ -384,6 +424,7 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
         w_dm, v_dm, m_dm, wuv_dm,
         dec_params.wuh.reshape(k * u, hid),
         lstm.wh.reshape(k * u, four_u),
+        wctx,
         bv_dm,
         dec_params.bh,                                 # (K, H)
         lstm.b.reshape(1, k * four_u),
@@ -402,11 +443,12 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                         pltpu.VMEM((kp, d), jnp.float32),       # v
                         pltpu.VMEM((1, k * hid), jnp.float32),  # bh'
                         pltpu.VMEM((d * kp, 1), jnp.float32),   # bv'
-                        pltpu.VMEM((d * kp, 1), jnp.float32)],  # uniforms
+                        pltpu.VMEM((d * kp, 1), jnp.float32),   # uniforms
+                        pltpu.VMEM((1, k * four_u), jnp.float32)],  # zctx
     )
     roll, h_out, c_out = pl.pallas_call(
         functools.partial(_nade_kernel, n_steps=n_steps, n_tracks=k,
-                          d=d, hid=hid, u=u),
+                          d=d, hid=hid, u=u, ctx_dim=ctx_dim),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps * k, d), jnp.float32),
                    jax.ShapeDtypeStruct((1, k * u), jnp.float32),

@@ -36,11 +36,14 @@ class Generator:
             params = mesh_mod.put_replicated(params, mesh)
         self.params = params
 
+        gibbs_k = getattr(cfg.generate, "gibbs_k", 0) or None
+
         def _impl(params, key, seed, n_steps: int, batch: int):
             state = multinn.init_state(params, batch)
             if seed is not None:
                 state = multinn.prime(params, state, seed)
-            _, roll = multinn.generate(params, key, state, n_steps)
+            # generate.gibbs_k overrides the model's gen_k (0 = model default)
+            _, roll = multinn.generate(params, key, state, n_steps, k=gibbs_k)
             return roll
 
         # one compiled program per (n_steps, batch, seed-shape) combination

@@ -199,6 +199,14 @@ class Trainer:
 
     def _put_batch(self, batch_u8: np.ndarray) -> jax.Array:
         if self._gspmd:
+            batch_axis = 1 if batch_u8.ndim == 5 else 0
+            n_data = self.mesh.shape[mesh_mod.DATA_AXIS]
+            if batch_u8.shape[batch_axis] % n_data:
+                # short eval-tail batch: not shardable over data — place
+                # replicated (GSPMD still computes correctly, just without
+                # batch parallelism for this one small batch)
+                return jax.device_put(batch_u8, mesh_mod.NamedSharding(
+                    self.mesh, mesh_mod.P()))
             return jax.device_put(batch_u8, mesh_mod.batch_sharding(
                 self.mesh, self.track_sharded,
                 stacked=(batch_u8.ndim == 5)))
@@ -387,20 +395,35 @@ class Trainer:
         return last_metrics
 
     def evaluate(self, split: str = "valid") -> Dict[str, float]:
+        """Window-weighted metrics over the split. The tail batch is short,
+        never padded (padding would average fabricated all-zero windows into
+        the losses that drive early stopping / best-checkpoint selection);
+        the distinct tail shape costs one extra eval compile."""
         sums: Dict[str, float] = {}
-        n = 0
+        n_windows = 0
         key = jax.random.PRNGKey(self.cfg.train.seed + 1000 + self.epoch)
+        explicit_shard_map = self.mesh is not None and not self._gspmd
+        n_data = (self.mesh.shape[mesh_mod.DATA_AXIS]
+                  if self.mesh is not None else 1)
         for batch in self.dataset.batches(split, shuffle=False,
                                           drop_remainder=False):
+            if explicit_shard_map and len(batch) % n_data:
+                # shard_map requires exact sharding; skip the short tail
+                # (the default gspmd path evaluates it replicated instead)
+                self.log.warning(
+                    "eval: dropping %d tail windows (shard_map mesh needs "
+                    "batch %% %d == 0)", len(batch), n_data)
+                continue
             key, k = jax.random.split(key)
             m = jax.device_get(self._eval_step(
                 self.params, self._put_batch(batch), k))
+            w = len(batch)
             for name, v in m.items():
                 a = np.asarray(v)
                 if a.ndim == 0:
-                    sums[name] = sums.get(name, 0.0) + float(a)
-            n += 1
-        return {k: v / max(n, 1) for k, v in sums.items()}
+                    sums[name] = sums.get(name, 0.0) + float(a) * w
+            n_windows += w
+        return {k: v / max(n_windows, 1) for k, v in sums.items()}
 
     def train(self) -> Dict[str, float]:
         cfg = self.cfg.train

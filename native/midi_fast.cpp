@@ -125,6 +125,7 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
     Cursor tc{c.p, chunk_end};
     while (tc.p < tc.end && tc.ok) {
       tick += (int32_t)tc.varint();
+      if (tc.p >= tc.end) break;            // delta-time at end of chunk
       uint8_t status = *tc.p;
       if (status >= 0x80) {
         tc.p++;
@@ -136,7 +137,7 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
       if (status == 0xFF) {                       // meta
         uint8_t type = tc.u8();
         uint32_t mlen = tc.varint();
-        if (type == 0x51 && mlen == 3 && !tempo_set) {
+        if (type == 0x51 && mlen == 3 && tc.p + 3 <= tc.end && !tempo_set) {
           int32_t us = (tc.p[0] << 16) | (tc.p[1] << 8) | tc.p[2];
           out->tempo_us_per_quarter = us;
           tempo_set = true;
@@ -215,8 +216,8 @@ int notes_to_roll(const MidiNote* notes, int64_t n_notes,
     if (n.pitch < pitch_min || n.pitch > pitch_max) continue;
     int k = (n_tracks == 5) ? lpd5_track(n.program, n.is_drum) : 0;
     if (k >= n_tracks) k = n_tracks - 1;
-    // llround to match Python round-half-even closely enough? No: Python
-    // round() is banker's rounding. Match it exactly:
+    // Python round() is banker's rounding (half to even) — match it exactly
+    // so rolls are bit-identical with the pure-Python layer:
     auto py_round = [](double x) -> int64_t {
       double f = x - std::floor(x) - 0.5;
       int64_t lo = (int64_t)std::floor(x);

@@ -51,11 +51,15 @@ def make_cfg(args):
 def cmd_cache(args) -> int:
     from multinn_tpu.data.datasets import Dataset
     ds = Dataset(make_cfg(args))
-    rolls = np.concatenate([ds.windows[s] for s in
-                            ("train", "valid", "test")])
-    np.savez_compressed(args.out, rolls=rolls)
-    print(f"wrote {args.out}: {rolls.shape} uint8 "
-          f"({os.path.getsize(args.out) / 1e6:.1f} MB)")
+    # per-split keys: reloading with source=npz preserves the original
+    # train/valid/test assignment (a flat array would be randomly re-split,
+    # leaking test windows into train)
+    arrays = {f"rolls_{s}": ds.windows[s] for s in ("train", "valid", "test")}
+    np.savez_compressed(args.out, **arrays)
+    total = sum(len(a) for a in arrays.values())
+    print(f"wrote {args.out}: {total} windows "
+          + " ".join(f"{s}={len(a)}" for s, a in arrays.items())
+          + f" ({os.path.getsize(args.out) / 1e6:.1f} MB)")
     return 0
 
 

@@ -168,3 +168,61 @@ def test_nade_supported_gating():
     assert not gen_fused.supported_nade(nade_cfg(), 2)
     assert not gen_fused.supported_nade(cfg_for(), 1)   # rnn-rbm
     assert not gen_fused.supported_nade(nade_cfg(rnn_layers=2), 1)
+
+
+# ---------------------------------------------------------------------------
+# feedback-context timing parity (regression: fused kernels must condition
+# the LSTM on ctx(t) = latents(t-1), exactly like training and the scan path)
+# ---------------------------------------------------------------------------
+
+def _deterministic_params(cfg, bv_pattern):
+    """Zero all stochastic couplings so sampling is deterministic
+    (v(t) = [bv_pattern > 0] for every step) while the LSTM still sees the
+    samples + feedback context."""
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    zeros = {f: jnp.zeros_like(getattr(dec, f)) for f in ("w", "wuv", "wuh")}
+    if hasattr(dec, "v"):
+        zeros["v"] = jnp.zeros_like(dec.v)
+    bv = jnp.tile(bv_pattern[None], (cfg.n_tracks, 1))
+    return params.replace(decoder=dec.replace(bv=bv, **zeros))
+
+
+@pytest.mark.parametrize("dec_type", ["rnn-rbm", "rnn-nade"])
+def test_fused_feedback_ctx_timing_matches_scan(dec_type):
+    """Prime on a seed frame DIFFERENT from the (deterministic) generated
+    frame: at t=0 the LSTM's feedback context must be the primed latents,
+    not the just-sampled frame — final LSTM states of fused and scan paths
+    must agree exactly."""
+    cfg = MultINNConfig(n_tracks=K, n_pitches=D, mode="feedback",
+                        decoder_type=dec_type, n_hidden=H, n_rnn=U,
+                        cd_k=1, gen_k=2, w_std=0.3)
+    pattern = jnp.where(jnp.arange(D) % 2 == 0, 10.0, -10.0)
+    params = _deterministic_params(cfg, pattern)
+
+    seed = jnp.zeros((1, 4, K, D))
+    seed = seed.at[:, :, :, 1::2].set(1.0)   # opposite of the sampled frame
+
+    st_scan = multinn.prime(params, multinn.init_state(params, 1), seed)
+    fin_scan, roll_scan = multinn.generate(
+        params, jax.random.PRNGKey(1), st_scan, 3, fused=False)
+
+    st_fused = multinn.prime(params, multinn.init_state(params, 1), seed)
+    fin_fused, roll_fused = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st_fused, 3, interpret=True)
+
+    # deterministic sampling: pianorolls identical across paths
+    np.testing.assert_array_equal(np.asarray(roll_scan),
+                                  np.asarray(roll_fused))
+    # LSTM trajectories identical => context timing identical. The NADE
+    # kernel stores its input-projection block matrices in bf16 (VMEM
+    # budget), so its states carry ~1e-3 rounding; a WRONG-timing context
+    # (the bug this guards against) produces O(1) differences.
+    tol = dict(rtol=1e-5, atol=1e-6) if dec_type == "rnn-rbm" else \
+        dict(rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(fin_fused.decoder.cell[0].h),
+        np.asarray(fin_scan.decoder.cell[0].h), **tol)
+    np.testing.assert_allclose(
+        np.asarray(fin_fused.decoder.cell[0].c),
+        np.asarray(fin_scan.decoder.cell[0].c), **tol)

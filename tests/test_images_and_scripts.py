@@ -50,4 +50,10 @@ def test_prepare_dataset_synth_cache_roundtrip(tmp_path):
         capture_output=True, text=True, env=env)
     assert r.returncode == 0, r.stderr
     data = np.load(npz)
-    assert data["rolls"].shape[2:] == (5, 84)
+    # cache preserves the split assignment (per-split keys)
+    assert set(data.files) == {"rolls_train", "rolls_valid", "rolls_test"}
+    assert data["rolls_train"].shape[2:] == (5, 84)
+    # reloading respects the cached split
+    from multinn_tpu.data.datasets import DataConfig, Dataset
+    ds = Dataset(DataConfig.from_preset("lpd5", source="npz", path=npz))
+    assert len(ds.windows["train"]) == len(data["rolls_train"])

@@ -78,3 +78,26 @@ def test_native_speedup(tmp_path):
 def test_native_rejects_garbage():
     with pytest.raises(ValueError):
         native.parse_bytes(b"not a midi file at all")
+
+
+def test_native_truncated_files_do_not_crash():
+    """Bounds-safety: truncating a valid file at EVERY byte offset must never
+    crash the process (corpus-scale ingest sees corrupt files [B:11])."""
+    from multinn_tpu.data import pianoroll as pr2
+    cfg = DataConfig.from_preset("lpd5", synthetic_songs=1,
+                                 synthetic_steps=32)
+    data = midi.dumps(pr2.roll_to_midi(synthetic_corpus(cfg)[0], cfg.spec()))
+    for cut in range(0, len(data), 7):
+        try:
+            native.parse_bytes(data[:cut])
+        except ValueError:
+            pass        # rejecting is fine; crashing is not
+    # tempo meta truncated right at the payload
+    stub = (b"MThd" + (6).to_bytes(4, "big")
+            + (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+            + (96).to_bytes(2, "big")
+            + b"MTrk" + (3).to_bytes(4, "big") + b"\x00\xff\x51")
+    try:
+        native.parse_bytes(stub)
+    except ValueError:
+        pass
