@@ -105,3 +105,47 @@ def test_log_likelihood_shapes():
         assert ll.shape == (B,)
         assert np.all(np.isfinite(np.asarray(ll)))
         assert np.all(np.asarray(ll) <= 0) or dec == "rnn-rbm"
+
+
+def test_vanilla_cell_multinn():
+    """The paper's original vanilla-RNN conditioning (C7 math) end-to-end."""
+    cfg = MultINNConfig(n_tracks=2, n_pitches=12, mode="per-track",
+                        decoder_type="rnn-rbm", cell="vanilla",
+                        n_hidden=16, n_rnn=12, gen_k=2)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    x = data()[:, :, :2, :12]
+    (val, _), grads = jax.value_and_grad(
+        lambda p: multinn.loss(p, jax.random.PRNGKey(1), x),
+        has_aux=True)(params)
+    assert np.isfinite(float(val))
+    st = multinn.init_state(params, 2)
+    _, roll = multinn.generate(params, jax.random.PRNGKey(2), st, 4)
+    assert roll.shape == (2, 4, 2, 12)
+
+
+def test_joint_mode_with_dbn_encoder():
+    cfg = MultINNConfig(n_tracks=3, n_pitches=12, mode="joint",
+                        decoder_type="rnn-nade", encoder_hidden=(20,),
+                        n_hidden=16, n_rnn=12, gen_k=2)
+    assert cfg.feature_dim() == 20
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.3, (2, 6, 3, 12)).astype(jnp.float32)
+    val, _ = multinn.loss(params, jax.random.PRNGKey(2), x)
+    assert np.isfinite(float(val))
+    st = multinn.init_state(params, 2)
+    _, roll = multinn.generate(params, jax.random.PRNGKey(3), st, 4)
+    assert roll.shape == (2, 4, 3, 12)
+    assert set(np.unique(np.asarray(roll))) <= {0.0, 1.0}
+
+
+def test_generate_gibbs_k_override():
+    """k passed to generate overrides the model's gen_k (C14 knob)."""
+    cfg = make_cfg("per-track", "rnn-rbm")
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    st = multinn.init_state(params, B)
+    _, r1 = multinn.generate(params, jax.random.PRNGKey(1), st, 4, k=1)
+    _, r2 = multinn.generate(params, jax.random.PRNGKey(1), st, 4, k=7)
+    assert r1.shape == r2.shape
+    # different chain lengths consume different amounts of randomness
+    assert not np.array_equal(np.asarray(r1), np.asarray(r2))
