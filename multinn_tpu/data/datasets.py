@@ -33,16 +33,20 @@ from multinn_tpu.data import midi as midi_mod
 from multinn_tpu.data import pianoroll as pr
 
 PRESETS: Dict[str, dict] = {
-    # dataset -> spec knobs (reference configs [B:7-11])
-    "jsb": dict(n_tracks=1, pitch_min=21, pitch_max=108, steps_per_quarter=4),
+    # dataset -> spec knobs + canonical source (reference configs [B:7-11]).
+    # Non-synthetic presets default to their real data source so that e.g.
+    # `--preset jsb` without a path FAILS LOUDLY instead of silently training
+    # on synthetic data labeled 'jsb'.
+    "jsb": dict(n_tracks=1, pitch_min=21, pitch_max=108, steps_per_quarter=4,
+                source="pickle"),
     "nottingham": dict(n_tracks=1, pitch_min=21, pitch_max=108,
-                       steps_per_quarter=4),
+                       steps_per_quarter=4, source="pickle"),
     "lpd5": dict(n_tracks=5, pitch_min=24, pitch_max=107,
-                 steps_per_quarter=4),
+                 steps_per_quarter=4, source="midi_dir"),
     "lakh": dict(n_tracks=5, pitch_min=24, pitch_max=107,
-                 steps_per_quarter=4),
+                 steps_per_quarter=4, source="midi_dir"),
     "synthetic": dict(n_tracks=5, pitch_min=24, pitch_max=107,
-                      steps_per_quarter=4),
+                      steps_per_quarter=4, source="synthetic"),
 }
 
 
@@ -67,8 +71,6 @@ class DataConfig:
     @staticmethod
     def from_preset(dataset: str, **overrides) -> "DataConfig":
         base = dict(PRESETS[dataset], dataset=dataset)
-        if dataset == "synthetic":
-            base["source"] = "synthetic"
         base.update(overrides)
         return DataConfig(**base)
 
@@ -250,20 +252,43 @@ class Dataset:
         else:
             raise ValueError(f"unknown source '{cfg.source}'")
 
-        def windows_of(rs: Sequence[np.ndarray]) -> np.ndarray:
-            ws = [pr.chop_windows(r, cfg.window, pad=True) for r in rs]
-            ws = [w for w in ws if len(w)]
+        self.masks: Dict[str, np.ndarray] = {}
+
+        def windows_of(rs: Sequence[np.ndarray], split: Optional[str] = None):
+            ws, ms = [], []
+            for r in rs:
+                w, m = pr.chop_windows_masked(r, cfg.window)
+                if len(w):
+                    ws.append(w)
+                    ms.append(m)
             if not ws:
-                return np.zeros((0, cfg.window, cfg.n_tracks, cfg.n_pitches),
-                                np.uint8)
+                empty = np.zeros(
+                    (0, cfg.window, cfg.n_tracks, cfg.n_pitches), np.uint8)
+                if split is not None:
+                    self.masks[split] = np.zeros((0, cfg.window), np.uint8)
+                return empty
+            if split is not None:
+                self.masks[split] = np.concatenate(ms)
             return np.concatenate(ws)
 
         if presplit is not None:
             # corpus pickles carry their own canonical split — respect it
-            self.windows = {k: windows_of(v) for k, v in presplit.items()}
-            self.windows.setdefault("valid",
-                                    self.windows.get("test", windows_of([])))
-            self.windows.setdefault("test", self.windows["valid"])
+            self.windows = {k: windows_of(v, split=k)
+                            for k, v in presplit.items()}
+            if "train" not in self.windows:
+                raise ValueError(
+                    f"pre-split source {cfg.path!r} has no 'train' split "
+                    f"(found: {sorted(self.windows)})")
+            if "valid" not in self.windows:
+                self.windows["valid"] = self.windows.get(
+                    "test", windows_of([], "valid"))
+                self.masks["valid"] = self.masks.get(
+                    "test", self.masks.get("valid",
+                                           np.zeros((0, cfg.window),
+                                                    np.uint8)))
+            if "test" not in self.windows:
+                self.windows["test"] = self.windows["valid"]
+                self.masks["test"] = self.masks["valid"]
         else:
             if not rolls:
                 raise ValueError(
@@ -278,14 +303,16 @@ class Dataset:
             valid_ids = order[n_train:n_train + n_valid]
             test_ids = order[n_train + n_valid:]
             self.windows = {
-                "train": windows_of([rolls[i] for i in train_ids]),
-                "valid": windows_of([rolls[i] for i in valid_ids]),
-                "test": windows_of([rolls[i] for i in test_ids]),
+                "train": windows_of([rolls[i] for i in train_ids], "train"),
+                "valid": windows_of([rolls[i] for i in valid_ids], "valid"),
+                "test": windows_of([rolls[i] for i in test_ids], "test"),
             }
             if not len(self.windows["valid"]):
                 self.windows["valid"] = self.windows["train"][:1]
+                self.masks["valid"] = self.masks["train"][:1]
             if not len(self.windows["test"]):
                 self.windows["test"] = self.windows["valid"]
+                self.masks["test"] = self.masks["valid"]
 
     @property
     def n_pitches(self) -> int:
@@ -300,7 +327,8 @@ class Dataset:
 
     def batches(self, split: str = "train", epoch: int = 0,
                 shuffle: bool = True,
-                drop_remainder: bool = True) -> Iterator[np.ndarray]:
+                drop_remainder: bool = True,
+                with_masks: bool = False) -> Iterator[np.ndarray]:
         """Yield (batch, window, K, D) uint8 host arrays. Deterministic order
         per (seed, epoch). Short final batch is dropped when training (static
         shapes — one XLA program per run, SURVEY L0 rules); with
@@ -313,11 +341,14 @@ class Dataset:
         if shuffle:
             rng = np.random.default_rng((self.cfg.seed, epoch))
             rng.shuffle(idx)
+        masks = self.masks.get(split) if with_masks else None
         n_full = len(data) // bs
         for i in range(n_full):
-            yield data[idx[i * bs:(i + 1) * bs]]
+            sel = idx[i * bs:(i + 1) * bs]
+            yield (data[sel], masks[sel]) if with_masks else data[sel]
         if not drop_remainder and len(data) % bs:
-            yield data[idx[n_full * bs:]]
+            sel = idx[n_full * bs:]
+            yield (data[sel], masks[sel]) if with_masks else data[sel]
 
     def seed_windows(self, split: str = "valid", n: int = 1) -> np.ndarray:
         """Seed pianorolls for the generator (C14 priming)."""

@@ -129,6 +129,22 @@ def roll_to_midi(roll: np.ndarray, spec: RollSpec,
     return mid
 
 
+def chop_windows_masked(roll: np.ndarray, window: int,
+                        hop: Optional[int] = None):
+    """Like chop_windows(pad=True) but also returns the validity mask
+    (N, window) uint8 marking REAL frames (0 = zero-padded tail frame).
+    Evaluation uses the mask so per-frame likelihoods are computed over real
+    music only (padded silence is trivially easy and biases eval)."""
+    t = roll.shape[0]
+    hop = hop or window
+    windows = chop_windows(roll, window, hop=hop, pad=True)
+    masks = np.zeros((len(windows), window), np.uint8)
+    for i in range(len(windows)):
+        real = max(0, min(window, t - i * hop))
+        masks[i, :real] = 1
+    return windows, masks
+
+
 def chop_windows(roll: np.ndarray, window: int, hop: Optional[int] = None,
                  pad: bool = False) -> np.ndarray:
     """Chop a (T, K, D) roll into fixed windows (N, window, K, D) — the

@@ -51,7 +51,8 @@ def used_pitch_classes_per_bar(rolls: np.ndarray, steps_per_bar: int = 16,
     pc = (np.arange(d) + pitch_min) % 12
     pc_onehot = np.eye(12, dtype=np.uint8)[pc]          # (D, 12)
     # any activation of pitch class c in bar
-    used = np.einsum("nbskd,dc->nbkc", bars, pc_onehot) > 0   # (N,B,K,12)
+    used = np.einsum("nbskd,dc->nbkc", bars.astype(np.int32),
+                     pc_onehot.astype(np.int32)) > 0      # (N,B,K,12)
     counts = used.sum(-1).astype(np.float64)            # (N,B,K)
     nonempty = bars.sum(axis=(2, 4)) > 0
     out = np.zeros(k)

@@ -78,3 +78,74 @@ def rnn_input(x: jax.Array, ctx: Optional[jax.Array]) -> jax.Array:
         return x
     import jax.numpy as jnp
     return jnp.concatenate([x, ctx], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Shared recurrent plumbing (used verbatim by BOTH decoder families — a
+# divergence here would silently split their conditioning semantics).
+# Decoder Params expose .cell/.bv/.bh/.wuv/.wuh; States expose .cell/.v_prev.
+# ---------------------------------------------------------------------------
+
+def init_recurrent_state(state_cls, cfg: DecoderConfig, batch_shape):
+    import jax.numpy as jnp
+    from multinn_tpu.nn import rnn as rnn_nn
+    return state_cls(
+        cell=rnn_nn.stacked_zero_state(cfg.cell, batch_shape,
+                                       cfg.n_rnn, cfg.rnn_layers),
+        v_prev=jnp.zeros((*batch_shape, cfg.n_visible)))
+
+
+def scan_states(params, state, x_tm: jax.Array):
+    """Run the cell stack over time-major inputs; return (final_cell_state,
+    u_prev) where u_prev[t] = TOP-layer hidden state BEFORE consuming x[t]
+    (bias conditioning uses u(t-1) per arXiv:1206.6392 §2.3)."""
+    import jax.numpy as jnp
+    from multinn_tpu.nn import rnn as rnn_nn
+    cfg = params.cfg
+    final, us = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
+                                    x_tm, remat=cfg.remat)
+    u0 = rnn_nn.state_h(state.cell[-1])
+    u_prev = jnp.concatenate([u0[None], us[:-1]], axis=0)   # (T, B, U)
+    return final, u_prev
+
+
+def conditioned_biases(params, u_prev: jax.Array):
+    """bv(t) = bv + u(t-1) @ Wuv;  bh(t) = bh + u(t-1) @ Wuh."""
+    return (params.bv + u_prev @ params.wuv,
+            params.bh + u_prev @ params.wuh)
+
+
+def prime_state(state_cls, params, state, x: jax.Array,
+                ctx: Optional[jax.Array] = None):
+    """Advance the RNN state over a seed sequence x: (B, T, F)."""
+    import jax.numpy as jnp
+    from multinn_tpu.nn import rnn as rnn_nn
+    cfg = params.cfg
+    x_tm = jnp.swapaxes(x, 0, 1)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+    final, _ = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
+                                   rnn_input(x_tm, ctx_tm),
+                                   remat=cfg.remat)
+    return state_cls(cell=final, v_prev=x[:, -1, :])
+
+
+def generate_scan(sample_step_fn, params, key, state, n_steps: int,
+                  ctx: Optional[jax.Array] = None, k: Optional[int] = None):
+    """Autoregressive generation as ONE lax.scan program over
+    ``sample_step_fn(params, key, state, ctx, k)``."""
+    import jax
+    import jax.numpy as jnp
+    keys = jax.random.split(key, n_steps)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+
+    def body(st, inp):
+        if ctx_tm is None:
+            st, v = sample_step_fn(params, inp, st, None, k)
+        else:
+            kk, c = inp
+            st, v = sample_step_fn(params, kk, st, c, k)
+        return st, v
+
+    xs = keys if ctx_tm is None else (keys, ctx_tm)
+    final, vs = jax.lax.scan(body, state, xs)
+    return final, jnp.swapaxes(vs, 0, 1)

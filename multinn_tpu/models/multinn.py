@@ -154,7 +154,7 @@ def _mean_tree(tree):
 # ---------------------------------------------------------------------------
 
 def loss(params: MultINNParams, key: jax.Array, x: jax.Array,
-         detailed: bool = True):
+         detailed: bool = True, frame_mask: Optional[jax.Array] = None):
     """Unified teacher-forced loss over all tracks. x: (B, T, K, D).
     Returns (scalar_loss, metrics) — metrics averaged over tracks, plus
     per-track losses under 'loss_per_track'. ``detailed=False`` is the
@@ -164,18 +164,21 @@ def loss(params: MultINNParams, key: jax.Array, x: jax.Array,
     if cfg.mode == "joint":
         b, t, k, d = x.shape
         feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
-        return dec.loss(params.decoder, key, feats, detailed=detailed)
+        return dec.loss(params.decoder, key, feats, detailed=detailed,
+                        frame_mask=frame_mask)
 
     feats_k = _encode_tracks(params, x)                  # (K, B, T, F)
     keys = jax.random.split(key, cfg.n_tracks)
     if cfg.mode == "feedback":
         ctx = _feedback_ctx(feats_k)                     # (B, T, K·F)
         losses, metrics = jax.vmap(
-            lambda p, kk, xx: dec.loss(p, kk, xx, ctx=ctx, detailed=detailed)
+            lambda p, kk, xx: dec.loss(p, kk, xx, ctx=ctx, detailed=detailed,
+                                       frame_mask=frame_mask)
         )(params.decoder, keys, feats_k)
     else:
         losses, metrics = jax.vmap(
-            lambda p, kk, xx: dec.loss(p, kk, xx, detailed=detailed)
+            lambda p, kk, xx: dec.loss(p, kk, xx, detailed=detailed,
+                                       frame_mask=frame_mask)
         )(params.decoder, keys, feats_k)
     metrics = _mean_tree(metrics)
     metrics["loss_per_track"] = losses
@@ -185,7 +188,8 @@ def loss(params: MultINNParams, key: jax.Array, x: jax.Array,
 
 
 def log_likelihood(params: MultINNParams, key: jax.Array,
-                   x: jax.Array) -> jax.Array:
+                   x: jax.Array,
+                   frame_mask: Optional[jax.Array] = None) -> jax.Array:
     """Per-sequence LL summed over tracks and time, (B,). Exact for NADE
     decoders, pseudo-LL proxy for RBM decoders (intractable partition fn)."""
     cfg = params.cfg
@@ -193,17 +197,20 @@ def log_likelihood(params: MultINNParams, key: jax.Array,
     if cfg.mode == "joint":
         b, t, k, d = x.shape
         feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
-        return dec.log_likelihood_proxy(params.decoder, key, feats)
+        return dec.log_likelihood_proxy(params.decoder, key, feats,
+                                        frame_mask=frame_mask)
     feats_k = _encode_tracks(params, x)
     keys = jax.random.split(key, cfg.n_tracks)
     if cfg.mode == "feedback":
         ctx = _feedback_ctx(feats_k)
         lls = jax.vmap(
-            lambda p, kk, xx: dec.log_likelihood_proxy(p, kk, xx, ctx=ctx)
+            lambda p, kk, xx: dec.log_likelihood_proxy(
+                p, kk, xx, ctx=ctx, frame_mask=frame_mask)
         )(params.decoder, keys, feats_k)
     else:
         lls = jax.vmap(
-            lambda p, kk, xx: dec.log_likelihood_proxy(p, kk, xx)
+            lambda p, kk, xx: dec.log_likelihood_proxy(
+                p, kk, xx, frame_mask=frame_mask)
         )(params.decoder, keys, feats_k)
     return jnp.sum(lls, axis=0)                          # (B,)
 
@@ -303,7 +310,7 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
     if fused is None:
         from multinn_tpu.ops import gen_fused
         fused = (jax.default_backend() == "tpu"
-                 and (gen_fused.supported(cfg, batch, n_steps)
+                 and (gen_fused.supported(cfg, batch, n_steps, gen_k=k)
                       or gen_fused.supported_nade(cfg, batch, n_steps)))
     if fused:
         return _generate_fused(params, key, state, n_steps, k=k)

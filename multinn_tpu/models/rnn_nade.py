@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from flax import struct
 
+from multinn_tpu.models import base
 from multinn_tpu.models.base import DecoderConfig, rnn_input
 from multinn_tpu.nn import rnn as rnn_nn
 from multinn_tpu.ops import nade_ops
@@ -68,63 +69,58 @@ def init(key: jax.Array, cfg: DecoderConfig) -> Params:
 
 
 def init_state(params: Params, batch_shape: Tuple[int, ...]) -> State:
-    cfg = params.cfg
-    return State(
-        cell=rnn_nn.stacked_zero_state(cfg.cell, batch_shape,
-                                       cfg.n_rnn, cfg.rnn_layers),
-        v_prev=jnp.zeros((*batch_shape, cfg.n_visible)),
-    )
+    return base.init_recurrent_state(State, params.cfg, batch_shape)
 
 
-def _scan_states(params: Params, state: State, x_tm: jax.Array):
-    cfg = params.cfg
-    final, us = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
-                                    x_tm, remat=cfg.remat)
-    u0 = rnn_nn.state_h(state.cell[-1])
-    u_prev = jnp.concatenate([u0[None], us[:-1]], axis=0)
-    return final, u_prev
+# shared plumbing (models/base.py) — one definition for both decoders
+_scan_states = base.scan_states
+_biases = base.conditioned_biases
 
 
-def _biases(params: Params, u_prev: jax.Array):
-    return (params.bv + u_prev @ params.wuv,
-            params.bh + u_prev @ params.wuh)
-
-
-def _nll(params: Params, x: jax.Array, ctx: Optional[jax.Array]):
+def _nll(params: Params, x: jax.Array, ctx: Optional[jax.Array],
+         m_tm: Optional[jax.Array] = None):
     """Mean per-frame negative log-likelihood + logits for metrics.
-    x: (B, T, F)."""
+    x: (B, T, F); m_tm: optional time-major frame mask (T, B)."""
     x_tm = jnp.swapaxes(x, 0, 1)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
     state = init_state(params, x.shape[:1])
     _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
     bv_t, bh_t = _biases(params, u_prev)
     ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)
-    return -jnp.mean(ll), (x_tm, bv_t, bh_t)
+    if m_tm is None:
+        return -jnp.mean(ll), (x_tm, bv_t, bh_t)
+    nll = -jnp.sum(ll * m_tm) / jnp.maximum(jnp.sum(m_tm), 1.0)
+    return nll, (x_tm, bv_t, bh_t)
 
 
 def loss(params: Params, key: jax.Array, x: jax.Array,
-         ctx: Optional[jax.Array] = None, detailed: bool = True):
+         ctx: Optional[jax.Array] = None, detailed: bool = True,
+         frame_mask: Optional[jax.Array] = None):
     """Exact NLL loss. ``key`` is unused (kept for the decoder contract).
     Returns (scalar_loss, metrics). ``detailed=False`` skips the extra
-    conditional-probability pass used for frame metrics (trainer hot path)."""
+    conditional-probability pass used for frame metrics (trainer hot path).
+    ``frame_mask`` (B, T) excludes padded frames (eval integrity)."""
     del key
-    nll, (x_tm, bv_t, bh_t) = _nll(params, x, ctx)
+    m_tm = (None if frame_mask is None
+            else jnp.swapaxes(frame_mask, 0, 1).astype(jnp.float32))
+    nll, (x_tm, bv_t, bh_t) = _nll(params, x, ctx, m_tm)
     if not detailed:
         return nll, {"loss": nll}
     # teacher-forced conditional probabilities for frame metrics
     logits = jax.lax.stop_gradient(nade_nn.conditionals_logits(
         x_tm, params.w, params.v, bv_t, bh_t))
     probs = jax.nn.sigmoid(logits)
-    metrics = frame_metrics(probs, x_tm)
+    metrics = frame_metrics(probs, x_tm, mask=m_tm)
     metrics["nll"] = nll
     metrics["loss"] = nll
     return nll, metrics
 
 
 def log_likelihood(params: Params, key: jax.Array, x: jax.Array,
-                   ctx: Optional[jax.Array] = None) -> jax.Array:
-    """EXACT per-sequence log-likelihood (B,), summed over time — the paper's
-    Table-1 quantity (reported per frame by dividing by T upstream)."""
+                   ctx: Optional[jax.Array] = None,
+                   frame_mask: Optional[jax.Array] = None) -> jax.Array:
+    """EXACT per-sequence log-likelihood (B,), summed over (real) time frames
+    — the paper's Table-1 quantity (reported per frame upstream)."""
     del key
     x_tm = jnp.swapaxes(x, 0, 1)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
@@ -132,6 +128,8 @@ def log_likelihood(params: Params, key: jax.Array, x: jax.Array,
     _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
     bv_t, bh_t = _biases(params, u_prev)
     ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)
+    if frame_mask is not None:
+        ll = ll * jnp.swapaxes(frame_mask, 0, 1).astype(ll.dtype)
     return jnp.sum(ll, axis=0)
 
 
@@ -141,13 +139,8 @@ log_likelihood_proxy = log_likelihood
 
 def prime(params: Params, state: State, x: jax.Array,
           ctx: Optional[jax.Array] = None) -> State:
-    cfg = params.cfg
-    x_tm = jnp.swapaxes(x, 0, 1)
-    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
-    final, _ = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
-                                   rnn_input(x_tm, ctx_tm),
-                                   remat=cfg.remat)
-    return State(cell=final, v_prev=x[:, -1, :])
+    """Advance the RNN state over a seed sequence x: (B, T, F)."""
+    return base.prime_state(State, params, state, x, ctx)
 
 
 def sample_step(params: Params, key: jax.Array, state: State,
@@ -169,20 +162,8 @@ def sample_step(params: Params, key: jax.Array, state: State,
 def generate(params: Params, key: jax.Array, state: State, n_steps: int,
              ctx: Optional[jax.Array] = None,
              k: Optional[int] = None) -> Tuple[State, jax.Array]:
-    """Autoregressive generation as ONE lax.scan program (T outer steps, D
-    inner sequential dims — the inner sweep is the Pallas fusion target)."""
-    del k
-    keys = jax.random.split(key, n_steps)
-    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
-
-    def body(st, inp):
-        if ctx_tm is None:
-            st, v = sample_step(params, inp, st, None)
-        else:
-            kk, c = inp
-            st, v = sample_step(params, kk, st, c)
-        return st, v
-
-    xs = keys if ctx_tm is None else (keys, ctx_tm)
-    final, vs = jax.lax.scan(body, state, xs)
-    return final, jnp.swapaxes(vs, 0, 1)
+    """Autoregressive generation as ONE lax.scan program. ctx: optional
+    (B, n_steps, C) precomputed per-step context (the feedback architecture
+    drives sample_step itself instead). Returns (state, v (B, n_steps, F))."""
+    return base.generate_scan(sample_step, params, key, state, n_steps,
+                              ctx, k)

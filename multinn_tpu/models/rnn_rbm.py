@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from flax import struct
 
+from multinn_tpu.models import base
 from multinn_tpu.models.base import DecoderConfig, rnn_input
 from multinn_tpu.nn import rbm as rbm_nn
 from multinn_tpu.nn import rnn as rnn_nn
@@ -69,35 +70,17 @@ def init(key: jax.Array, cfg: DecoderConfig) -> Params:
 
 
 def init_state(params: Params, batch_shape: Tuple[int, ...]) -> State:
-    cfg = params.cfg
-    return State(
-        cell=rnn_nn.stacked_zero_state(cfg.cell, batch_shape,
-                                       cfg.n_rnn, cfg.rnn_layers),
-        v_prev=jnp.zeros((*batch_shape, cfg.n_visible)),
-    )
+    return base.init_recurrent_state(State, params.cfg, batch_shape)
 
 
-def _scan_states(params: Params, state: State, x_tm: jax.Array
-                 ) -> Tuple[object, jax.Array]:
-    """Run the cell over time-major inputs; return (final_cell_state, u_prev)
-    where u_prev[t] = hidden state BEFORE consuming x[t] (bias conditioning
-    uses u(t-1) per the paper)."""
-    cfg = params.cfg
-    final, us = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
-                                    x_tm, remat=cfg.remat)
-    u0 = rnn_nn.state_h(state.cell[-1])
-    u_prev = jnp.concatenate([u0[None], us[:-1]], axis=0)   # (T, B, U)
-    return final, u_prev
-
-
-def _biases(params: Params, u_prev: jax.Array):
-    bv_t = params.bv + u_prev @ params.wuv
-    bh_t = params.bh + u_prev @ params.wuh
-    return bv_t, bh_t
+# shared plumbing (models/base.py) — one definition for both decoders
+_scan_states = base.scan_states
+_biases = base.conditioned_biases
 
 
 def loss(params: Params, key: jax.Array, x: jax.Array,
-         ctx: Optional[jax.Array] = None, detailed: bool = True):
+         ctx: Optional[jax.Array] = None, detailed: bool = True,
+         frame_mask: Optional[jax.Array] = None):
     """CD-k loss, teacher forced. x: (B, T, F); ctx: (B, T, C) or None.
 
     Returns (scalar_loss, metrics). Gradients flow into the RNN through the
@@ -115,46 +98,61 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
     bv_t, bh_t = _biases(params, u_prev)              # (T, B, F/H)
 
     k1, k2, k3 = jax.random.split(key, 3)
-    cd = gibbs_ops.cd_loss(k1, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k)
+    m_tm = (None if frame_mask is None
+            else jnp.swapaxes(frame_mask, 0, 1).astype(jnp.float32))
+
+    if m_tm is None:
+        cd = gibbs_ops.cd_loss(k1, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k)
+    else:
+        # masked CD: weighted mean of the per-position free-energy diffs
+        # (padded frames excluded — SURVEY §4 eval-integrity)
+        vk = jax.lax.stop_gradient(gibbs_ops.gibbs_chain(
+            k1, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k))
+        diffs = (rbm_nn.free_energy(x_tm, params.w, bv_t, bh_t)
+                 - rbm_nn.free_energy(vk, params.w, bv_t, bh_t))   # (T, B)
+        cd = jnp.sum(diffs * m_tm) / jnp.maximum(jnp.sum(m_tm), 1.0)
     if not detailed:
         return cd, {"loss": cd}
 
     # Monitoring: mean-field reconstruction + transduction frame metrics.
     recon = rbm_nn.reconstruction(k2, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k)
     recon = jax.lax.stop_gradient(recon)
-    metrics = frame_metrics(recon, x_tm)
+    metrics = frame_metrics(recon, x_tm, mask=m_tm)
     metrics["bce_recon"] = binary_cross_entropy(recon, x_tm)
-    metrics["free_energy"] = jnp.mean(
-        rbm_nn.free_energy(x_tm, params.w, bv_t, bh_t))
-    metrics["pll"] = jnp.mean(jax.lax.stop_gradient(
-        rbm_nn.pseudo_log_likelihood(k3, x_tm, params.w, bv_t, bh_t)))
+    fe = rbm_nn.free_energy(x_tm, params.w, bv_t, bh_t)
+    pll = jax.lax.stop_gradient(
+        rbm_nn.pseudo_log_likelihood(k3, x_tm, params.w, bv_t, bh_t))
+    if m_tm is None:
+        metrics["free_energy"] = jnp.mean(fe)
+        metrics["pll"] = jnp.mean(pll)
+    else:
+        denom = jnp.maximum(jnp.sum(m_tm), 1.0)
+        metrics["free_energy"] = jnp.sum(fe * m_tm) / denom
+        metrics["pll"] = jnp.sum(pll * m_tm) / denom
     metrics["loss"] = cd
     return cd, metrics
 
 
 def log_likelihood_proxy(params: Params, key: jax.Array, x: jax.Array,
-                         ctx: Optional[jax.Array] = None) -> jax.Array:
+                         ctx: Optional[jax.Array] = None,
+                         frame_mask: Optional[jax.Array] = None) -> jax.Array:
     """Per-sequence pseudo-LL (RBM LL is intractable; PLL is the eval proxy).
-    Returns (B,) summed over time."""
+    Returns (B,) summed over (real) time frames."""
     x_tm = jnp.swapaxes(x, 0, 1)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
     state = init_state(params, x.shape[:1])
     _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
     bv_t, bh_t = _biases(params, u_prev)
     pll = rbm_nn.pseudo_log_likelihood(key, x_tm, params.w, bv_t, bh_t)
+    if frame_mask is not None:
+        pll = pll * jnp.swapaxes(frame_mask, 0, 1).astype(pll.dtype)
     return jnp.sum(pll, axis=0)
 
 
 def prime(params: Params, state: State, x: jax.Array,
           ctx: Optional[jax.Array] = None) -> State:
     """Advance the RNN state over a seed sequence x: (B, T, F)."""
-    cfg = params.cfg
-    x_tm = jnp.swapaxes(x, 0, 1)
-    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
-    final, _ = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
-                                   rnn_input(x_tm, ctx_tm),
-                                   remat=cfg.remat)
-    return State(cell=final, v_prev=x[:, -1, :])
+    return base.prime_state(State, params, state, x, ctx)
 
 
 def sample_step(params: Params, key: jax.Array, state: State,
@@ -176,25 +174,8 @@ def sample_step(params: Params, key: jax.Array, state: State,
 def generate(params: Params, key: jax.Array, state: State, n_steps: int,
              ctx: Optional[jax.Array] = None,
              k: Optional[int] = None) -> Tuple[State, jax.Array]:
-    """Autoregressive generation as ONE lax.scan program.
-
-    ctx: optional (B, n_steps, C) precomputed per-step context (only valid
-    when context does not depend on generated frames — the feedback
-    architecture drives sample_step itself instead).
-    Returns (final_state, v_seq (B, n_steps, F)).
-    """
-    keys = jax.random.split(key, n_steps)
-    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
-
-    def body(st, inp):
-        if ctx_tm is None:
-            kk = inp
-            st, v = sample_step(params, kk, st, None, k)
-        else:
-            kk, c = inp
-            st, v = sample_step(params, kk, st, c, k)
-        return st, v
-
-    xs = keys if ctx_tm is None else (keys, ctx_tm)
-    final, vs = jax.lax.scan(body, state, xs)
-    return final, jnp.swapaxes(vs, 0, 1)
+    """Autoregressive generation as ONE lax.scan program. ctx: optional
+    (B, n_steps, C) precomputed per-step context (the feedback architecture
+    drives sample_step itself instead). Returns (state, v (B, n_steps, F))."""
+    return base.generate_scan(sample_step, params, key, state, n_steps,
+                              ctx, k)

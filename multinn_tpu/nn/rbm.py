@@ -80,7 +80,9 @@ def prob_v_given_h(h, w, bv):
 
 
 def _bernoulli(key: jax.Array, p: jax.Array) -> jax.Array:
-    """Sample {0,1} with probability p, in p's dtype (keeps matmuls fused)."""
+    """Framework-wide Bernoulli primitive (single definition; re-exported as
+    ops.sampling.bernoulli, which carries the RNG-contract docs — the import
+    points that way round to avoid an ops->nn->ops cycle)."""
     u = jax.random.uniform(key, p.shape, dtype=p.dtype)
     return (u < p).astype(p.dtype)
 

@@ -40,20 +40,24 @@ from multinn_tpu.ops.sampling import key_to_seed
 _MAX_VMEM_BYTES = 10 * 1024 * 1024
 
 
-def supported(cfg, batch: int, n_steps: int = 2048) -> bool:
+def supported(cfg, batch: int, n_steps: int = 2048,
+              gen_k: int = None) -> bool:
     """Gate for the auto-dispatch (see module docstring). The (n_steps*K, D)
-    roll output is VMEM-resident for the whole kernel, so n_steps is part of
-    the budget — over-budget requests fall back to the scan path instead of
-    failing at Mosaic compile time."""
+    roll output and the per-step (K*gen_k, H/D) RNG buffers are VMEM-resident
+    for the whole kernel, so n_steps and gen_k are part of the budget —
+    over-budget requests fall back to the scan path instead of failing at
+    Mosaic compile time."""
     if (batch != 1 or cfg.decoder_type != "rnn-rbm"
             or cfg.encoder_hidden or cfg.cell != "lstm"
             or cfg.rnn_layers != 1 or cfg.mode == "joint"):
         return False
     k, d, h, u = cfg.n_tracks, cfg.n_pitches, cfg.n_hidden, cfg.n_rnn
     c = cfg.ctx_dim()
+    gk = cfg.gen_k if gen_k is None else gen_k
     vmem = 4 * (k * d * h + k * u * d + k * u * h
                 + k * (d + c) * 4 * u + k * u * 4 * u
-                + n_steps * k * d)                   # roll output
+                + n_steps * k * d                    # roll output
+                + k * gk * (h + d))                  # per-step RNG buffers
     return vmem <= _MAX_VMEM_BYTES
 
 

@@ -17,9 +17,11 @@ import jax.numpy as jnp
 
 
 def bernoulli(key: jax.Array, p: jax.Array) -> jax.Array:
-    """Sample {0,1} in p's dtype (keeps downstream matmuls in one dtype)."""
-    u = jax.random.uniform(key, p.shape, dtype=p.dtype)
-    return (u < p).astype(p.dtype)
+    """Sample {0,1} in p's dtype (keeps downstream matmuls in one dtype).
+    Single definition lives in nn.rbm (this module re-exports it so the RNG
+    contract documentation has one import point without an import cycle)."""
+    from multinn_tpu.nn.rbm import _bernoulli
+    return _bernoulli(key, p)
 
 
 def key_to_seed(key: jax.Array) -> jax.Array:

@@ -22,9 +22,20 @@ import jax.numpy as jnp
 
 
 def frame_metrics(pred: jax.Array, target: jax.Array,
-                  threshold: float = 0.5) -> Dict[str, jax.Array]:
+                  threshold: float = 0.5,
+                  mask: jax.Array = None) -> Dict[str, jax.Array]:
+    """``mask``: optional frame-validity weights broadcastable to the inputs
+    minus the pitch axis (e.g. (T, B) against (T, B, D)) — padded frames are
+    excluded from every count."""
     p = (pred >= threshold).astype(jnp.float32)
     t = (target >= 0.5).astype(jnp.float32)
+    if mask is not None:
+        m = mask.astype(jnp.float32)[..., None]
+        p = p * m
+        t = t * m
+        n_cells = jnp.sum(m) * pred.shape[-1]
+    else:
+        n_cells = jnp.asarray(pred.size, jnp.float32)
     tp = jnp.sum(p * t)
     fp = jnp.sum(p * (1 - t))
     fn = jnp.sum((1 - p) * t)
@@ -33,7 +44,12 @@ def frame_metrics(pred: jax.Array, target: jax.Array,
     recall = tp / (tp + fn + eps)
     f1 = 2 * precision * recall / (precision + recall + eps)
     acc_td = tp / (tp + fp + fn + eps)          # transduction ACC
-    exact = jnp.mean((p == t).astype(jnp.float32))
+    if mask is not None:
+        agree = jnp.sum((p == t).astype(jnp.float32)
+                        * mask.astype(jnp.float32)[..., None])
+        exact = agree / jnp.maximum(n_cells, 1.0)
+    else:
+        exact = jnp.mean((p == t).astype(jnp.float32))
     return {
         "precision": precision,
         "recall": recall,

@@ -173,12 +173,16 @@ class Trainer:
     def _build_eval_step(self):
         explicit_pmean = self.mesh is not None and not self._gspmd
 
-        def eval_fn(params, batch, key):
-            loss, metrics = self._loss_fn(params, batch, key)
-            ll = multinn.log_likelihood(
-                params, key, batch.astype(jnp.float32))
-            t = batch.shape[1] * self.cfg.model.n_tracks
-            metrics["ll_per_frame"] = jnp.mean(ll) / t
+        def eval_fn(params, batch, key, mask):
+            k_loss, k_ll = jax.random.split(key)   # independent estimates
+            x = batch.astype(jnp.float32)
+            loss, metrics = multinn.loss(params, k_loss, x,
+                                         frame_mask=mask)
+            ll = multinn.log_likelihood(params, k_ll, x, frame_mask=mask)
+            n_frames = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+            metrics["ll_per_frame"] = (jnp.sum(ll)
+                                       / (n_frames * self.cfg.model.n_tracks))
+            metrics["n_frames"] = n_frames
             if explicit_pmean:
                 metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
             return metrics
@@ -186,18 +190,24 @@ class Trainer:
         if self.mesh is None or self._gspmd:
             return jax.jit(eval_fn)
 
-        def sharded(params, batch, key):
+        def sharded(params, batch, key, mask):
             key = jax.random.fold_in(
                 key, jax.lax.axis_index(mesh_mod.DATA_AXIS))
-            return eval_fn(params, batch, key)
+            return eval_fn(params, batch, key, mask)
 
         mapped = jax.shard_map(
             sharded, mesh=self.mesh,
-            in_specs=(P(), P(mesh_mod.DATA_AXIS), P()),
+            in_specs=(P(), P(mesh_mod.DATA_AXIS), P(), P(mesh_mod.DATA_AXIS)),
             out_specs=P(), check_vma=False)
         return jax.jit(mapped)
 
     def _put_batch(self, batch_u8: np.ndarray) -> jax.Array:
+        if self._gspmd and batch_u8.ndim == 2:        # (B, T) frame masks
+            n_data = self.mesh.shape[mesh_mod.DATA_AXIS]
+            spec = (mesh_mod.P(mesh_mod.DATA_AXIS)
+                    if batch_u8.shape[0] % n_data == 0 else mesh_mod.P())
+            return jax.device_put(batch_u8,
+                                  mesh_mod.NamedSharding(self.mesh, spec))
         if self._gspmd:
             batch_axis = 1 if batch_u8.ndim == 5 else 0
             n_data = self.mesh.shape[mesh_mod.DATA_AXIS]
@@ -405,8 +415,9 @@ class Trainer:
         explicit_shard_map = self.mesh is not None and not self._gspmd
         n_data = (self.mesh.shape[mesh_mod.DATA_AXIS]
                   if self.mesh is not None else 1)
-        for batch in self.dataset.batches(split, shuffle=False,
-                                          drop_remainder=False):
+        for batch, mask in self.dataset.batches(split, shuffle=False,
+                                                drop_remainder=False,
+                                                with_masks=True):
             if explicit_shard_map and len(batch) % n_data:
                 # shard_map requires exact sharding; skip the short tail
                 # (the default gspmd path evaluates it replicated instead)
@@ -416,8 +427,9 @@ class Trainer:
                 continue
             key, k = jax.random.split(key)
             m = jax.device_get(self._eval_step(
-                self.params, self._put_batch(batch), k))
-            w = len(batch)
+                self.params, self._put_batch(batch), k,
+                self._put_batch(mask)))
+            w = float(np.asarray(m.pop("n_frames")))   # real frames
             for name, v in m.items():
                 a = np.asarray(v)
                 if a.ndim == 0:

@@ -164,3 +164,39 @@ def test_npz_loader(tmp_path):
                                  batch_size=2, splits=(0.5, 0.25, 0.25))
     ds = Dataset(cfg)
     assert ds.windows["train"].shape[1:] == (8, 1, 88)
+
+
+def test_chop_windows_masked():
+    roll = np.ones((10, 1, 4), np.uint8)
+    w, m = pr.chop_windows_masked(roll, window=4)
+    assert w.shape == (3, 4, 1, 4) and m.shape == (3, 4)
+    np.testing.assert_array_equal(m[0], [1, 1, 1, 1])
+    np.testing.assert_array_equal(m[2], [1, 1, 0, 0])   # 2 real frames
+    # short roll: single padded window
+    w2, m2 = pr.chop_windows_masked(roll[:3], window=8)
+    assert w2.shape == (1, 8, 1, 4)
+    np.testing.assert_array_equal(m2[0], [1, 1, 1, 0, 0, 0, 0, 0])
+
+
+def test_dataset_masks_align_with_windows():
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=4,
+                                 synthetic_steps=100, window=64,
+                                 batch_size=2)
+    ds = Dataset(cfg)
+    for split in ("train", "valid", "test"):
+        assert ds.masks[split].shape == ds.windows[split].shape[:2]
+        # padded frames must be all-zero in the windows
+        w, m = ds.windows[split], ds.masks[split]
+        assert w[m == 0].sum() == 0
+    # batches with masks
+    b, mk = next(iter(ds.batches("train", with_masks=True)))
+    assert b.shape[:2] == mk.shape
+
+
+def test_preset_source_defaults():
+    """Non-synthetic presets must NOT silently fall back to synthetic data."""
+    assert DataConfig.from_preset("jsb").source == "pickle"
+    assert DataConfig.from_preset("lpd5").source == "midi_dir"
+    assert DataConfig.from_preset("synthetic").source == "synthetic"
+    with pytest.raises(ValueError):
+        Dataset(DataConfig.from_preset("lpd5"))   # no path -> loud failure
