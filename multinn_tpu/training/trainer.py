@@ -458,7 +458,14 @@ class Trainer:
                               time.time() - t0,
                               format_metrics(ev, ("loss", "f1",
                                                   "ll_per_frame")))
-                valid_loss = float(ev.get("loss", np.inf))
+                # Model selection / early stopping use the per-frame
+                # (pseudo-)log-likelihood, NOT the raw training loss: the CD
+                # surrogate is not a likelihood and can decrease unboundedly
+                # as weights grow, which would always select the first epoch.
+                if "ll_per_frame" in ev:
+                    valid_loss = -float(ev["ll_per_frame"])
+                else:
+                    valid_loss = float(ev.get("loss", np.inf))
                 self.save_checkpoint(metrics={"valid_loss": valid_loss})
                 if valid_loss < self.best_valid - 1e-6:
                     self.best_valid = valid_loss

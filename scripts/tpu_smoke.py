@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Hardware smoke check (run manually on a real TPU; the pytest suite runs on
+a CPU mesh and cannot catch Mosaic-only lowering issues):
+
+    python scripts/tpu_smoke.py
+
+Compiles + runs every TPU-only path: both Pallas sampling kernels, both
+whole-generation fused kernels (feedback + per-track), a fused multi-step
+train program, and a single-chip eval step. Prints one PASS/FAIL line per
+item; exits nonzero on any failure. Budget ~5-10 min (first-compile cold
+start; see BASELINE.md notes).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print(f"SKIP: backend is {jax.default_backend()}, not tpu")
+        return 0
+
+    from multinn_tpu.models import multinn
+    from multinn_tpu.models.multinn import MultINNConfig
+    from multinn_tpu.nn import nade as nade_nn, rbm as rbm_nn
+    from multinn_tpu.ops import gibbs_pallas, nade_pallas
+
+    failures = []
+
+    def check(name, fn):
+        t0 = time.time()
+        try:
+            fn()
+            print(f"PASS {name} ({time.time() - t0:.1f}s)", flush=True)
+        except Exception:
+            failures.append(name)
+            print(f"FAIL {name}", flush=True)
+            traceback.print_exc()
+
+    def gibbs_kernel():
+        p = rbm_nn.init(jax.random.PRNGKey(0), 84, 150, w_std=0.3)
+        v0 = jax.random.bernoulli(jax.random.PRNGKey(1), 0.2,
+                                  (512, 84)).astype(jnp.float32)
+        vk = gibbs_pallas.gibbs_chain(jax.random.PRNGKey(2), v0, p.w, p.bv,
+                                      p.bh, k=5)
+        assert 0.0 < float(vk.mean()) < 1.0
+
+    def nade_kernel():
+        p = nade_nn.init(jax.random.PRNGKey(0), 84, 150, w_std=0.2)
+        xs = nade_pallas.sample(jax.random.PRNGKey(1), p.w, p.v, p.bv, p.bh,
+                                batch_shape=(8,))
+        assert xs.shape == (8, 84)
+
+    def fused(dec, mode):
+        def run():
+            cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode=mode,
+                                decoder_type=dec, n_hidden=150, n_rnn=100,
+                                cd_k=1, gen_k=10)
+            params = multinn.init(jax.random.PRNGKey(0), cfg)
+            st = multinn.init_state(params, 1)
+            _, roll = multinn.generate(params, jax.random.PRNGKey(1), st,
+                                       128, fused=True)
+            jax.block_until_ready(roll)
+            assert roll.shape == (1, 128, 5, 84)
+        return run
+
+    def train_multi():
+        from multinn_tpu.data.datasets import DataConfig
+        from multinn_tpu.training.trainer import Trainer
+        from multinn_tpu.utils import config as cfg_mod
+        import numpy as np
+        import tempfile
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = cfg_mod.ExperimentConfig(
+                name="smoke",
+                data=DataConfig.from_preset("synthetic", synthetic_songs=8,
+                                            synthetic_steps=64, window=16,
+                                            batch_size=4),
+                model=MultINNConfig(n_tracks=5, n_pitches=84,
+                                    mode="feedback", decoder_type="rnn-rbm",
+                                    n_hidden=64, n_rnn=64, gen_k=3),
+                train=cfg_mod.TrainConfig(epochs=1, steps_per_call=2,
+                                          ckpt_every_steps=0, run_dir=tmp),
+            ).validate()
+            t = Trainer(cfg)
+            t.train_epoch()
+            ev = t.evaluate("valid")
+            assert np.isfinite(ev["loss"])
+            t.close()
+
+    check("pallas_gibbs_chain", gibbs_kernel)
+    check("pallas_nade_sweep", nade_kernel)
+    check("fused_gen_rbm_feedback", fused("rnn-rbm", "feedback"))
+    check("fused_gen_rbm_per_track", fused("rnn-rbm", "per-track"))
+    check("fused_gen_nade_feedback", fused("rnn-nade", "feedback"))
+    check("train_multistep_and_masked_eval", train_multi)
+
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}")
+        return 1
+    print("\nALL TPU SMOKE CHECKS PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
