@@ -39,16 +39,11 @@ def main(argv=None) -> int:
     from multinn_tpu.utils.platform import apply_platform_env
     apply_platform_env()
     from multinn_tpu.utils import config as cfg_mod
-    cfg_path = args.config or os.path.join(args.run or "", "config.json")
-    if not os.path.exists(cfg_path):
-        print(f"config not found: {cfg_path}", file=sys.stderr)
+    try:
+        cfg = cfg_mod.load_run_config(args.run, args.config, overrides)
+    except FileNotFoundError as e:
+        print(e, file=sys.stderr)
         return 2
-    cfg = cfg_mod.load_json(cfg_path)
-    if args.run:
-        cfg = cfg_mod.apply_overrides(cfg, [f"train.run_dir={args.run}"])
-    if overrides:
-        cfg = cfg_mod.apply_overrides(cfg, overrides)
-    cfg = cfg.validate()
 
     import jax
     from multinn_tpu.data.datasets import Dataset

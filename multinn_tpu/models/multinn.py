@@ -137,6 +137,12 @@ def _encode_tracks(params: MultINNParams, x: jax.Array) -> jax.Array:
     return jax.vmap(enc_mod.encode)(params.encoder, xk)
 
 
+def _flatten_latents(vs: jax.Array) -> jax.Array:
+    """Track-major latents (K, B, F) -> feedback-context rows (B, K*F)."""
+    k, b, f = vs.shape
+    return jnp.moveaxis(vs, 0, 1).reshape(b, k * f)
+
+
 def _feedback_ctx(feats_k: jax.Array) -> jax.Array:
     """Teacher-forced feedback context: concat latents of all tracks at t-1.
     feats_k: (K, B, T, F) -> ctx (B, T, K·F) with zeros at t=0."""
@@ -248,9 +254,8 @@ def prime(params: MultINNParams, state: MultINNState,
         states = jax.vmap(
             lambda p, st, xx: dec.prime(p, st, xx, ctx=ctx_seq)
         )(params.decoder, state.decoder, feats_k)
-        kk, b, t, f = feats_k.shape
-        last_ctx = jnp.moveaxis(feats_k[:, :, -1], 0, 1).reshape(b, kk * f)
-        return MultINNState(decoder=states, ctx=last_ctx)
+        return MultINNState(decoder=states,
+                            ctx=_flatten_latents(feats_k[:, :, -1]))
     states = jax.vmap(
         lambda p, st, xx: dec.prime(p, st, xx)
     )(params.decoder, state.decoder, feats_k)
@@ -277,9 +282,8 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
         states, vs = jax.vmap(
             lambda p, kk, st: dec.sample_step(p, kk, st, ctx=state.ctx, k=k)
         )(params.decoder, keys, state.decoder)           # vs: (K, B, F)
-        k, b, f = vs.shape
-        new_ctx = jnp.moveaxis(vs, 0, 1).reshape(b, k * f)
-        new_state = MultINNState(decoder=states, ctx=new_ctx)
+        new_state = MultINNState(decoder=states,
+                                 ctx=_flatten_latents(vs))
         rolls = enc_mod.decode(params.encoder, vs)       # shared decode
     else:
         states, vs = jax.vmap(
@@ -349,8 +353,5 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
     v_last = roll[-1][:, None, :]                        # (K, 1, D)
     new_dec = state_cls(
         cell=(rnn_nn.LSTMState(h=h_f, c=c_f),), v_prev=v_last)
-    ctx = None
-    if cfg.mode == "feedback":
-        k, _, dd = v_last.shape
-        ctx = jnp.moveaxis(v_last, 0, 1).reshape(1, k * dd)
+    ctx = (_flatten_latents(v_last) if cfg.mode == "feedback" else None)
     return MultINNState(decoder=new_dec, ctx=ctx), roll[None]   # (1,T,K,D)

@@ -336,7 +336,12 @@ class Trainer:
         self.params, self.opt_state = params, opt_state
         return trace_dir
 
-    def _post_step(self, metrics, timer, n_steps: int) -> Dict[str, Any]:
+    def _post_step(self, metrics, timing, n_steps: int) -> Dict[str, Any]:
+        """timing: [last_logged_step, last_log_walltime]. Steps/sec comes
+        from wall time between log events — the loop itself NEVER blocks on
+        device results (a per-step block would serialize dispatch, which
+        costs ~30 ms/step on tunneled TPUs; metrics are fetched only on log
+        boundaries, where device_get provides the only synchronization)."""
         cfg = self.cfg.train
         prev = self.step
         self.step += n_steps
@@ -346,7 +351,10 @@ class Trainer:
             raise FaultInjected(f"fault injected at step {self.step}")
         if prev // cfg.log_every_steps != self.step // cfg.log_every_steps:
             metrics = jax.device_get(metrics)
-            metrics["steps_per_sec"] = n_steps / max(timer.mean, 1e-9)
+            now = time.time()
+            window = max(now - timing[1], 1e-9)
+            metrics["steps_per_sec"] = (self.step - timing[0]) / window
+            timing[0], timing[1] = self.step, now
             self.metrics_log.log(self.step, metrics, "train")
             self.log.info("step %d %s", self.step,
                           format_metrics(metrics,
@@ -357,38 +365,33 @@ class Trainer:
                 prev // cfg.ckpt_every_steps
                 != self.step // cfg.ckpt_every_steps):
             self.save_checkpoint()
-        timer.lap(jax.tree.leaves(metrics)[0])
         return out
 
     def train_epoch(self) -> Dict[str, float]:
         cfg = self.cfg.train
-        timer = profiling.StepTimer()
-        timer.start()
+        timing = [self.step, time.time()]    # [last_logged_step, walltime]
         last_metrics: Dict[str, Any] = {}
         spc = max(cfg.steps_per_call, 1)
-        pending: list = []
 
-        def flush_pending():
+        def run_single(batch):
             nonlocal last_metrics
-            while pending:
-                batch = pending.pop(0)
-                self.rng, key = jax.random.split(self.rng)
-                log_step = ((self.step + 1) % cfg.log_every_steps == 0)
-                step_fn = (self._train_step_detailed if log_step
-                           else self._train_step)
-                self.params, self.opt_state, metrics = step_fn(
-                    self.params, self.opt_state, self._put_batch(batch), key)
-                m = self._post_step(metrics, timer, 1)
-                if m:
-                    last_metrics = m
+            self.rng, key = jax.random.split(self.rng)
+            log_step = ((self.step + 1) % cfg.log_every_steps == 0)
+            step_fn = (self._train_step_detailed if log_step
+                       else self._train_step)
+            self.params, self.opt_state, metrics = step_fn(
+                self.params, self.opt_state, self._put_batch(batch), key)
+            m = self._post_step(metrics, timing, 1)
+            if m:
+                last_metrics = m
 
         # if a fault is scheduled, run single-step so it fires at the exact
         # step (§5.3 CI contract); otherwise fuse spc steps per dispatch
         fuse = self._train_multi is not None and cfg.fault_inject_step <= 0
+        pending: list = []
         for batch in self.dataset.batches("train", epoch=self.epoch):
             if not fuse:
-                pending.append(batch)
-                flush_pending()
+                run_single(batch)
                 continue
             pending.append(batch)
             if len(pending) == spc:
@@ -398,10 +401,11 @@ class Trainer:
                 self.params, self.opt_state, metrics = self._train_multi(
                     self.params, self.opt_state,
                     self._put_batch(stacked), key)
-                m = self._post_step(metrics, timer, spc)
+                m = self._post_step(metrics, timing, spc)
                 if m:
                     last_metrics = m
-        flush_pending()                      # leftover < spc: single steps
+        for batch in pending:                # leftover < spc: single steps
+            run_single(batch)
         return last_metrics
 
     def evaluate(self, split: str = "valid") -> Dict[str, float]:

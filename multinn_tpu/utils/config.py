@@ -162,6 +162,23 @@ def save_json(cfg: ExperimentConfig, path: str) -> None:
         f.write("\n")
 
 
+def load_run_config(run_dir, config_path, overrides):
+    """Resolve an ExperimentConfig for the generate/evaluate CLIs: explicit
+    --config wins, else <run_dir>/config.json; applies --a.b=c overrides and
+    pins train.run_dir to the run dir. Raises FileNotFoundError if absent."""
+    import os
+    path = config_path or os.path.join(run_dir or "", "config.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"config not found: {path}")
+    cfg = load_json(path)
+    ovs = list(overrides or [])
+    if run_dir:
+        ovs.insert(0, f"train.run_dir={run_dir}")
+    if ovs:
+        cfg = apply_overrides(cfg, ovs)
+    return cfg.validate()
+
+
 def apply_overrides(cfg: ExperimentConfig,
                     overrides: List[str]) -> ExperimentConfig:
     """Apply CLI ``a.b.c=value`` dot-path overrides (leading ``--`` allowed).
