@@ -235,6 +235,18 @@ class Dataset:
         self.cfg = cfg
         spec = cfg.spec()
         presplit: Optional[Dict[str, List[np.ndarray]]] = None
+        if cfg.source != "synthetic":
+            # Loud failure, not a silent fallback: an empty path would glob
+            # the CWD (midi_dir) or crash confusingly (npz/pickle), silently
+            # training on whatever .mid files happen to be lying around.
+            if not cfg.path:
+                raise ValueError(
+                    f"data source '{cfg.source}' (dataset "
+                    f"'{cfg.dataset}') requires data.path — none given")
+            if not os.path.exists(cfg.path):
+                raise ValueError(
+                    f"data.path {cfg.path!r} does not exist "
+                    f"(source '{cfg.source}', dataset '{cfg.dataset}')")
         if cfg.source == "synthetic":
             rolls = synthetic_corpus(cfg)
         elif cfg.source == "midi_dir":
