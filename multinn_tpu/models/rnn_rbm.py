@@ -118,7 +118,7 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
     recon = rbm_nn.reconstruction(k2, x_tm, params.w, bv_t, bh_t, k=cfg.cd_k)
     recon = jax.lax.stop_gradient(recon)
     metrics = frame_metrics(recon, x_tm, mask=m_tm)
-    metrics["bce_recon"] = binary_cross_entropy(recon, x_tm)
+    metrics["bce_recon"] = binary_cross_entropy(recon, x_tm, mask=m_tm)
     fe = rbm_nn.free_energy(x_tm, params.w, bv_t, bh_t)
     pll = jax.lax.stop_gradient(
         rbm_nn.pseudo_log_likelihood(k3, x_tm, params.w, bv_t, bh_t))

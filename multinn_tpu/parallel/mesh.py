@@ -38,9 +38,16 @@ class MeshConfig:
       * "gspmd"     — params/batch are device_put with NamedShardings and the
         jitted global-view step is partitioned by XLA's SPMD propagation;
         supports data × track simultaneously (the feedback architecture's
-        per-step latent all-gather is inserted by the partitioner).
-      * "shard_map" — explicit per-shard code with manual pmean of grads
-        (data axis only; the fully-explicit collective path of SURVEY §5.8).
+        per-step latent all-gather is inserted by the partitioner). This is
+        the default and the only style that shards the track axis.
+      * "shard_map" — the fully-explicit collective path of SURVEY §5.8:
+        per-shard code with hand-written pmean of grads and psum of eval
+        sums over the data axis. Feature parity with gspmd for DP training
+        (incl. fused multi-step programs and exact short-tail eval via
+        zero-mask padding); track sharding deliberately stays gspmd-only —
+        the cross-track feedback gather is exactly what SPMD propagation is
+        for, and duplicating it by hand would be a second implementation of
+        the model's coupling semantics.
     """
 
     use_mesh: bool = False

@@ -59,9 +59,16 @@ def frame_metrics(pred: jax.Array, target: jax.Array,
     }
 
 
-def binary_cross_entropy(probs: jax.Array, target: jax.Array) -> jax.Array:
-    """Mean per-frame BCE (the reference's reconstruction-loss proxy)."""
+def binary_cross_entropy(probs: jax.Array, target: jax.Array,
+                         mask: jax.Array = None) -> jax.Array:
+    """Mean per-frame BCE (the reference's reconstruction-loss proxy).
+    ``mask``: optional frame-validity weights (shape = inputs minus the pitch
+    axis) — padded frames are excluded from the mean."""
     eps = 1e-7
     probs = jnp.clip(probs, eps, 1 - eps)
     ce = -(target * jnp.log(probs) + (1 - target) * jnp.log(1 - probs))
-    return jnp.mean(jnp.sum(ce, axis=-1))
+    per_frame = jnp.sum(ce, axis=-1)
+    if mask is None:
+        return jnp.mean(per_frame)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(per_frame * m) / jnp.maximum(jnp.sum(m), 1.0)

@@ -147,31 +147,68 @@ class Trainer:
         """N optimizer steps fused into one device program: lax.scan over a
         stacked (N, B, T, K, D) super-batch. Removes the per-dispatch host
         overhead that dominates single-step execution on tunneled TPUs (the
-        in-program step is ~20x faster than a per-step host loop here)."""
+        in-program step is ~20x faster than a per-step host loop here).
+
+        The first N-1 steps run the loss-only hot path; the LAST step runs
+        with detailed metrics + grad_norm, so the metrics ledger keeps full
+        observability (f1/free-energy/grad-norm) under steps_per_call>1."""
         opt = self.optimizer
+        explicit_pmean = self.mesh is not None and not self._gspmd
+
+        def one_step(p, s, batch, k, detailed):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda q, b, kk: self._loss_fn(q, b, kk, detailed),
+                has_aux=True)(p, batch, k)
+            if explicit_pmean:
+                grads = jax.lax.pmean(grads, mesh_mod.DATA_AXIS)
+                metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
+            updates, s = opt.update(grads, s, p)
+            if detailed:
+                metrics["grad_norm"] = optax.global_norm(grads)
+            return optax.apply_updates(p, updates), s, metrics
 
         def multi_fn(params, opt_state, batches, key):
             n = batches.shape[0]
+            keys = jax.random.split(key, n)
 
             def body(carry, inp):
                 p, s = carry
                 batch, k = inp
-                (loss, _), grads = jax.value_and_grad(
-                    lambda q, b, kk: self._loss_fn(q, b, kk, False),
-                    has_aux=True)(p, batch, k)
-                updates, s = opt.update(grads, s, p)
-                return (optax.apply_updates(p, updates), s), loss
+                p, s, metrics = one_step(p, s, batch, k, False)
+                return (p, s), metrics["loss"]
 
-            keys = jax.random.split(key, n)
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (batches, keys))
-            return params, opt_state, {"loss": losses[-1],
-                                       "loss_mean": jnp.mean(losses)}
+            losses = jnp.zeros((0,))
+            if n > 1:
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (batches[:-1], keys[:-1]))
+            params, opt_state, metrics = one_step(
+                params, opt_state, batches[-1], keys[-1], True)
+            metrics["loss_mean"] = (jnp.sum(losses) + metrics["loss"]) / n
+            return params, opt_state, metrics
 
-        return jax.jit(multi_fn, donate_argnums=(0, 1))
+        if self.mesh is None or self._gspmd:
+            return jax.jit(multi_fn, donate_argnums=(0, 1))
+
+        def sharded(params, opt_state, batches, key):
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(mesh_mod.DATA_AXIS))
+            return multi_fn(params, opt_state, batches, key)
+
+        mapped = jax.shard_map(
+            sharded, mesh=self.mesh,
+            in_specs=(P(), P(), P(None, mesh_mod.DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+        return jax.jit(mapped, donate_argnums=(0, 1))
 
     def _build_eval_step(self):
-        explicit_pmean = self.mesh is not None and not self._gspmd
+        """Returns FRAME-WEIGHTED metric sums plus ``n_frames`` (the weight),
+        so the host can aggregate exactly across batches of different real-
+        frame counts. Under shard_map the per-shard weighted sums are psum'd
+        — shards with different masked-tail frame counts contribute exactly
+        their frames (pmean of per-shard means would bias toward light
+        shards)."""
+        explicit_sm = self.mesh is not None and not self._gspmd
 
         def eval_fn(params, batch, key, mask):
             k_loss, k_ll = jax.random.split(key)   # independent estimates
@@ -179,13 +216,15 @@ class Trainer:
             loss, metrics = multinn.loss(params, k_loss, x,
                                          frame_mask=mask)
             ll = multinn.log_likelihood(params, k_ll, x, frame_mask=mask)
-            n_frames = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+            n_frames = jnp.sum(mask.astype(jnp.float32))       # raw weight
+            denom = jnp.maximum(n_frames, 1.0)
             metrics["ll_per_frame"] = (jnp.sum(ll)
-                                       / (n_frames * self.cfg.model.n_tracks))
-            metrics["n_frames"] = n_frames
-            if explicit_pmean:
-                metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
-            return metrics
+                                       / (denom * self.cfg.model.n_tracks))
+            weighted = {name: v * n_frames for name, v in metrics.items()}
+            weighted["n_frames"] = n_frames
+            if explicit_sm:
+                weighted = jax.lax.psum(weighted, mesh_mod.DATA_AXIS)
+            return weighted
 
         if self.mesh is None or self._gspmd:
             return jax.jit(eval_fn)
@@ -221,6 +260,9 @@ class Trainer:
                 self.mesh, self.track_sharded,
                 stacked=(batch_u8.ndim == 5)))
         if self.mesh is not None:
+            if batch_u8.ndim == 5:            # (N, B, ...) super-batch
+                return jax.device_put(batch_u8, mesh_mod.NamedSharding(
+                    self.mesh, P(None, mesh_mod.DATA_AXIS)))
             return mesh_mod.put_data_sharded(batch_u8, self.mesh)
         return jnp.asarray(batch_u8)
 
@@ -409,12 +451,20 @@ class Trainer:
         return last_metrics
 
     def evaluate(self, split: str = "valid") -> Dict[str, float]:
-        """Window-weighted metrics over the split. The tail batch is short,
-        never padded (padding would average fabricated all-zero windows into
-        the losses that drive early stopping / best-checkpoint selection);
-        the distinct tail shape costs one extra eval compile."""
-        sums: Dict[str, float] = {}
-        n_windows = 0
+        """Frame-weighted metrics over the split (the eval step returns
+        frame-weighted sums; this divides by the total real-frame count).
+        The tail batch is short, never zero-FRAME-padded into the averages:
+        under gspmd it evaluates replicated at its own shape; under shard_map
+        it is padded to the mesh's data width with zero-MASK windows, which
+        contribute exactly zero frames and zero weighted sums (loss/metrics
+        are mask-aware), so both paths are exact for metrics linear in
+        frames (losses, LL). Ratio metrics (f1/precision/recall) are frame-
+        weighted averages whose granularity is per-batch here and
+        additionally per-shard under shard_map (micro-vs-macro averaging). Per-track vector metrics
+        (e.g. ``loss_per_track``) are expanded to ``<name>_k`` entries —
+        multi-track health stays visible at eval (SURVEY C15)."""
+        sums: Dict[str, np.ndarray] = {}
+        n_frames_total = 0.0
         key = jax.random.PRNGKey(self.cfg.train.seed + 1000 + self.epoch)
         explicit_shard_map = self.mesh is not None and not self._gspmd
         n_data = (self.mesh.shape[mesh_mod.DATA_AXIS]
@@ -423,23 +473,29 @@ class Trainer:
                                                 drop_remainder=False,
                                                 with_masks=True):
             if explicit_shard_map and len(batch) % n_data:
-                # shard_map requires exact sharding; skip the short tail
-                # (the default gspmd path evaluates it replicated instead)
-                self.log.warning(
-                    "eval: dropping %d tail windows (shard_map mesh needs "
-                    "batch %% %d == 0)", len(batch), n_data)
-                continue
+                pad = n_data - (len(batch) % n_data)
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
+                mask = np.concatenate(
+                    [mask, np.zeros((pad, *mask.shape[1:]), mask.dtype)])
             key, k = jax.random.split(key)
             m = jax.device_get(self._eval_step(
                 self.params, self._put_batch(batch), k,
                 self._put_batch(mask)))
-            w = float(np.asarray(m.pop("n_frames")))   # real frames
+            n_frames_total += float(np.asarray(m.pop("n_frames")))
             for name, v in m.items():
                 a = np.asarray(v)
-                if a.ndim == 0:
-                    sums[name] = sums.get(name, 0.0) + float(a) * w
-            n_windows += w
-        return {k: v / max(n_windows, 1) for k, v in sums.items()}
+                if a.ndim <= 1:
+                    sums[name] = sums.get(name, 0.0) + a
+        denom = max(n_frames_total, 1.0)
+        out: Dict[str, float] = {}
+        for name, v in sums.items():
+            if np.ndim(v) == 0:
+                out[name] = float(v) / denom
+            else:
+                for i, vi in enumerate(np.asarray(v)):
+                    out[f"{name}_{i}"] = float(vi) / denom
+        return out
 
     def train(self) -> Dict[str, float]:
         cfg = self.cfg.train

@@ -70,11 +70,6 @@ class ExperimentConfig:
             raise ValueError(
                 f"model.n_pitches={self.model.n_pitches} != data pitch range "
                 f"{self.data.n_pitches}")
-        if (self.train.steps_per_call > 1 and self.mesh.use_mesh
-                and self.mesh.style == "shard_map"):
-            raise ValueError(
-                "steps_per_call>1 requires mesh.style=gspmd (the shard_map "
-                "path has no multi-step program)")
         if self.mesh.use_mesh and self.mesh.track > 1:
             if self.mesh.style != "gspmd":
                 raise ValueError("track sharding requires mesh.style=gspmd")

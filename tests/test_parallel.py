@@ -136,6 +136,47 @@ def test_invalid_mesh_configs(tmp_path):
         exp_cfg(tmp_path, MeshConfig(use_mesh=True, track=2), mode="joint")
 
 
+@pytest.mark.parametrize("style", ["gspmd", "shard_map"])
+def test_eval_matches_single_device_with_short_tail(tmp_path, style):
+    """evaluate() must be exact under a mesh even when the split has a short
+    tail batch and unequal per-shard real-frame counts: the shard_map path
+    zero-mask-pads to the mesh width and psums frame-weighted sums (pmean of
+    per-shard means would bias toward light shards). NADE losses/LL are
+    key-independent, so mesh and single-device results must agree."""
+    # synthetic_steps=36, window=8 -> 4 full + 1 masked tail window per song;
+    # batch_size=8 over 9 valid windows leaves a 1-window tail batch.
+    def mk(mesh, name):
+        data = DataConfig.from_preset("synthetic", n_tracks=2, pitch_min=40,
+                                      pitch_max=63, window=8, batch_size=8,
+                                      synthetic_songs=10, synthetic_steps=36)
+        model = MultINNConfig(n_tracks=2, n_pitches=24, mode="per-track",
+                              decoder_type="rnn-nade", n_hidden=12, n_rnn=8,
+                              gen_k=2)
+        train = cfg_mod.TrainConfig(epochs=1, ckpt_every_steps=0,
+                                    run_dir=str(tmp_path / name))
+        return cfg_mod.ExperimentConfig(name=name, data=data, model=model,
+                                        train=train, mesh=mesh).validate()
+
+    t_single = Trainer(mk(MeshConfig(use_mesh=False), "ev_s"))
+    t_mesh = Trainer(mk(MeshConfig(use_mesh=True, style=style),
+                        f"ev_{style}"))
+    ev_s = t_single.evaluate("valid")
+    ev_m = t_mesh.evaluate("valid")
+    assert ev_s.keys() == ev_m.keys()
+    assert "loss_per_track_0" in ev_s          # per-track health visible
+    # linear-in-frames metrics are exact across sharding
+    for name in ("loss", "ll_per_frame", "loss_per_track_0", "bce_recon"
+                 if "bce_recon" in ev_s else "loss"):
+        np.testing.assert_allclose(ev_s[name], ev_m[name], rtol=1e-4,
+                                   err_msg=name)
+    # ratio metrics (f1 etc.) are frame-weighted averages of per-shard
+    # ratios under shard_map vs per-batch ratios single-device (micro vs
+    # macro granularity) — close but not bit-equal by construction
+    np.testing.assert_allclose(ev_s["f1"], ev_m["f1"], rtol=2e-2)
+    t_single.close()
+    t_mesh.close()
+
+
 def test_mesh_sharded_generation_matches_single_device(tmp_path):
     """Generation batch-sharded over the data axis must equal single-device
     generation bit-for-bit (same keys, GSPMD is semantics-preserving)."""
