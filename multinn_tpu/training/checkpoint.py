@@ -21,19 +21,32 @@ class Checkpointer:
                  keep_best: bool = True):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # Genuinely last-N ∪ best-1 (union preservation policy). The naive
+        # (max_to_keep + best_fn) combination keeps the best-N instead of the
+        # last-N, and keep_checkpoints_without_metrics=True makes every
+        # metric-less periodic save immortal — unbounded disk growth on long
+        # runs.
+        from orbax.checkpoint import checkpoint_managers as cm
+        pp = cm.preservation_policy
+        policies = [pp.LatestN(keep_last)]
+        if keep_best:
+            policies.append(pp.BestN(
+                get_metric_fn=lambda m: -float(m["valid_loss"]), n=1,
+                keep_checkpoints_without_metrics=False))
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=keep_last,
+            preservation_policy=pp.AnyPreservationPolicy(policies),
             best_fn=(lambda m: m["valid_loss"]) if keep_best else None,
             best_mode="min" if keep_best else None,
-            keep_checkpoints_without_metrics=True,
             enable_async_checkpointing=True,
         )
         self._mngr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Dict[str, Any],
-             metrics: Optional[Dict[str, float]] = None) -> None:
-        self._mngr.save(step, args=ocp.args.StandardSave(state),
-                        metrics=metrics)
+             metrics: Optional[Dict[str, float]] = None) -> bool:
+        """Returns orbax's decision: False means the save was refused
+        (e.g. the step already exists) — callers should surface that."""
+        return self._mngr.save(step, args=ocp.args.StandardSave(state),
+                               metrics=metrics)
 
     def wait(self) -> None:
         self._mngr.wait_until_finished()

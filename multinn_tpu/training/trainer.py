@@ -85,8 +85,12 @@ class Trainer:
 
         self.step = 0
         self.epoch = 0
+        self.epoch_step0 = 0   # global step at the START of the current
+        # epoch: step - epoch_step0 = batches already consumed this epoch
+        # (the within-epoch data cursor — SURVEY §5.4 data_epoch_state)
         self.best_valid = float("inf")
         self._bad_epochs = 0
+        self._epoch_final_step = -1
 
         self.metrics_log = MetricsLogger(cfg.train.run_dir)
         self.ckpt = Checkpointer(os.path.join(cfg.train.run_dir, "ckpt"),
@@ -329,10 +333,15 @@ class Trainer:
                 "rng": jax.random.key_data(self.rng) if jnp.issubdtype(
                     self.rng.dtype, jax.dtypes.prng_key) else self.rng,
                 "step": self.step, "epoch": self.epoch,
+                "epoch_step0": self.epoch_step0,
                 "best_valid": self.best_valid}
 
     def save_checkpoint(self, metrics: Optional[Dict[str, float]] = None):
-        self.ckpt.save(self.step, self._state_dict(), metrics=metrics)
+        saved = self.ckpt.save(self.step, self._state_dict(),
+                               metrics=metrics)
+        if not saved:
+            self.log.warning("checkpoint save at step %d was refused "
+                             "(duplicate step?)", self.step)
 
     def restore(self, step: Optional[int] = None) -> int:
         state, at = self.ckpt.restore(self._state_dict(), step=step)
@@ -341,9 +350,11 @@ class Trainer:
         self.rng = jnp.asarray(state["rng"])
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
+        self.epoch_step0 = int(state.get("epoch_step0", self.step))
         self.best_valid = float(state["best_valid"])
-        self.log.info("restored checkpoint @ step %d (epoch %d)",
-                      self.step, self.epoch)
+        self.log.info("restored checkpoint @ step %d (epoch %d, "
+                      "%d batches into the epoch)",
+                      self.step, self.epoch, self.step - self.epoch_step0)
         return at
 
     def maybe_resume(self) -> bool:
@@ -405,12 +416,20 @@ class Trainer:
             out = metrics
         if cfg.ckpt_every_steps and (
                 prev // cfg.ckpt_every_steps
-                != self.step // cfg.ckpt_every_steps):
+                != self.step // cfg.ckpt_every_steps
+                # train() saves at every epoch end (with metrics on eval
+                # epochs); a periodic save at the same step number would
+                # claim the step and make orbax refuse the metric-carrying
+                # save as a duplicate — silently breaking best-checkpoint
+                # selection
+                and self.step != self._epoch_final_step):
             self.save_checkpoint()
         return out
 
     def train_epoch(self) -> Dict[str, float]:
         cfg = self.cfg.train
+        self._epoch_final_step = (self.epoch_step0
+                                  + self.dataset.n_batches("train"))
         timing = [self.step, time.time()]    # [last_logged_step, walltime]
         last_metrics: Dict[str, Any] = {}
         spc = max(cfg.steps_per_call, 1)
@@ -430,8 +449,17 @@ class Trainer:
         # if a fault is scheduled, run single-step so it fires at the exact
         # step (§5.3 CI contract); otherwise fuse spc steps per dispatch
         fuse = self._train_multi is not None and cfg.fault_inject_step <= 0
+        # exact mid-epoch resume: the batch order is deterministic per
+        # (seed, epoch), so skipping the already-consumed prefix replays
+        # nothing and drops nothing (checkpoints carry epoch_step0)
+        skip = self.step - self.epoch_step0
+        if skip:
+            self.log.info("resuming epoch %d at batch %d", self.epoch, skip)
         pending: list = []
-        for batch in self.dataset.batches("train", epoch=self.epoch):
+        for i, batch in enumerate(
+                self.dataset.batches("train", epoch=self.epoch)):
+            if i < skip:
+                continue
             if not fuse:
                 run_single(batch)
                 continue
@@ -510,6 +538,7 @@ class Trainer:
             t0 = time.time()
             self.train_epoch()
             self.epoch += 1
+            self.epoch_step0 = self.step
             if self.epoch % cfg.eval_every_epochs == 0:
                 ev = self.evaluate("valid")
                 final_eval = ev

@@ -75,10 +75,54 @@ def test_fault_injection_and_resume(tmp_path):
     t2 = Trainer(cfg2)
     assert t2.maybe_resume()
     assert t2.step == 2
+    assert t2.epoch == 0                      # mid-epoch, not rolled back
     t2.train()
     assert t2.epoch == cfg2.train.epochs
+    # EXACT resume (SURVEY §5.4 data_epoch_state): the partial epoch is
+    # continued from its batch cursor, so the total optimizer-step count
+    # equals epochs * batches-per-epoch exactly — no batch re-trained
+    # (which would overshoot) and none skipped (undershoot).
+    n_batches = t2.dataset.n_batches("train")
+    assert t2.step == cfg2.train.epochs * n_batches, (
+        t2.step, cfg2.train.epochs, n_batches)
     trainer.close()
     t2.close()
+
+
+def test_checkpoint_retention_last_n_plus_best(tmp_path):
+    """Retention must be genuinely last-N ∪ best-1: metric-less periodic
+    saves are NOT immortal, and the best-on-validation checkpoint survives
+    even when it falls out of the last-N window."""
+    from multinn_tpu.training.checkpoint import Checkpointer
+    ckpt = Checkpointer(str(tmp_path / "ck"), keep_last=2, keep_best=True)
+    state = {"x": np.zeros(3)}
+    ckpt.save(1, state, metrics={"valid_loss": 0.5})   # the best
+    ckpt.save(2, state)                                # metric-less periodic
+    ckpt.save(3, state, metrics={"valid_loss": 1.0})
+    ckpt.save(4, state)                                # metric-less periodic
+    ckpt.save(5, state, metrics={"valid_loss": 2.0})
+    ckpt.wait()
+    steps = set(ckpt._mngr.all_steps())
+    assert 1 in steps, steps          # best survives outside last-N
+    assert {4, 5} <= steps, steps     # last-2 survive
+    assert 2 not in steps, steps      # metric-less saves are collected
+    assert ckpt.best_step() == 1
+    ckpt.close()
+
+
+def test_epoch_end_metric_save_wins_over_periodic(tmp_path):
+    """When ckpt_every_steps aligns with the epoch's final step, the metric-
+    carrying epoch-end save must land (a periodic metric-less save at the
+    same step number would make orbax refuse it as a duplicate, silently
+    breaking best-checkpoint selection)."""
+    # 8 songs x 4 windows x 0.8 split = 25 -> 24 train windows / bs 4
+    # = 6 steps/epoch; ckpt_every_steps=3 collides at step 6.
+    cfg = tiny_cfg(tmp_path, name="align", ckpt_every_steps=3, epochs=2)
+    t = Trainer(cfg)
+    t.train()
+    t.ckpt.wait()
+    assert t.ckpt.best_step() is not None
+    t.close()
 
 
 def test_generator_writes_valid_midi(tmp_path):
