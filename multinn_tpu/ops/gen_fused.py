@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multinn_tpu.ops import kernel_prng
-from multinn_tpu.ops.sampling import key_to_seed
+from multinn_tpu.ops.sampling import key_to_seeds
 
 _MAX_VMEM_BYTES = 10 * 1024 * 1024
 
@@ -74,6 +74,7 @@ def _rbm_kernel(seed_ref, wb_ref, wbt_ref, wuvb_ref, wuhb_ref,
     transpose) instead of 2K small ones — measured ~19% faster than the
     per-track-loop formulation at flagship shape."""
     kseed = seed_ref[0]
+    kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
     kk = n_tracks
     h_s[:] = h0_ref[:]                    # (1, K*U)
     c_s[:] = c0_ref[:]
@@ -92,8 +93,10 @@ def _rbm_kernel(seed_ref, wb_ref, wbt_ref, wuvb_ref, wuhb_ref,
 
         # all of this step's randomness in two bulk threefry calls
         # (into scratch refs: dynamic per-sweep row reads need refs)
-        uh_s[:] = kernel_prng.random_uniform(uh_s.shape, kseed, 2 * t)
-        uv_s[:] = kernel_prng.random_uniform(uv_s.shape, kseed, 2 * t + 1)
+        uh_s[:] = kernel_prng.random_uniform(uh_s.shape, kseed,
+                                             kseed1 + 2 * t)
+        uv_s[:] = kernel_prng.random_uniform(uv_s.shape, kseed,
+                                             kseed1 + 2 * t + 1)
 
         def sweep(s, v):
             ph = jax.nn.sigmoid(jnp.dot(
@@ -175,7 +178,7 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     else:
         wctx = jnp.zeros((k * d, k * four_u), lstm.wx.dtype)
 
-    seed = key_to_seed(key).reshape(1)
+    seed = key_to_seeds(key)
     args = (
         wb, wbt, wuvb, wuhb,
         dec_params.bv.reshape(1, k * d),
@@ -271,6 +274,7 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
                  n_steps: int, n_tracks: int, d: int, hid: int, u: int,
                  ctx_dim: int):
     kseed = seed_ref[0]
+    kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
     h_s[:] = h0_ref[:]                    # (1, K*U)
     c_s[:] = c0_ref[:]
     v_s[:] = v0_ref[:]                    # (KP, D) (rows >= K are padding;
@@ -310,7 +314,7 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         # all of this step's randomness at once
-        u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, t)
+        u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, kseed1 + t)
 
         a0 = bhp_s[:]                     # (1, K*H)
         zb = jnp.zeros_like(b_ref[:])     # (1, K*4U) input-projection acc
@@ -433,7 +437,7 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     bv_dm = bv_full.reshape(d * kp, 1)
     v0_pad = jnp.zeros((kp, d), jnp.float32).at[:k].set(v0.reshape(k, d))
 
-    seed = key_to_seed(key).reshape(1)
+    seed = key_to_seeds(key)
     args = (
         w_dm, v_dm, m_dm, wuv_dm,
         dec_params.wuh.reshape(k * u, hid),

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multinn_tpu.ops import kernel_prng
-from multinn_tpu.ops.sampling import key_to_seed
+from multinn_tpu.ops.sampling import key_to_seeds
 
 _LANE = 128
 _MAX_VMEM_BYTES = 8 * 1024 * 1024
@@ -49,8 +49,11 @@ def supported(v0: jax.Array, w: jax.Array) -> bool:
 
 
 def _kernel(seed_ref, v0_ref, w_ref, bv_ref, bh_ref, out_ref, *, k: int):
-    # per-block stream: fold the grid position into the threefry key
+    # per-block stream: fold the grid position into the first threefry key
+    # word; the second word carries the other half of the jax key (full
+    # 64-bit keying — see ops.sampling.key_to_seeds) and is salted per draw
     kseed = seed_ref[0] ^ (pl.program_id(0) * jnp.int32(0x85EB))
+    kseed1 = seed_ref[1]
     w = w_ref[:]                                   # (D, H)
     bv = bv_ref[:]                                 # (BB, D)
     bh = bh_ref[:]                                 # (BB, H)
@@ -59,12 +62,12 @@ def _kernel(seed_ref, v0_ref, w_ref, bv_ref, bh_ref, out_ref, *, k: int):
     def sweep(i, v):
         ph = jax.nn.sigmoid(
             jnp.dot(v, w, preferred_element_type=jnp.float32) + bh)
-        h = (kernel_prng.random_uniform(ph.shape, kseed, 2 * i)
+        h = (kernel_prng.random_uniform(ph.shape, kseed, kseed1 + 2 * i)
              < ph).astype(jnp.float32)
         pv = jax.nn.sigmoid(
             jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) + bv)
-        return (kernel_prng.random_uniform(pv.shape, kseed, 2 * i + 1)
+        return (kernel_prng.random_uniform(pv.shape, kseed, kseed1 + 2 * i + 1)
                 < pv).astype(jnp.float32)
 
     out_ref[:] = jax.lax.fori_loop(0, k, sweep, v)
@@ -98,7 +101,7 @@ def gibbs_chain(key: jax.Array, v0: jax.Array, w, bv, bh, k: int,
             [bh_2d, jnp.zeros((pad, h_dim), bh_2d.dtype)])
     n_blocks = v0_2d.shape[0] // bb
 
-    seed = key_to_seed(key).reshape(1)
+    seed = key_to_seeds(key)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multinn_tpu.ops import kernel_prng
-from multinn_tpu.ops.sampling import key_to_seed
+from multinn_tpu.ops.sampling import key_to_seeds
 
 _MAX_VMEM_BYTES = 8 * 1024 * 1024
 
@@ -45,7 +45,8 @@ def _kernel(seed_ref, w_ref, v_ref, bv_ref, bh_ref, out_ref, a_ref, u_ref, *,
     kseed = seed_ref[0] ^ (pl.program_id(0) * jnp.int32(0x85EB))
     a_ref[:] = bh_ref[:]                                 # (H, B)
     # hoist ALL RNG off the serial critical path: one (D, B) uniform matrix
-    u_ref[:] = kernel_prng.random_uniform(u_ref.shape, kseed, 0)
+    # (full 64-bit keying: both jax key words feed the threefry key)
+    u_ref[:] = kernel_prng.random_uniform(u_ref.shape, kseed, seed_ref[1])
 
     def dim_step(i, _):
         h = jax.nn.sigmoid(a_ref[:])                     # (H, B)
@@ -71,7 +72,7 @@ def _sample_2d(key, w, v, bv_db, bh_hb, interpret: bool = False):
     """bv_db: (D, B); bh_hb: (H, B). Returns (D, B) binary samples."""
     d, h_dim = w.shape
     b = bv_db.shape[1]
-    seed = key_to_seed(key).reshape(1)
+    seed = key_to_seeds(key)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

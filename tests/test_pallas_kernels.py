@@ -126,12 +126,14 @@ def test_nade_kernel_batched_biases_and_determinism():
 def test_nade_kernel_respects_bias_conditioning():
     """Huge positive visible bias -> all ones; huge negative -> all zeros."""
     p = nade_nn.init(jax.random.PRNGKey(0), 8, 6, w_std=0.01)
+    # ±30 puts sigmoid within 1e-13 of {0,1} — beyond the 2^-24 resolution
+    # of the kernel's uniforms, so the asserts hold for ANY RNG stream
     ones = nade_pallas.sample(jax.random.PRNGKey(1), p.w, p.v,
-                              p.bv + 10.0, p.bh, batch_shape=(16,),
+                              p.bv + 30.0, p.bh, batch_shape=(16,),
                               interpret=True)
     np.testing.assert_array_equal(np.asarray(ones), 1.0)
     zeros = nade_pallas.sample(jax.random.PRNGKey(2), p.w, p.v,
-                               p.bv - 10.0, p.bh, batch_shape=(16,),
+                               p.bv - 30.0, p.bh, batch_shape=(16,),
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(zeros), 0.0)
 
@@ -184,3 +186,28 @@ def test_nade_kernel_safe_under_grad():
 
     g = jax.grad(f)(p.bv)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_kernel_rng_full_64bit_keying():
+    """Kernel PRNG streams are keyed by BOTH 32-bit words of the jax key
+    (ops.sampling.key_to_seeds). Keys engineered to collide under the old
+    single-word fold (w0 ^ w1*2654435761) must now yield distinct streams."""
+    from multinn_tpu.ops import kernel_prng
+    from multinn_tpu.ops.sampling import key_to_seeds
+
+    c = np.uint32(2654435761)
+    k_a = jnp.array([0, 0], jnp.uint32)              # fold = 0
+    k_b = jnp.array([c, 1], jnp.uint32)              # fold = c ^ (1*c) = 0
+    s_a = np.asarray(key_to_seeds(k_a))
+    s_b = np.asarray(key_to_seeds(k_b))
+    assert not np.array_equal(s_a, s_b)
+
+    u_a = np.asarray(kernel_prng.random_uniform(
+        (8, 128), jnp.int32(s_a[0]), jnp.int32(s_a[1])))
+    u_b = np.asarray(kernel_prng.random_uniform(
+        (8, 128), jnp.int32(s_b[0]), jnp.int32(s_b[1])))
+    assert not np.allclose(u_a, u_b)
+    # and sequential jax keys map to distinct (s0, s1) pairs
+    seeds = {tuple(np.asarray(key_to_seeds(jax.random.PRNGKey(i))))
+             for i in range(256)}
+    assert len(seeds) == 256
