@@ -119,6 +119,20 @@ def bench():
     res = timeit(gen, jax.random.PRNGKey(4), iters=5, warmup=1)
     gen_latency = res["min_s"]
 
+    # device time via the slope over n_steps (subtracts this environment's
+    # ~30 ms/execute tunnel floor), and batched serving throughput: the
+    # grid-streamed kernel runs B=8 at the same us/step as B=1.
+    gen_long = jax.jit(
+        lambda kk: multinn.generate(params, kk, state, 8 * n_steps)[1])
+    res_long = timeit(gen_long, jax.random.PRNGKey(4), iters=3, warmup=1)
+    us_per_step = (res_long["min_s"] - gen_latency) / (7 * n_steps) * 1e6
+    gen_device_latency = us_per_step * n_steps / 1e6
+    state8 = multinn.init_state(params, 8)
+    gen8 = jax.jit(
+        lambda kk: multinn.generate(params, kk, state8, n_steps)[1])
+    res8 = timeit(gen8, jax.random.PRNGKey(4), iters=5, warmup=1)
+    per_song_b8 = res8["min_s"] / 8
+
     # ---- 3) Gibbs sweeps/s (in-program amortized: scan of chains) ---------
     D, H, BB, K_SWEEPS = 84, 150, 4096, 25
     w = 0.01 * jax.random.normal(jax.random.PRNGKey(5), (D, H))
@@ -144,6 +158,9 @@ def bench():
         "unit": "s",
         "vs_baseline": round(1.0 / gen_latency, 2),
         "extra": {
+            "gen_device_s_64bar": round(gen_device_latency, 4),
+            "gen_device_us_per_step": round(us_per_step, 2),
+            "gen_per_song_s_at_batch8": round(per_song_b8, 4),
             "train_pianoroll_steps_per_sec_per_chip":
                 round(train_steps_per_sec, 0),
             "train_step_ms": round(step_s * 1e3, 2),

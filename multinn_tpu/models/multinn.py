@@ -304,10 +304,12 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
 
     ``fused`` selects the whole-generation Pallas kernel
     (ops/gen_fused.py: the full T-step loop incl. Gibbs chains, feedback
-    context and LSTM advance in one kernel, state resident in VMEM).
-    None = auto: fused on TPU when the config qualifies (rnn-rbm, batch 1,
-    pass encoder, 1-layer LSTM). Both paths sample the same distribution;
-    RNG streams differ (ops/sampling.py contract)."""
+    context and LSTM advance in one kernel, state resident in VMEM; the
+    RBM kernel is batched — the roll streams to HBM per step).
+    None = auto: fused on TPU when the config qualifies (pass encoder,
+    1-layer LSTM; rnn-rbm any batch the VMEM gate admits, rnn-nade batch 1).
+    Both paths sample the same distribution; RNG streams differ
+    (ops/sampling.py contract)."""
     cfg = params.cfg
     batch = (state.decoder.v_prev.shape[1] if cfg.mode != "joint"
              else state.decoder.v_prev.shape[0])
@@ -341,17 +343,18 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
     cfg = params.cfg
     cell0 = state.decoder.cell[0]                        # stacked LSTMState
     if cfg.decoder_type == "rnn-nade":
-        roll, h_f, c_f = gen_fused.generate_nade(
+        roll_tkd, h_f, c_f = gen_fused.generate_nade(
             key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
             n_steps, interpret=interpret)                # roll (T, K, D)
         state_cls = rnn_nade.State
+        roll = roll_tkd[None]                            # (1, T, K, D)
     else:
         roll, h_f, c_f = gen_fused.generate_rbm(
             key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
             n_steps, cfg.gen_k if k is None else k, interpret=interpret)
-        state_cls = rnn_rbm.State
-    v_last = roll[-1][:, None, :]                        # (K, 1, D)
+        state_cls = rnn_rbm.State                        # roll (B, T, K, D)
+    v_last = jnp.moveaxis(roll[:, -1], 0, 1)             # (K, B, D)
     new_dec = state_cls(
         cell=(rnn_nn.LSTMState(h=h_f, c=c_f),), v_prev=v_last)
     ctx = (_flatten_latents(v_last) if cfg.mode == "feedback" else None)
-    return MultINNState(decoder=new_dec, ctx=ctx), roll[None]   # (1,T,K,D)
+    return MultINNState(decoder=new_dec, ctx=ctx), roll

@@ -3,25 +3,37 @@
 conditioning, the sampling inner loop (k-sweep Gibbs chain for RNN-RBM /
 per-dimension conditional sweep for RNN-NADE), the cross-track feedback
 context and the LSTM state advance for ALL tracks and ALL T steps — runs as
-ONE device kernel with every weight and the full carried state resident in
-VMEM. Measured on v5e: 64-bar 5-track generation 37 ms (RBM, 2.2x over the
-scan path) / 60 ms (NADE, 3.1x).
+ONE device kernel with every weight and the carried state resident in VMEM.
 
-Why: generation latency is not FLOP-bound (per-step matmuls are (1,·)·(·,·)
-vectors) — it is op-dispatch/HBM-latency bound in the lax.scan formulation
-(~69 µs/step measured). Fusing the loop removes all per-step HBM traffic and
-op overheads.
+Why: generation latency is not FLOP-bound (per-step matmuls are small) — it
+is op-dispatch/HBM-latency bound in the lax.scan formulation (~69 µs/step
+measured on v5e). Fusing the loop removes all per-step dispatch overheads.
+Measured on v5e (flagship 5-track feedback RNN-RBM, gen_k=10): 6.1 µs/step
+device time = 6.3 ms per 64-bar song at B=1, and B=8 runs at the SAME
+µs/step (compute hides under the per-step output pipeline) = 0.78 ms/song.
 
-Scope (auto-dispatch gate in models/multinn.py): batch=1, pass-through
-encoder, single-layer LSTM, rnn-rbm decoder, per-track or feedback mode.
-Everything else falls back to the scan path — same distribution, different
-RNG stream (ops/sampling.py contract).
+RBM kernel structure: the T time steps are the PALLAS GRID (sequential on
+TPU; scratch carries the LSTM/visible state across iterations), and each
+step's sampled frame is emitted through a per-iteration output block that
+Pallas pipelines back to HBM. The roll therefore never occupies VMEM, which
+is what makes BATCHED generation (serving shape, B=8) fit: VMEM holds only
+weights + (B, K*X) state rows. Per-track quantities live in (B, K*X) rows
+with per-track lane blocks, so each Gibbs sweep is TWO block-diagonal
+matmuls for ALL tracks and samples at once.
 
-Weight layout: per-track stacks flattened to 2D so every per-track slice is a
-static sublane-range read (k is a Python-loop constant -> fully unrolled):
-    w_all   (K*D, H)    RBM weights        wuv_all (K*U, D)
-    wuh_all (K*U, H)    wx_all  (K*(D+C), 4U)    wh_all (K*U, 4U)
-VMEM budget at flagship size (K=5, D=84, H=150, U=100, C=420): ~5.5 MB.
+NADE kernel: batch=1, dims advance for all K tracks together in dim-major
+padded block rows (see the section comment below).
+
+Scope (auto-dispatch gate in models/multinn.py): pass-through encoder,
+single-layer LSTM, per-track or feedback mode; rnn-rbm any batch that fits
+VMEM (gate measures exactly), rnn-nade batch 1. Everything else falls back
+to the scan path — same distribution, different RNG stream
+(ops/sampling.py contract; full 64-bit keying via key_to_seeds).
+
+VMEM gates: ``supported*()`` compute byte counts by ``jax.eval_shape`` over
+the SAME ``_rbm_args``/``_nade_args`` builders the dispatch uses, plus the
+actual scratch lists — the gate cannot drift from the kernel's allocation
+(ops/vmem.py).
 """
 
 from __future__ import annotations
@@ -34,129 +46,50 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from multinn_tpu.ops import kernel_prng
+from multinn_tpu.ops import kernel_prng, vmem
 from multinn_tpu.ops.sampling import key_to_seeds
 
-_MAX_VMEM_BYTES = 10 * 1024 * 1024
+
+def _decoder_param_shapes(cfg, decoder_mod):
+    """Track-stacked decoder Params as a ShapeDtypeStruct pytree — lets the
+    VMEM gates run the real arg builders without materializing arrays."""
+    dcfg = cfg.decoder_config()
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.n_tracks)
+    return jax.eval_shape(
+        lambda ks: jax.vmap(lambda k: decoder_mod.init(k, dcfg))(ks), keys)
 
 
-def supported(cfg, batch: int, n_steps: int = 2048,
-              gen_k: int = None) -> bool:
-    """Gate for the auto-dispatch (see module docstring). The (n_steps*K, D)
-    roll output and the per-step (K*gen_k, H/D) RNG buffers are VMEM-resident
-    for the whole kernel, so n_steps and gen_k are part of the budget —
-    over-budget requests fall back to the scan path instead of failing at
-    Mosaic compile time."""
-    if (batch != 1 or cfg.decoder_type != "rnn-rbm"
-            or cfg.encoder_hidden or cfg.cell != "lstm"
-            or cfg.rnn_layers != 1 or cfg.mode == "joint"):
-        return False
-    k, d, h, u = cfg.n_tracks, cfg.n_pitches, cfg.n_hidden, cfg.n_rnn
-    c = cfg.ctx_dim()
-    gk = cfg.gen_k if gen_k is None else gen_k
-    vmem = 4 * (k * d * h + k * u * d + k * u * h
-                + k * (d + c) * 4 * u + k * u * 4 * u
-                + n_steps * k * d                    # roll output
-                + k * gk * (h + d))                  # per-step RNG buffers
-    return vmem <= _MAX_VMEM_BYTES
+def _common_gate(cfg, decoder_type: str) -> bool:
+    return (cfg.decoder_type == decoder_type and not cfg.encoder_hidden
+            and cfg.cell == "lstm" and cfg.rnn_layers == 1
+            and cfg.mode != "joint")
 
 
-def _rbm_kernel(seed_ref, wb_ref, wbt_ref, wuvb_ref, wuhb_ref,
-                bv_ref, bh_ref, wxv_ref, wh_ref, wctx_ref, b_ref,
-                h0_ref, c0_ref, v0_ref,
-                roll_ref, hout_ref, cout_ref,
-                h_s, c_s, v_s, z_s, uh_s, uv_s, *,
-                n_steps: int, n_tracks: int, d: int, hid: int, u: int,
-                ctx_dim: int, gen_k: int):
-    """Row-layout RBM generation: every per-track quantity lives in a
-    (1, K*X) row with per-track lane blocks, so each Gibbs sweep is TWO
-    block-diagonal matmuls for ALL tracks ((1,K*D)@(K*D,K*H) and its
-    transpose) instead of 2K small ones — measured ~19% faster than the
-    per-track-loop formulation at flagship shape."""
-    kseed = seed_ref[0]
-    kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
-    kk = n_tracks
-    h_s[:] = h0_ref[:]                    # (1, K*U)
-    c_s[:] = c0_ref[:]
-    v_s[:] = v0_ref[:]                    # (1, K*D)
+# ===========================================================================
+# RNN-RBM whole-generation fused kernel (batched, roll streamed to HBM)
+# ===========================================================================
 
-    def step(t, _):
-        h_row = h_s[:]
-        v_prev = v_s[:]                   # ctx(t) = latents(t-1) [training
-        #                                   parity; at t=0 the primed v_prev]
+def _rbm_args(dec_params, h0, c0, v0):
+    """Kernel inputs from track-STACKED rnn_rbm.Params + state.
 
-        # conditioned biases for all tracks: two block-diagonal matmuls
-        bv_row = bv_ref[:] + jnp.dot(h_row, wuvb_ref[:],
-                                     preferred_element_type=jnp.float32)
-        bh_row = bh_ref[:] + jnp.dot(h_row, wuhb_ref[:],
-                                     preferred_element_type=jnp.float32)
+    h0/c0: (K, B, U); v0: (K, B, D). Every per-track stack is flattened to a
+    2D block layout so per-track slices are static sublane ranges and the
+    Gibbs sweep is block-diagonal matmuls:
 
-        # all of this step's randomness in two bulk threefry calls
-        # (into scratch refs: dynamic per-sweep row reads need refs)
-        uh_s[:] = kernel_prng.random_uniform(uh_s.shape, kseed,
-                                             kseed1 + 2 * t)
-        uv_s[:] = kernel_prng.random_uniform(uv_s.shape, kseed,
-                                             kseed1 + 2 * t + 1)
+        wb   (K*D, K*H)   block-diag RBM weights      wbt  (K*H, K*D)
+        wuvb (K*U, K*D)   bias conditioning           wuhb (K*U, K*H)
+        wx_v (K*D, 4U)    compact per-track LSTM input projection
+        wh   (K*U, 4U)    compact per-track recurrent weights
+        wctx (K*D, K*4U)  feedback-context projection (zeros when unused)
 
-        def sweep(s, v):
-            ph = jax.nn.sigmoid(jnp.dot(
-                v, wb_ref[:], preferred_element_type=jnp.float32) + bh_row)
-            h = (uh_s[pl.ds(s, 1), :] < ph).astype(jnp.float32)
-            pv = jax.nn.sigmoid(jnp.dot(
-                h, wbt_ref[:], preferred_element_type=jnp.float32) + bv_row)
-            return (uv_s[pl.ds(s, 1), :] < pv).astype(jnp.float32)
-
-        v_new = jax.lax.fori_loop(0, gen_k, sweep, v_prev)
-        v_s[:] = v_new
-        roll_ref[pl.ds(t, 1), :] = v_new
-
-        # LSTM advance: own-sample projection per track (compact wx_v) into
-        # the z scratch, feedback ctx from the PREVIOUS frame in one dense
-        # matmul, recurrent term per track (compact wh).
-        for k in range(kk):
-            z_s[:, k * 4 * u:(k + 1) * 4 * u] = (
-                jnp.dot(v_new[:, k * d:(k + 1) * d],
-                        wxv_ref[k * d:(k + 1) * d, :],
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(h_row[:, k * u:(k + 1) * u],
-                          wh_ref[k * u:(k + 1) * u, :],
-                          preferred_element_type=jnp.float32))
-        z = z_s[:] + b_ref[:]
-        if ctx_dim:
-            z = z + jnp.dot(v_prev, wctx_ref[:],
-                            preferred_element_type=jnp.float32)
-        for k in range(kk):
-            zk = z[:, k * 4 * u:(k + 1) * 4 * u]
-            i_g = jax.nn.sigmoid(zk[:, :u])
-            f_g = jax.nn.sigmoid(zk[:, u:2 * u])
-            g_g = jnp.tanh(zk[:, 2 * u:3 * u])
-            o_g = jax.nn.sigmoid(zk[:, 3 * u:])
-            c_new = f_g * c_s[:, k * u:(k + 1) * u] + i_g * g_g
-            c_s[:, k * u:(k + 1) * u] = c_new
-            h_s[:, k * u:(k + 1) * u] = o_g * jnp.tanh(c_new)
-        return 0
-
-    jax.lax.fori_loop(0, n_steps, step, 0)
-    hout_ref[:] = h_s[:]
-    cout_ref[:] = c_s[:]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_steps", "gen_k", "interpret"))
-def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
-                 gen_k: int, interpret: bool = False
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Run the fused whole-generation kernel (row layout — see _rbm_kernel).
-
-    dec_params: track-STACKED rnn_rbm.Params (leading axis K, single-layer
-    LSTM cell). h0/c0: (K, 1, U); v0: (K, 1, D) — batch must be 1.
-    Returns (roll (n_steps, K, D), h_final (K, 1, U), c_final (K, 1, U)).
+    State rows are (B, K*X) with per-track lane blocks.
     """
     lstm = dec_params.cell[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
+    b = h0.shape[1]
     idx = jnp.arange(k)
 
     def block_diag(mat_kxy):
@@ -178,8 +111,10 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     else:
         wctx = jnp.zeros((k * d, k * four_u), lstm.wx.dtype)
 
-    seed = key_to_seeds(key)
-    args = (
+    def rows(x_kbx):                       # (K, B, X) -> (B, K*X)
+        return jnp.moveaxis(x_kbx, 0, 1).reshape(b, -1)
+
+    return (
         wb, wbt, wuvb, wuhb,
         dec_params.bv.reshape(1, k * d),
         dec_params.bh.reshape(1, k * hid),
@@ -187,41 +122,173 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
         lstm.wh.reshape(k * u, four_u),
         wctx,
         lstm.b.reshape(1, k * four_u),
-        h0.reshape(1, k * u),
-        c0.reshape(1, k * u),
-        v0.reshape(1, k * d),
+        rows(h0), rows(c0), rows(v0),
     )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _rbm_scratch(batch: int, k: int, d: int, u: int):
+    return [pltpu.VMEM((batch, k * u), jnp.float32),      # h
+            pltpu.VMEM((batch, k * u), jnp.float32),      # c
+            pltpu.VMEM((batch, k * d), jnp.float32),      # v
+            pltpu.VMEM((batch, k * 4 * u), jnp.float32)]  # z
+
+
+def supported(cfg, batch: int, n_steps: int = 2048,
+              gen_k: int = None) -> bool:
+    """Gate for the auto-dispatch. The roll is streamed to HBM per step, so
+    n_steps does not bound VMEM; batch does (state rows + per-sweep RNG all
+    scale with B). Byte counts come from the real builders via eval_shape —
+    over-budget requests fall back to the scan path instead of failing at
+    Mosaic compile time."""
+    if not _common_gate(cfg, "rnn-rbm") or batch < 1:
+        return False
+    from multinn_tpu.models import rnn_rbm
+    k, d, u = cfg.n_tracks, cfg.n_pitches, cfg.n_rnn
+    hid = cfg.n_hidden
+    params = _decoder_param_shapes(cfg, rnn_rbm)
+    st = jax.ShapeDtypeStruct((k, batch, u), jnp.float32)
+    v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
+    need = vmem.eval_shape_bytes(_rbm_args, params, st, st, v0)
+    need += vmem.scratch_bytes(_rbm_scratch(batch, k, d, u))
+    need += 2 * 4 * batch * k * d            # roll block, double-buffered
+    need += 2 * 4 * batch * k * u            # hout/cout blocks
+    need += 2 * 4 * batch * k * (hid + d)    # per-sweep uniform temporaries
+    return need <= vmem.VMEM_BUDGET_BYTES
+
+
+def _rbm_kernel(seed_ref, wb_ref, wbt_ref, wuvb_ref, wuhb_ref,
+                bv_ref, bh_ref, wxv_ref, wh_ref, wctx_ref, b_ref,
+                h0_ref, c0_ref, v0_ref,
+                roll_ref, hout_ref, cout_ref,
+                h_s, c_s, v_s, z_s, *,
+                n_tracks: int, d: int, hid: int, u: int,
+                ctx_dim: int, gen_k: int):
+    """One GRID ITERATION = one generation step for all tracks and all B
+    samples. Scratch (h/c/v rows) carries the state across iterations; the
+    sampled frame is written to this iteration's roll block (Pallas streams
+    it to HBM while the next step computes). Every per-track quantity is a
+    (B, K*X) row, so each Gibbs sweep is TWO block-diagonal matmuls
+    ((B,K*D)@(K*D,K*H) and its transpose) for all tracks at once."""
+    t = pl.program_id(0)
+    kseed = seed_ref[0]
+    kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
+    kk = n_tracks
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]                # (B, K*U)
+        c_s[:] = c0_ref[:]
+        v_s[:] = v0_ref[:]                # (B, K*D)
+
+    h_row = h_s[:]
+    v_prev = v_s[:]                       # ctx(t) = latents(t-1) [training
+    #                                       parity; at t=0 the primed v_prev]
+
+    # conditioned biases for all tracks: two block-diagonal matmuls
+    bv_row = bv_ref[:] + jnp.dot(h_row, wuvb_ref[:],
+                                 preferred_element_type=jnp.float32)
+    bh_row = bh_ref[:] + jnp.dot(h_row, wuhb_ref[:],
+                                 preferred_element_type=jnp.float32)
+
+    salt0 = kseed1 + t * (2 * gen_k)
+
+    def sweep(s, v):
+        ph = jax.nn.sigmoid(jnp.dot(
+            v, wb_ref[:], preferred_element_type=jnp.float32) + bh_row)
+        uh = kernel_prng.random_uniform(ph.shape, kseed, salt0 + 2 * s)
+        h = (uh < ph).astype(jnp.float32)
+        pv = jax.nn.sigmoid(jnp.dot(
+            h, wbt_ref[:], preferred_element_type=jnp.float32) + bv_row)
+        uv = kernel_prng.random_uniform(pv.shape, kseed, salt0 + 2 * s + 1)
+        return (uv < pv).astype(jnp.float32)
+
+    v_new = jax.lax.fori_loop(0, gen_k, sweep, v_prev)
+    v_s[:] = v_new
+    roll_ref[0] = v_new                   # -> HBM via the output pipeline
+
+    # LSTM advance: own-sample projection per track (compact wx_v) into the
+    # z scratch, feedback ctx from the PREVIOUS frame in one dense matmul,
+    # recurrent term per track (compact wh).
+    for k in range(kk):
+        z_s[:, k * 4 * u:(k + 1) * 4 * u] = (
+            jnp.dot(v_new[:, k * d:(k + 1) * d],
+                    wxv_ref[k * d:(k + 1) * d, :],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(h_row[:, k * u:(k + 1) * u],
+                      wh_ref[k * u:(k + 1) * u, :],
+                      preferred_element_type=jnp.float32))
+    z = z_s[:] + b_ref[:]
+    if ctx_dim:
+        z = z + jnp.dot(v_prev, wctx_ref[:],
+                        preferred_element_type=jnp.float32)
+    for k in range(kk):
+        zk = z[:, k * 4 * u:(k + 1) * 4 * u]
+        i_g = jax.nn.sigmoid(zk[:, :u])
+        f_g = jax.nn.sigmoid(zk[:, u:2 * u])
+        g_g = jnp.tanh(zk[:, 2 * u:3 * u])
+        o_g = jax.nn.sigmoid(zk[:, 3 * u:])
+        c_new = f_g * c_s[:, k * u:(k + 1) * u] + i_g * g_g
+        c_s[:, k * u:(k + 1) * u] = c_new
+        h_s[:, k * u:(k + 1) * u] = o_g * jnp.tanh(c_new)
+    hout_ref[:] = h_s[:]
+    cout_ref[:] = c_s[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "gen_k", "interpret"))
+def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
+                 gen_k: int, interpret: bool = False
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run the fused whole-generation kernel (see _rbm_kernel).
+
+    dec_params: track-STACKED rnn_rbm.Params (leading axis K, single-layer
+    LSTM cell). h0/c0: (K, B, U); v0: (K, B, D) — any batch B the VMEM gate
+    admits. Returns (roll (B, n_steps, K, D), h_final (K, B, U),
+    c_final (K, B, U))."""
+    lstm = dec_params.cell[0]
+    k, xin_dim, four_u = lstm.wx.shape
+    u = four_u // 4
+    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
+    ctx_dim = xin_dim - d
+    b = h0.shape[1]
+
+    args = _rbm_args(dec_params, h0, c0, v0)
+    seed = key_to_seeds(key)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[vmem] * len(args),
-        out_specs=(vmem, vmem, vmem),
-        scratch_shapes=[pltpu.VMEM((1, k * u), jnp.float32),      # h
-                        pltpu.VMEM((1, k * u), jnp.float32),      # c
-                        pltpu.VMEM((1, k * d), jnp.float32),      # v
-                        pltpu.VMEM((1, k * four_u), jnp.float32),  # z
-                        pltpu.VMEM((gen_k, k * hid), jnp.float32),  # uh
-                        pltpu.VMEM((gen_k, k * d), jnp.float32)],   # uv
+        grid=(n_steps,),
+        in_specs=[vspec] * len(args),
+        out_specs=(
+            pl.BlockSpec((1, b, k * d), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),          # roll stream
+            pl.BlockSpec((b, k * u), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),          # h final
+            pl.BlockSpec((b, k * u), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),          # c final
+        ),
+        scratch_shapes=_rbm_scratch(b, k, d, u),
     )
     roll, h_out, c_out = pl.pallas_call(
-        functools.partial(_rbm_kernel, n_steps=n_steps, n_tracks=k,
+        functools.partial(_rbm_kernel, n_tracks=k,
                           d=d, hid=hid, u=u, ctx_dim=ctx_dim, gen_k=gen_k),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_steps, k * d), jnp.float32),
-                   jax.ShapeDtypeStruct((1, k * u), jnp.float32),
-                   jax.ShapeDtypeStruct((1, k * u), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n_steps, b, k * d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, k * u), jnp.float32),
+                   jax.ShapeDtypeStruct((b, k * u), jnp.float32)),
         interpret=(pltpu.InterpretParams() if interpret else False),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_steps * k * (
-                2 * gen_k * d * hid + u * (d + hid) + (xin_dim + u) * four_u),
-            bytes_accessed=4 * (n_steps * k * d),
-            transcendentals=n_steps * k * (gen_k * (d + hid) + 5 * u),
+            flops=2 * n_steps * b * k * (
+                2 * gen_k * k * d * hid + u * k * (d + hid)
+                + (xin_dim + u) * four_u),
+            bytes_accessed=4 * (n_steps * b * k * d),
+            transcendentals=n_steps * b * k * (gen_k * (d + hid) + 5 * u),
         ),
     )(seed, *args)
-    return (roll.reshape(n_steps, k, d),
-            h_out.reshape(k, 1, u),
-            c_out.reshape(k, 1, u))
+    roll = jnp.moveaxis(roll.reshape(n_steps, b, k, d), 0, 1)  # (B,T,K,D)
+    return (roll,
+            jnp.moveaxis(h_out.reshape(b, k, u), 0, 1),        # (K,B,U)
+            jnp.moveaxis(c_out.reshape(b, k, u), 0, 1))
 
 
 # ===========================================================================
@@ -241,29 +308,109 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
 #           input projection accumulated during the sweep — the feedback
 #           context never needs materializing)
 #
-# Block matrices are assembled once per call in XLA (wrapper below).
-
-def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
-    if (batch != 1 or cfg.decoder_type != "rnn-nade"
-            or cfg.encoder_hidden or cfg.cell != "lstm"
-            or cfg.rnn_layers != 1 or cfg.mode == "joint"):
-        return False
-    k, d, h, u = cfg.n_tracks, cfg.n_pitches, cfg.n_hidden, cfg.n_rnn
-    if k > 8:
-        return False                 # dim blocks are stride-8 padded
-    kp = 8
-    vmem = (2 * d * kp * k * (2 * h + 4 * u + u)      # bf16 block matrices
-            + 2 * k * d * k * 4 * u                   # bf16 Wctx
-            + 4 * (k * u * (h + 4 * u))               # compact wuh/wh f32
-            + 4 * 3 * d * kp                          # bv'/uniform scratches
-            + 4 * n_steps * k * d)                    # roll output
-    return vmem <= _MAX_VMEM_BYTES
-
+# Block matrices are assembled once per call in XLA (_nade_args).
 
 _KP = 8   # dim-block row stride: Mosaic requires dynamic sublane offsets to
           # be provably multiples of 8, so each dim's K track-rows are padded
           # to 8 (pad rows carry -inf visible bias -> always sample 0 -> their
           # contributions to every accumulation vanish)
+
+
+def _nade_args(dec_params, h0, c0, v0):
+    """Kernel inputs from track-STACKED rnn_nade.Params + state (batch 1).
+    h0/c0: (K, 1, U); v0: (K, 1, D). See the section comment for layouts."""
+    lstm = dec_params.cell[0]
+    k, xin_dim, four_u = lstm.wx.shape
+    u = four_u // 4
+    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
+    ctx_dim = xin_dim - d
+    idx = jnp.arange(k)
+    kp = _KP
+
+    def pad_rows(blocks_dkx):
+        """(D, K, X) per-dim track blocks -> (D*KP, X) stride-8-padded bf16
+        (pad rows zero)."""
+        ddim, _, x = blocks_dkx.shape
+        out = jnp.zeros((ddim, kp, x), jnp.bfloat16)
+        out = out.at[:, :k, :].set(blocks_dkx.astype(jnp.bfloat16))
+        return out.reshape(ddim * kp, x)
+
+    def diag_dm(mat_kdh):
+        """(K, D, X) -> padded dim-major block rows (D*KP, K*X)."""
+        ddim, x = mat_kdh.shape[1], mat_kdh.shape[2]
+        out = jnp.zeros((ddim, k, k, x), mat_kdh.dtype)
+        out = out.at[:, idx, idx, :].set(jnp.transpose(mat_kdh, (1, 0, 2)))
+        return pad_rows(out.reshape(ddim, k, k * x))
+
+    w_dm = diag_dm(dec_params.w)                       # (D*KP, K*H) bf16
+    v_dm = diag_dm(dec_params.v)                       # (D*KP, K*H) bf16
+    # Own-sample LSTM input projection, dim-major (DIAGONAL blocks only —
+    # x(t) = [v_k(t); ctx(t)=latents(t-1)], so only the v_k(t) part can be
+    # accumulated during the sweep; the ctx part is applied from the
+    # previous step's samples via Wctx below).
+    wx_v = lstm.wx[:, :d, :]                           # (K, D, 4U)
+    m4 = jnp.zeros((d, k, k, four_u), lstm.wx.dtype)
+    m4 = m4.at[:, idx, idx, :].add(jnp.transpose(wx_v, (1, 0, 2)))
+    m_dm = pad_rows(m4.reshape(d, k, k * four_u))      # (D*KP, K*4U) bf16
+    # Feedback-context projection: rows [j*D + i] map source sample v_{j,i}
+    # (from step t-1) to all K target tracks' gates.
+    if ctx_dim:
+        wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
+        wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(
+            k * d, k * four_u).astype(jnp.bfloat16)
+    else:
+        wctx = jnp.zeros((k * d, k * four_u), jnp.bfloat16)
+    # visible-bias conditioning, dim-major rows: row (i*KP + j) = wuv_j[:, i]
+    # placed in lane-block j  ->  (D*KP, K*U)
+    wuv4 = jnp.zeros((d, k, k, u), dec_params.wuv.dtype)
+    wuv4 = wuv4.at[:, idx, idx, :].set(
+        jnp.transpose(dec_params.wuv, (2, 0, 1)))      # (D, K, U)
+    wuv_dm = pad_rows(wuv4.reshape(d, k, k * u))
+    # bv dim-major, pad rows at -1e9 so padded tracks always sample 0
+    bv_full = jnp.full((d, kp), -1e9, jnp.float32)
+    bv_full = bv_full.at[:, :k].set(jnp.transpose(dec_params.bv, (1, 0)))
+    bv_dm = bv_full.reshape(d * kp, 1)
+    v0_pad = jnp.zeros((kp, d), jnp.float32).at[:k].set(v0.reshape(k, d))
+
+    return (
+        w_dm, v_dm, m_dm, wuv_dm,
+        dec_params.wuh.reshape(k * u, hid),
+        lstm.wh.reshape(k * u, four_u),
+        wctx,
+        bv_dm,
+        dec_params.bh,                                 # (K, H)
+        lstm.b.reshape(1, k * four_u),
+        h0.reshape(1, k * u),
+        c0.reshape(1, k * u),
+        v0_pad,
+    )
+
+
+def _nade_scratch(k: int, d: int, hid: int, u: int):
+    return [pltpu.VMEM((1, k * u), jnp.float32),    # h
+            pltpu.VMEM((1, k * u), jnp.float32),    # c
+            pltpu.VMEM((_KP, d), jnp.float32),      # v
+            pltpu.VMEM((1, k * hid), jnp.float32),  # bh'
+            pltpu.VMEM((d * _KP, 1), jnp.float32),  # bv'
+            pltpu.VMEM((d * _KP, 1), jnp.float32),  # uniforms
+            pltpu.VMEM((1, k * 4 * u), jnp.float32)]  # zctx
+
+
+def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
+    """NADE fused-generation gate: batch 1, K <= 8 (stride-8 dim blocks);
+    the (n_steps*K, D) roll output is VMEM-resident for the whole kernel so
+    n_steps IS part of the budget. Byte counts via the real arg builder."""
+    if not _common_gate(cfg, "rnn-nade") or batch != 1 or cfg.n_tracks > 8:
+        return False
+    from multinn_tpu.models import rnn_nade
+    k, d, u = cfg.n_tracks, cfg.n_pitches, cfg.n_rnn
+    params = _decoder_param_shapes(cfg, rnn_nade)
+    st = jax.ShapeDtypeStruct((k, 1, u), jnp.float32)
+    v0 = jax.ShapeDtypeStruct((k, 1, d), jnp.float32)
+    need = vmem.eval_shape_bytes(_nade_args, params, st, st, v0)
+    need += vmem.scratch_bytes(_nade_scratch(k, d, cfg.n_hidden, u))
+    need += 4 * n_steps * k * d              # roll output (VMEM-resident)
+    return need <= vmem.VMEM_BUDGET_BYTES
 
 
 def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
@@ -389,80 +536,16 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
-    idx = jnp.arange(k)
-    kp = _KP
 
-    def pad_rows(blocks_dkx):
-        """(D, K, X) per-dim track blocks -> (D*KP, X) stride-8-padded bf16
-        (pad rows zero)."""
-        ddim, _, x = blocks_dkx.shape
-        out = jnp.zeros((ddim, kp, x), jnp.bfloat16)
-        out = out.at[:, :k, :].set(blocks_dkx.astype(jnp.bfloat16))
-        return out.reshape(ddim * kp, x)
-
-    def diag_dm(mat_kdh):
-        """(K, D, X) -> padded dim-major block rows (D*KP, K*X)."""
-        ddim, x = mat_kdh.shape[1], mat_kdh.shape[2]
-        out = jnp.zeros((ddim, k, k, x), mat_kdh.dtype)
-        out = out.at[:, idx, idx, :].set(jnp.transpose(mat_kdh, (1, 0, 2)))
-        return pad_rows(out.reshape(ddim, k, k * x))
-
-    w_dm = diag_dm(dec_params.w)                       # (D*KP, K*H) bf16
-    v_dm = diag_dm(dec_params.v)                       # (D*KP, K*H) bf16
-    # Own-sample LSTM input projection, dim-major (DIAGONAL blocks only —
-    # x(t) = [v_k(t); ctx(t)=latents(t-1)], so only the v_k(t) part can be
-    # accumulated during the sweep; the ctx part is applied from the
-    # previous step's samples via Wctx below).
-    wx_v = lstm.wx[:, :d, :]                           # (K, D, 4U)
-    m4 = jnp.zeros((d, k, k, four_u), lstm.wx.dtype)
-    m4 = m4.at[:, idx, idx, :].add(jnp.transpose(wx_v, (1, 0, 2)))
-    m_dm = pad_rows(m4.reshape(d, k, k * four_u))      # (D*KP, K*4U) bf16
-    # Feedback-context projection: rows [j*D + i] map source sample v_{j,i}
-    # (from step t-1) to all K target tracks' gates.
-    if ctx_dim:
-        wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
-        wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(
-            k * d, k * four_u).astype(jnp.bfloat16)
-    else:
-        wctx = jnp.zeros((k * d, k * four_u), jnp.bfloat16)
-    # visible-bias conditioning, dim-major rows: row (i*KP + j) = wuv_j[:, i]
-    # placed in lane-block j  ->  (D*KP, K*U)
-    wuv4 = jnp.zeros((d, k, k, u), dec_params.wuv.dtype)
-    wuv4 = wuv4.at[:, idx, idx, :].set(
-        jnp.transpose(dec_params.wuv, (2, 0, 1)))      # (D, K, U)
-    wuv_dm = pad_rows(wuv4.reshape(d, k, k * u))
-    # bv dim-major, pad rows at -1e9 so padded tracks always sample 0
-    bv_full = jnp.full((d, kp), -1e9, jnp.float32)
-    bv_full = bv_full.at[:, :k].set(jnp.transpose(dec_params.bv, (1, 0)))
-    bv_dm = bv_full.reshape(d * kp, 1)
-    v0_pad = jnp.zeros((kp, d), jnp.float32).at[:k].set(v0.reshape(k, d))
-
+    args = _nade_args(dec_params, h0, c0, v0)
     seed = key_to_seeds(key)
-    args = (
-        w_dm, v_dm, m_dm, wuv_dm,
-        dec_params.wuh.reshape(k * u, hid),
-        lstm.wh.reshape(k * u, four_u),
-        wctx,
-        bv_dm,
-        dec_params.bh,                                 # (K, H)
-        lstm.b.reshape(1, k * four_u),
-        h0.reshape(1, k * u),
-        c0.reshape(1, k * u),
-        v0_pad,
-    )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[vmem] * len(args),
-        out_specs=(vmem, vmem, vmem),
-        scratch_shapes=[pltpu.VMEM((1, k * u), jnp.float32),    # h
-                        pltpu.VMEM((1, k * u), jnp.float32),    # c
-                        pltpu.VMEM((kp, d), jnp.float32),       # v
-                        pltpu.VMEM((1, k * hid), jnp.float32),  # bh'
-                        pltpu.VMEM((d * kp, 1), jnp.float32),   # bv'
-                        pltpu.VMEM((d * kp, 1), jnp.float32),   # uniforms
-                        pltpu.VMEM((1, k * four_u), jnp.float32)],  # zctx
+        in_specs=[vspec] * len(args),
+        out_specs=(vspec, vspec, vspec),
+        scratch_shapes=_nade_scratch(k, d, hid, u),
     )
     roll, h_out, c_out = pl.pallas_call(
         functools.partial(_nade_kernel, n_steps=n_steps, n_tracks=k,

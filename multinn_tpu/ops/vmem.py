@@ -1,0 +1,42 @@
+"""Shared VMEM accounting for the Pallas kernels (SURVEY §2.1).
+
+One budget constant and one measuring rule for every ``supported()`` gate:
+byte counts are derived from the SAME builder functions the kernel dispatch
+uses (via ``jax.eval_shape``), so the gate can never drift from the kernel's
+actual allocation — a drifted hand-maintained formula silently flips
+dispatch to the slow path or OOMs at Mosaic compile time (round-1 ADVICE).
+
+The physical VMEM is ~16 MiB/core (pallas guide); the budget leaves headroom
+for Mosaic spills, pipeline double-buffers and compiler temporaries.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _nbytes(shape, dtype) -> int:
+    return math.prod(shape) * jnp.dtype(dtype).itemsize
+
+
+def tree_bytes(tree) -> int:
+    """Total bytes of a pytree of arrays / ShapeDtypeStructs."""
+    return sum(_nbytes(leaf.shape, leaf.dtype)
+               for leaf in jax.tree.leaves(tree))
+
+
+def scratch_bytes(scratch_shapes) -> int:
+    """Total bytes of a pltpu scratch_shapes list (pltpu.VMEM entries expose
+    shape/dtype)."""
+    return sum(_nbytes(s.shape, s.dtype) for s in scratch_shapes)
+
+
+def eval_shape_bytes(fn, *args, **kwargs) -> int:
+    """Bytes of fn's outputs without running it — ``fn`` is the kernel's own
+    argument builder, so this is exactly what the dispatch will allocate."""
+    return tree_bytes(jax.eval_shape(fn, *args, **kwargs))

@@ -61,12 +61,32 @@ class Checkpointer:
                 step: Optional[int] = None) -> Tuple[Dict[str, Any], int]:
         """Restore into the structure of ``template`` (shapes/dtypes/static
         fields come from the template — required because params pytrees carry
-        non-array static config). step=None -> latest."""
+        non-array static config). step=None -> latest.
+
+        Forward compatibility: checkpoints written by older versions may
+        lack keys the current template has (e.g. ``epoch_step0``); those
+        keep their template defaults via a partial restore, with a warning
+        naming the step so silent corruption can't hide behind it."""
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        restored = self._mngr.restore(
-            step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            stored = set(self._mngr.item_metadata(step).tree.keys())
+            missing = sorted(set(template) - stored)
+            if not missing:
+                raise
+            import logging
+            logging.getLogger("multinn").warning(
+                "checkpoint @ step %d predates state keys %s; restoring "
+                "the stored subset (missing keys keep template defaults)",
+                step, missing)
+            pruned = {k: v for k, v in template.items() if k in stored}
+            restored = dict(template)
+            restored.update(self._mngr.restore(
+                step, args=ocp.args.StandardRestore(pruned)))
         return restored, step
 
     def close(self) -> None:

@@ -24,17 +24,36 @@ class Generator:
     """Public generator API (B:5). Shares the trainer's checkpoint artifact:
     construct with params restored by ``Trainer.restore`` or fresh ones."""
 
-    def __init__(self, cfg, params: multinn.MultINNParams, mesh=None):
+    def __init__(self, cfg, params: multinn.MultINNParams, mesh=None,
+                 track_sharded: bool = None):
         """``mesh``: optional jax.sharding.Mesh — generation batch-shards
-        over the ``data`` axis (params replicated; XLA partitions the scan).
-        Sampling is per-sequence independent, so this is embarrassingly
-        parallel across chips."""
+        over the ``data`` axis (sampling is per-sequence independent, so DP
+        is embarrassingly parallel across chips) and, with ``track_sharded``
+        (default: from cfg.mesh under gspmd), shards the per-track expert
+        modules over the ``track`` axis: the feedback architecture's
+        cross-track context assembly inside the sampling scan becomes the
+        per-step latent all-gather, inserted by the SPMD partitioner
+        [B:10] — same collective as training (SURVEY §2.2 EP row)."""
         self.cfg = cfg
         self.mesh = mesh
+        if track_sharded is None:
+            mesh_cfg = getattr(cfg, "mesh", None)
+            track_sharded = bool(mesh_cfg is not None
+                                 and mesh_cfg.track > 1
+                                 and mesh_cfg.style == "gspmd")
+        self.track_sharded = track_sharded and mesh is not None
         if mesh is not None:
             from multinn_tpu.parallel import mesh as mesh_mod
-            params = mesh_mod.put_replicated(params, mesh)
+            if self.track_sharded:
+                params = mesh_mod.put_multinn_sharded(params, mesh,
+                                                      track_sharded=True)
+            else:
+                params = mesh_mod.put_replicated(params, mesh)
         self.params = params
+        # the fused whole-generation kernels are single-chip programs; under
+        # a multi-device mesh force the (GSPMD-shardable) scan path
+        multi_device = mesh is not None and mesh.size > 1
+        fused = False if multi_device else None
 
         gibbs_k = getattr(cfg.generate, "gibbs_k", 0) or None
 
@@ -43,7 +62,8 @@ class Generator:
             if seed is not None:
                 state = multinn.prime(params, state, seed)
             # generate.gibbs_k overrides the model's gen_k (0 = model default)
-            _, roll = multinn.generate(params, key, state, n_steps, k=gibbs_k)
+            _, roll = multinn.generate(params, key, state, n_steps,
+                                       fused=fused, k=gibbs_k)
             return roll
 
         # one compiled program per (n_steps, batch, seed-shape) combination
@@ -51,10 +71,17 @@ class Generator:
 
     def _generate_impl(self, key, seed, n_steps: int, batch: int):
         if self.mesh is not None and seed is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from multinn_tpu.parallel.mesh import DATA_AXIS
+            from multinn_tpu.parallel import mesh as mesh_mod
+            n_data = self.mesh.shape[mesh_mod.DATA_AXIS]
+            if seed.shape[0] % n_data:
+                spec = mesh_mod.P()          # unshardable small batch
+            else:
+                spec = (mesh_mod.P(mesh_mod.DATA_AXIS, None,
+                                   mesh_mod.TRACK_AXIS, None)
+                        if self.track_sharded
+                        else mesh_mod.P(mesh_mod.DATA_AXIS))
             seed = jax.device_put(
-                seed, NamedSharding(self.mesh, P(DATA_AXIS)))
+                seed, mesh_mod.NamedSharding(self.mesh, spec))
         return self._jit_impl(self.params, key, seed, n_steps, batch)
 
     def generate(self, key: jax.Array, n_steps: int,

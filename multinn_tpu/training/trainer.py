@@ -344,13 +344,19 @@ class Trainer:
                              "(duplicate step?)", self.step)
 
     def restore(self, step: Optional[int] = None) -> int:
-        state, at = self.ckpt.restore(self._state_dict(), step=step)
+        # sentinel: a pre-epoch_step0 checkpoint partial-restores to -1, in
+        # which case we fall back to treating the step as an epoch boundary
+        # (the old behavior: the partial epoch re-trains from batch 0)
+        template = dict(self._state_dict(), epoch_step0=-1)
+        state, at = self.ckpt.restore(template, step=step)
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.rng = jnp.asarray(state["rng"])
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
-        self.epoch_step0 = int(state.get("epoch_step0", self.step))
+        self.epoch_step0 = int(state.get("epoch_step0", -1))
+        if self.epoch_step0 < 0:
+            self.epoch_step0 = self.step
         self.best_valid = float(state["best_valid"])
         self.log.info("restored checkpoint @ step %d (epoch %d, "
                       "%d batches into the epoch)",

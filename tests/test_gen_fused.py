@@ -85,12 +85,75 @@ def test_fused_priming_carries_state():
 
 def test_supported_gating():
     assert gen_fused.supported(cfg_for(), 1)
-    assert not gen_fused.supported(cfg_for(), 2)                 # batch>1
+    assert gen_fused.supported(cfg_for(), 8)          # batched serving shape
     assert not gen_fused.supported(cfg_for(decoder_type="rnn-nade"), 1)
     assert not gen_fused.supported(cfg_for(encoder_hidden=(8,)), 1)
     assert not gen_fused.supported(cfg_for(rnn_layers=2), 1)
     assert not gen_fused.supported(cfg_for(mode="joint"), 1)
     assert not gen_fused.supported(cfg_for(cell="vanilla"), 1)
+    # the VMEM gate measures the real arg builders: weights that cannot fit
+    # (block-diag (K*D, K*H) alone ~75 MB) must be rejected even at batch 1
+    assert not gen_fused.supported(cfg_for(n_pitches=512, n_hidden=2048), 1)
+    # and a batch large enough to blow the state rows must be rejected
+    assert not gen_fused.supported(cfg_for(), 200_000)
+
+
+@pytest.mark.parametrize("mode", ["feedback", "per-track"])
+def test_fused_batched_matches_scan_distribution(mode):
+    """Batched fused generation (B=4): same distribution as the scan path,
+    per-sample binarity, and the state contract at every batch row."""
+    cfg = cfg_for(mode)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    bv = dec.bv + jnp.linspace(-2.0, 2.0, D)[None, :]
+    params = params.replace(decoder=dec.replace(bv=bv))
+
+    B, T = 4, 48
+    st = multinn.init_state(params, B)
+    _, scan_roll = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                    fused=False)
+    st2 = multinn.init_state(params, B)
+    fin, fused_roll = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    assert fused_roll.shape == scan_roll.shape == (B, T, K, D)
+    assert set(np.unique(np.asarray(fused_roll))) <= {0.0, 1.0}
+    m_scan = np.asarray(scan_roll.mean(axis=(0, 1, 2)))
+    m_fused = np.asarray(fused_roll.mean(axis=(0, 1, 2)))
+    np.testing.assert_allclose(m_fused, m_scan, atol=0.12)
+    # state contract: v_prev (K, B, D) equals each sample's last frame
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(fin.decoder.v_prev, 0, 1)),
+        np.asarray(fused_roll[:, -1]))
+    if mode == "feedback":
+        assert fin.ctx.shape == (B, K * D)
+    # batch rows are independent samples, not copies
+    assert not np.array_equal(np.asarray(fused_roll[0]),
+                              np.asarray(fused_roll[1]))
+
+
+def test_fused_batched_deterministic_bias_pattern():
+    """With all stochastic couplings zeroed and strong biases, every batch
+    row must deterministically reproduce the bias pattern — verifies the
+    batched row layout has no cross-sample mixing."""
+    cfg = cfg_for("feedback", w_std=0.0)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    pattern = jnp.where(jnp.arange(D) % 3 == 0, 10.0, -10.0)
+    bv = jnp.tile(pattern[None], (K, 1))
+    bv = bv.at[1].set(-pattern)          # track 1 complementary
+    params = params.replace(decoder=dec.replace(
+        bv=bv, w=jnp.zeros_like(dec.w), wuv=jnp.zeros_like(dec.wuv),
+        wuh=jnp.zeros_like(dec.wuh)))
+    B = 5
+    st = multinn.init_state(params, B)
+    _, roll = multinn._generate_fused(params, jax.random.PRNGKey(3), st, 4,
+                                      interpret=True)
+    expect0 = (np.asarray(pattern) > 0).astype(np.float32)
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(roll[b, :, 0]),
+                                      np.tile(expect0, (4, 1)))
+        np.testing.assert_array_equal(np.asarray(roll[b, :, 1]),
+                                      np.tile(1 - expect0, (4, 1)))
 
 
 # ---------------------------------------------------------------------------

@@ -193,3 +193,32 @@ def test_mesh_sharded_generation_matches_single_device(tmp_path):
     r2 = gen_mesh.generate(jax.random.PRNGKey(5), n_steps=6, seed=seed)
     np.testing.assert_array_equal(r1, r2)
     t.close()
+
+
+@pytest.mark.parametrize("mode", ["feedback", "per-track"])
+def test_track_sharded_generation_matches_single_device(tmp_path, mode):
+    """Generation with the per-track expert modules sharded over the track
+    axis (dp=4 x track=2) must equal single-device generation bit-for-bit.
+    In feedback mode the cross-track context assembly inside the sampling
+    scan is the per-step latent all-gather the partitioner inserts [B:10]
+    — the SURVEY §2.2 EP obligation for generation."""
+    from multinn_tpu.training.generator import Generator
+    cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=False),
+                  name=f"tsg_{mode}", mode=mode)
+    t = Trainer(cfg)
+    seed = t.dataset.seed_windows("valid", n=8)
+
+    gen_single = Generator(cfg, t.params)
+    r1 = gen_single.generate(jax.random.PRNGKey(5), n_steps=6, seed=seed)
+
+    mesh_cfg = MeshConfig(use_mesh=True, track=2, style="gspmd")
+    cfg_mesh = exp_cfg(tmp_path, mesh_cfg, name=f"tsg_m_{mode}", mode=mode)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    gen_mesh = Generator(cfg_mesh, t.params, mesh=mesh)
+    assert gen_mesh.track_sharded
+    # params really live sharded over the track axis
+    leaf = jax.tree.leaves(gen_mesh.params.decoder)[0]
+    assert leaf.sharding.spec and leaf.sharding.spec[0] == mesh_mod.TRACK_AXIS
+    r2 = gen_mesh.generate(jax.random.PRNGKey(5), n_steps=6, seed=seed)
+    np.testing.assert_array_equal(r1, r2)
+    t.close()
