@@ -63,6 +63,24 @@ def main(argv=None) -> int:
     report["frame"] = {k: float(v) for k, v in
                        trainer.evaluate(args.split).items()}
 
+    # Paper quality anchors (Boulanger-Lewandowski et al. 2012, Table 1 —
+    # values recalled from model knowledge, PAPERS.md): emitted side-by-side
+    # with the measured LL-per-frame for the corpora the reference targets
+    # [B:7,8]. NOTE: the RBM number is a PSEUDO-log-likelihood proxy (true
+    # RBM LL is intractable); the NADE number is exact and comparable.
+    _ANCHORS = {("jsb", "rnn-rbm"): -6.27, ("jsb", "rnn-nade"): -5.56,
+                ("nottingham", "rnn-rbm"): -2.39,
+                ("nottingham", "rnn-nade"): -2.31}
+    anchor = _ANCHORS.get((cfg.data.dataset, cfg.model.decoder_type))
+    if anchor is not None:
+        report["paper_anchor"] = {
+            "test_ll_per_frame_2012": anchor,
+            "measured_ll_per_frame": report["frame"].get("ll_per_frame"),
+            "measured_is_exact_ll": cfg.model.decoder_type == "rnn-nade",
+            "synthetic_stand_in": "synth" in (cfg.data.path or "").lower(),
+            "source": "arXiv:1206.6392 Table 1 (see PAPERS.md caveat)",
+        }
+
     if not args.no_musical:
         steps_per_bar = cfg.data.steps_per_quarter * 4
         drum_track = 0 if cfg.model.n_tracks == 5 else None

@@ -119,8 +119,12 @@ class _EventCollector:
         self.out = out
         self.instruments = instruments
         self.program = [0] * 16                 # current program per channel
-        # (channel, pitch) -> list of (start_tick, velocity)
-        self.open_notes: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+        # (channel, pitch) -> list of (start_tick, velocity, instrument):
+        # the owning instrument is resolved at note-ON (a program change
+        # while a note sounds must not re-attribute it — the overflow-track
+        # writer interleaves changes on a shared channel)
+        self.open_notes: Dict[Tuple[int, int],
+                              List[Tuple[int, int, Instrument]]] = {}
         self.track_name = ""
         self.saw_tempo = False
 
@@ -143,20 +147,21 @@ class _EventCollector:
         if kind == 0xC0:
             self.program[channel] = d1
         elif kind == 0x90 and d2 > 0:           # note on
-            self.open_notes.setdefault((channel, d1), []).append((tick, d2))
+            self.open_notes.setdefault((channel, d1), []).append(
+                (tick, d2, self._instrument(channel)))
         elif kind == 0x80 or (kind == 0x90 and d2 == 0):   # note off
             stack = self.open_notes.get((channel, d1))
             if stack:
-                start, vel = stack.pop(0)
+                start, vel, ins = stack.pop(0)
                 if tick > start:
-                    self._instrument(channel).notes.append(
+                    ins.notes.append(
                         Note(pitch=d1, velocity=vel, start=start, end=tick))
 
     def finish(self) -> None:
         # close dangling notes at their start+1 tick (defensive)
         for (channel, pitch), stack in self.open_notes.items():
-            for start, vel in stack:
-                self._instrument(channel).notes.append(
+            for start, vel, ins in stack:
+                ins.notes.append(
                     Note(pitch=pitch, velocity=vel, start=start,
                          end=start + 1))
         self.open_notes.clear()
@@ -217,38 +222,97 @@ def _track_chunk(events: bytes) -> bytes:
     return b"MTrk" + len(events).to_bytes(4, "big") + events
 
 
-def dumps(mid: MidiFile) -> bytes:
-    """Serialize to a format-1 SMF: tempo track + one track per instrument.
-    Drum instruments land on channel 9; others round-robin the rest."""
-    n_tracks = 1 + len(mid.instruments)
-    header = (b"MThd" + (6).to_bytes(4, "big")
-              + _struct.pack(">HHH", 1, n_tracks, mid.ticks_per_quarter))
+def _instrument_track(ins: Instrument, channel: int) -> bytes:
+    """One SMF track for an instrument on a dedicated (channel, program)."""
+    # (tick, order, bytes) — offs before ons at the same tick (order 0 < 1)
+    events: List[Tuple[int, int, bytes]] = []
+    events.append((0, 0, bytes([0xC0 | channel, ins.program & 0x7F])))
+    for n in ins.notes:
+        events.append((n.start, 1, bytes(
+            [0x90 | channel, n.pitch & 0x7F, max(1, min(127, n.velocity))])))
+        events.append((n.end, 0, bytes([0x80 | channel, n.pitch & 0x7F, 0])))
+    events.sort(key=lambda e: (e[0], e[1]))
+    buf = bytearray()
+    last_tick = 0
+    for tick, _, ev in events:
+        buf += _varint(tick - last_tick) + ev
+        last_tick = tick
+    return _track_chunk(bytes(buf))
 
+
+def _overflow_track(instruments: List[Instrument], channel: int) -> bytes:
+    """Instruments whose programs exceed the 15 melodic channels share ONE
+    channel in ONE track, with a program-change interleaved immediately
+    before every note-on whose program differs from the channel's current
+    program — programs are always correct at note ONSET (a note still
+    sounding across a change inherits the new timbre; inherent single-port
+    MIDI limitation). One track keeps the event order deterministic, and the
+    reader's per-channel program tracking re-splits the notes into their
+    original (program) instruments on round-trip."""
+    # (tick, order, program, payload) — offs(0) before ons(1) at equal ticks
+    events: List[Tuple[int, int, int, bytes]] = []
+    for ins in instruments:
+        prog = ins.program & 0x7F
+        for n in ins.notes:
+            events.append((n.start, 1, prog, bytes(
+                [0x90 | channel, n.pitch & 0x7F,
+                 max(1, min(127, n.velocity))])))
+            events.append((n.end, 0, prog, bytes(
+                [0x80 | channel, n.pitch & 0x7F, 0])))
+    events.sort(key=lambda e: (e[0], e[1], e[2]))
+    buf = bytearray()
+    last_tick = 0
+    current = -1
+    for tick, order, prog, ev in events:
+        if order == 1 and prog != current:
+            buf += _varint(tick - last_tick) + bytes([0xC0 | channel, prog])
+            last_tick = tick
+            current = prog
+        buf += _varint(tick - last_tick) + ev
+        last_tick = tick
+    return _track_chunk(bytes(buf))
+
+
+def dumps(mid: MidiFile) -> bytes:
+    """Serialize to a format-1 SMF: tempo track + instrument tracks.
+
+    Channel allocation: drums share channel 9 (GM convention); melodic
+    instruments get one channel PER DISTINCT PROGRAM (instruments with equal
+    programs can safely share a channel — channel state agrees). When more
+    than 15 distinct melodic programs exist (Lakh-scale re-emission), the
+    first 14 keep dedicated channels and the rest share the last channel via
+    a merged track with interleaved program changes (_overflow_track) — no
+    instrument is ever silently emitted with a wrong program."""
     tempo = b"\x00\xff\x51\x03" + mid.tempo_us_per_quarter.to_bytes(3, "big")
     chunks = [_track_chunk(tempo)]
 
     melodic_channels = [c for c in range(16) if c != 9]
-    mel_i = 0
+    melodic = [ins for ins in mid.instruments if not ins.is_drum]
+    programs: List[int] = []
+    for ins in melodic:
+        if (ins.program & 0x7F) not in programs:
+            programs.append(ins.program & 0x7F)
+    if len(programs) <= len(melodic_channels):
+        chan_of = {p: melodic_channels[i] for i, p in enumerate(programs)}
+        overflow_chan = None
+    else:
+        dedicated = programs[:len(melodic_channels) - 1]
+        chan_of = {p: melodic_channels[i] for i, p in enumerate(dedicated)}
+        overflow_chan = melodic_channels[-1]
+
+    overflow: List[Instrument] = []
     for ins in mid.instruments:
         if ins.is_drum:
-            channel = 9
+            chunks.append(_instrument_track(ins, 9))
+        elif (ins.program & 0x7F) in chan_of:
+            chunks.append(_instrument_track(ins, chan_of[ins.program & 0x7F]))
         else:
-            channel = melodic_channels[mel_i % len(melodic_channels)]
-            mel_i += 1
-        # (tick, order, bytes) — offs before ons at the same tick (order 0 < 1)
-        events: List[Tuple[int, int, bytes]] = []
-        events.append((0, 0, bytes([0xC0 | channel, ins.program & 0x7F])))
-        for n in ins.notes:
-            events.append((n.start, 1, bytes(
-                [0x90 | channel, n.pitch & 0x7F, max(1, min(127, n.velocity))])))
-            events.append((n.end, 0, bytes([0x80 | channel, n.pitch & 0x7F, 0])))
-        events.sort(key=lambda e: (e[0], e[1]))
-        buf = bytearray()
-        last_tick = 0
-        for tick, _, ev in events:
-            buf += _varint(tick - last_tick) + ev
-            last_tick = tick
-        chunks.append(_track_chunk(bytes(buf)))
+            overflow.append(ins)
+    if overflow:
+        chunks.append(_overflow_track(overflow, overflow_chan))
+
+    header = (b"MThd" + (6).to_bytes(4, "big")
+              + _struct.pack(">HHH", 1, len(chunks), mid.ticks_per_quarter))
     return header + b"".join(chunks)
 
 

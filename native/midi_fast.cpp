@@ -69,11 +69,20 @@ struct Cursor {
   void skip(uint32_t n) {
     if (p + n > end) { ok = false; p = end; } else { p += n; }
   }
+  // clamp-to-end without error: the Python layer slices meta/sysex payloads
+  // (a short slice is silently tolerated), so payload truncation must not
+  // reject the file — only truncation inside EVENT bytes does
+  void skip_clamp(uint32_t n) {
+    p = (p + n > end) ? end : p + n;
+  }
 };
 
 struct OpenNote {
   int32_t start;
   uint8_t velocity;
+  uint8_t program;   // resolved at note-ON (a later program change on the
+                     // channel must not re-attribute a sounding note —
+                     // matches the Python reader)
 };
 
 // per (channel, pitch) stack of open notes
@@ -125,7 +134,10 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
     Cursor tc{c.p, chunk_end};
     while (tc.p < tc.end && tc.ok) {
       tick += (int32_t)tc.varint();
-      if (tc.p >= tc.end) break;            // delta-time at end of chunk
+      if (tc.p >= tc.end) {                 // delta with no event: truncated
+        tc.ok = false;
+        break;
+      }
       uint8_t status = *tc.p;
       if (status >= 0x80) {
         tc.p++;
@@ -142,9 +154,9 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
           out->tempo_us_per_quarter = us;
           tempo_set = true;
         }
-        tc.skip(mlen);
+        tc.skip_clamp(mlen);
       } else if (status == 0xF0 || status == 0xF7) {   // sysex
-        tc.skip(tc.varint());
+        tc.skip_clamp(tc.varint());
       } else {
         uint8_t kind = status & 0xF0;
         uint8_t ch = status & 0x0F;
@@ -154,7 +166,7 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
         if (kind == 0xC0) {
           st.program[ch] = d1 & 0x7F;
         } else if (kind == 0x90 && d2 > 0) {
-          st.open[ch][d1 & 0x7F].push_back({tick, d2});
+          st.open[ch][d1 & 0x7F].push_back({tick, d2, st.program[ch]});
         } else if (kind == 0x80 || (kind == 0x90 && d2 == 0)) {
           auto& stack = st.open[ch][d1 & 0x7F];
           if (!stack.empty()) {
@@ -162,7 +174,7 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
             stack.erase(stack.begin());
             if (tick > on.start) {
               notes.push_back({on.start, tick, (uint8_t)(d1 & 0x7F),
-                               on.velocity, st.program[ch],
+                               on.velocity, on.program,
                                (uint8_t)(ch == 9 ? 1 : 0)});
             }
           }
@@ -170,11 +182,16 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
       }
     }
     // close dangling notes defensively (matches the Python layer)
+    // A track that died mid-event is a malformed file: fail loudly (rc=3)
+    // like the Python layer's IndexError -> the caller skips the FILE, so
+    // native and Python ingest build identical corpora for corrupt inputs.
+    if (!tc.ok) return 3;
+
     for (int ch = 0; ch < 16; ++ch)
       for (int pp = 0; pp < 128; ++pp)
         for (auto& on : st.open[ch][pp])
           notes.push_back({on.start, on.start + 1, (uint8_t)pp, on.velocity,
-                           st.program[ch], (uint8_t)(ch == 9 ? 1 : 0)});
+                           on.program, (uint8_t)(ch == 9 ? 1 : 0)});
 
     c.p = chunk_end;
     ++t;

@@ -76,6 +76,48 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_synthpickle(args) -> int:
+    """Write a corpus-FORMAT-faithful Boulanger-Lewandowski pickle from the
+    synthetic generator: {'train'|'valid'|'test': [sequence]} with each
+    sequence a list of TUPLES OF ACTIVE MIDI PITCHES per step — byte-level
+    the same structure the public JSB/Nottingham pickles use, so the entire
+    pickle ingest path (load_pickle -> split handling -> windows) is
+    exercised end-to-end before real corpora land (SURVEY §6 readiness).
+
+        python scripts/prepare_dataset.py synthpickle --out data/jsb_synth.pkl
+        python train.py --config configs/jsb_rnnrbm.json \
+            --data.path=data/jsb_synth.pkl        # <- single re-run command
+    """
+    import dataclasses
+    import pickle
+    from multinn_tpu.data.datasets import synthetic_corpus
+    # chorale-like: single track, canonical 88-key range, varied lengths
+    cfg = dataclasses.replace(make_cfg(args), n_tracks=1, pitch_min=21,
+                              pitch_max=108)
+    rolls = synthetic_corpus(cfg)
+    rng = np.random.default_rng(cfg.seed)
+
+    def to_tuples(roll):
+        length = int(rng.integers(roll.shape[0] // 2, roll.shape[0] + 1))
+        return [tuple(int(p) + cfg.pitch_min
+                      for p in np.flatnonzero(roll[t, 0]))
+                for t in range(length)]
+
+    n = len(rolls)
+    n_tr, n_va = int(0.8 * n), int(0.1 * n)
+    corpus = {
+        "train": [to_tuples(r) for r in rolls[:n_tr]],
+        "valid": [to_tuples(r) for r in rolls[n_tr:n_tr + n_va]],
+        "test": [to_tuples(r) for r in rolls[n_tr + n_va:]],
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "wb") as f:
+        pickle.dump(corpus, f)
+    print(f"wrote {args.out}: "
+          + " ".join(f"{s}={len(v)} sequences" for s, v in corpus.items()))
+    return 0
+
+
 def cmd_stats(args) -> int:
     import json
     from multinn_tpu.data.datasets import Dataset
@@ -99,12 +141,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("cache", cmd_cache), ("synth", cmd_synth),
-                     ("stats", cmd_stats)):
+                     ("synthpickle", cmd_synthpickle), ("stats", cmd_stats)):
         sp = sub.add_parser(name)
         add_data_args(sp)
-        if name == "cache":
-            sp.add_argument("--out", required=True)
-        if name == "synth":
+        if name in ("cache", "synth", "synthpickle"):
             sp.add_argument("--out", required=True)
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

@@ -200,3 +200,47 @@ def test_preset_source_defaults():
     assert DataConfig.from_preset("synthetic").source == "synthetic"
     with pytest.raises(ValueError):
         Dataset(DataConfig.from_preset("lpd5"))   # no path -> loud failure
+
+
+def test_midi_writer_many_programs_roundtrip():
+    """>15 distinct melodic programs (Lakh-scale re-emission): the writer
+    must keep every instrument's program correct — dedicated channels for
+    the first programs, interleaved program changes on a shared overflow
+    channel for the rest — and the reader must split them back apart."""
+    m = midi.MidiFile(ticks_per_quarter=480)
+    n_ins = 20
+    for i in range(n_ins):
+        ins = midi.Instrument(program=i * 5, is_drum=False)
+        # stagger notes so overflow instruments interleave in time
+        ins.notes.append(midi.Note(pitch=40 + i, velocity=90,
+                                   start=i * 60, end=i * 60 + 240))
+        ins.notes.append(midi.Note(pitch=41 + i, velocity=90,
+                                   start=2400 + i * 60, end=2400 + i * 60 + 240))
+        m.instruments.append(ins)
+    m2 = midi.loads(midi.dumps(m))
+    got = {}
+    for ins in m2.instruments:
+        got.setdefault(ins.program, []).extend(
+            (n.pitch, n.start, n.end) for n in ins.notes)
+    assert set(got) == {i * 5 for i in range(n_ins)}
+    for i in range(n_ins):
+        expect = [(40 + i, i * 60, i * 60 + 240),
+                  (41 + i, 2400 + i * 60, 2400 + i * 60 + 240)]
+        assert sorted(got[i * 5]) == expect, (i, got[i * 5])
+
+
+def test_midi_reader_attributes_program_at_note_on():
+    """A program change while a note sounds must not re-attribute it."""
+    track = bytearray()
+    track += b"\x00" + bytes([0xC0, 10])           # program 10
+    track += b"\x00" + bytes([0x90, 60, 90])       # note on
+    track += b"\x30" + bytes([0xC0, 20])           # program change mid-note
+    track += b"\x30" + bytes([0x80, 60, 0])        # note off
+    data = (b"MThd" + (6).to_bytes(4, "big")
+            + (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+            + (96).to_bytes(2, "big")
+            + b"MTrk" + len(bytes(track) + b"\x00\xff\x2f\x00").to_bytes(4, "big")
+            + bytes(track) + b"\x00\xff\x2f\x00")
+    m = midi.loads(data)
+    assert len(m.instruments) == 1
+    assert m.instruments[0].program == 10

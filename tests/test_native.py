@@ -101,3 +101,29 @@ def test_native_truncated_files_do_not_crash():
         native.parse_bytes(stub)
     except ValueError:
         pass
+
+
+def test_native_truncation_parity_with_python():
+    """Native and Python ingest must accept/reject the SAME truncated files
+    (a native parser that silently returns partial notes where Python raises
+    would build a different corpus from corrupt inputs)."""
+    from multinn_tpu.data import pianoroll as pr2
+    cfg = DataConfig.from_preset("lpd5", synthetic_songs=1,
+                                 synthetic_steps=32)
+    data = midi.dumps(pr2.roll_to_midi(synthetic_corpus(cfg)[0], cfg.spec()))
+    disagreements = []
+    for cut in range(14, len(data), 3):
+        blob = data[:cut]
+        try:
+            midi.loads(blob)
+            py_ok = True
+        except Exception:
+            py_ok = False
+        try:
+            native.parse_bytes(blob)
+            nat_ok = True
+        except ValueError:
+            nat_ok = False
+        if py_ok != nat_ok:
+            disagreements.append((cut, py_ok, nat_ok))
+    assert not disagreements, disagreements[:10]

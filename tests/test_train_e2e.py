@@ -174,6 +174,43 @@ def test_cli_train_and_generate(tmp_path):
     assert os.path.exists(os.path.join(out, "pianorolls.npz"))
 
 
+def test_real_data_readiness_jsb_pickle_drill(tmp_path):
+    """SURVEY §6 readiness drill: a corpus-format-faithful synthetic JSB
+    pickle (tuples-of-active-pitches, own train/valid/test split) flows
+    through the SHIPPED config configs/jsb_rnnrbm.json end-to-end —
+    prepare -> train CLI -> evaluate CLI — and the eval report carries the
+    measured LL-per-frame side-by-side with the paper anchors. The single
+    re-run command when real corpora land is the same invocation with the
+    real pickle path."""
+    import scripts.prepare_dataset as prep
+    import train as train_cli
+    import evaluate as eval_cli
+
+    pkl = str(tmp_path / "jsb_synth.pkl")
+    rc = prep.main(["synthpickle", "--out", pkl, "--songs", "12"])
+    assert rc == 0
+
+    run_dir = str(tmp_path / "jsb_drill")
+    rc = train_cli.main([
+        "--config", "configs/jsb_rnnrbm.json",
+        f"--data.path={pkl}",
+        "--model.n_hidden=16", "--model.n_rnn=12", "--model.gen_k=2",
+        "--train.epochs=1", "--train.steps_per_call=2",
+        "--train.ckpt_every_steps=0", f"--train.run_dir={run_dir}",
+    ])
+    assert rc == 0
+    rc = eval_cli.main(["--run", run_dir, "--latest", "--no-musical",
+                        "--split", "test"])
+    assert rc == 0
+    with open(os.path.join(run_dir, "eval_test.json")) as f:
+        report = json.load(f)
+    assert np.isfinite(report["frame"]["ll_per_frame"])
+    anchor = report["paper_anchor"]
+    assert anchor["test_ll_per_frame_2012"] == -6.27
+    assert anchor["synthetic_stand_in"] is True
+    assert np.isfinite(anchor["measured_ll_per_frame"])
+
+
 def test_config_json_roundtrip_and_overrides(tmp_path):
     cfg = tiny_cfg(tmp_path)
     p = str(tmp_path / "cfg.json")
