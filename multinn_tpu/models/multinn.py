@@ -16,6 +16,13 @@ Composes per-track encoder+decoder modules under an inter-track architecture:
   * ``joint``: all tracks concatenated into one (K·D)-dim frame handled by a
     single encoder+decoder (the MuseGAN-style fully-joint wiring; SURVEY C12
     lists such extra modes as likely-present — included for capability cover).
+  * ``hybrid``: ONE shared encoder (cross-track weight tying) but fully
+    independent per-track decoders — the MuseGAN "hybrid" analogue (shared
+    inter-track + private intra-track modeling) [SURVEY C12 extra modes].
+
+MuseGAN-vocabulary aliases (C12): ``jamming`` -> per-track (independent
+generators per track) and ``composer`` -> joint (one generator over the
+concatenated tracks); normalized at config construction.
 
 API (C11): init / loss / log_likelihood / prime / generate — a unified
 forward/loss/sample surface over all tracks. Pianorolls are (B, T, K, D).
@@ -35,7 +42,8 @@ from multinn_tpu.models import encoders as enc_mod
 from multinn_tpu.models.base import DecoderConfig, get_decoder
 from multinn_tpu.models.encoders import EncoderConfig
 
-MODES = ("per-track", "feedback", "joint")
+MODES = ("per-track", "feedback", "joint", "hybrid")
+MODE_ALIASES = {"jamming": "per-track", "composer": "joint"}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,8 +65,17 @@ class MultINNConfig:
     remat: bool = False        # gradient-checkpoint the time scans (§5.7)
 
     def __post_init__(self):
+        if self.mode in MODE_ALIASES:
+            object.__setattr__(self, "mode", MODE_ALIASES[self.mode])
         if self.mode not in MODES:
-            raise ValueError(f"mode must be one of {MODES}, got {self.mode}")
+            raise ValueError(
+                f"mode must be one of {MODES} (aliases: "
+                f"{sorted(MODE_ALIASES)}), got {self.mode}")
+
+    @property
+    def shared_encoder(self) -> bool:
+        """One encoder instance for all tracks (feedback/hybrid wiring)."""
+        return self.mode in ("feedback", "hybrid")
 
     # ---- derived sub-configs -------------------------------------------
     def encoder_config(self) -> EncoderConfig:
@@ -111,8 +128,8 @@ def init(key: jax.Array, cfg: MultINNConfig) -> MultINNParams:
                              decoder=dec.init(kd, dcfg), cfg=cfg)
     dec_keys = jax.random.split(kd, cfg.n_tracks)
     decoder = jax.vmap(lambda k: dec.init(k, dcfg))(dec_keys)
-    if cfg.mode == "feedback":
-        encoder = enc_mod.init(ke, ecfg)                 # shared [B:10]
+    if cfg.shared_encoder:
+        encoder = enc_mod.init(ke, ecfg)          # shared [B:10] / hybrid
     else:
         enc_keys = jax.random.split(ke, cfg.n_tracks)
         encoder = jax.vmap(lambda k: enc_mod.init(k, ecfg))(enc_keys)
@@ -132,7 +149,7 @@ def _encode_tracks(params: MultINNParams, x: jax.Array) -> jax.Array:
     """x: (B, T, K, D) -> features, tracks-first (K, B, T, F)."""
     cfg = params.cfg
     xk = _tracks_first(x)
-    if cfg.mode == "feedback":          # shared encoder broadcast over tracks
+    if cfg.shared_encoder:              # shared encoder broadcast over tracks
         return enc_mod.encode(params.encoder, xk)
     return jax.vmap(enc_mod.encode)(params.encoder, xk)
 
@@ -290,7 +307,10 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
             lambda p, kk, st: dec.sample_step(p, kk, st, k=k)
         )(params.decoder, keys, state.decoder)
         new_state = MultINNState(decoder=states, ctx=None)
-        rolls = jax.vmap(enc_mod.decode)(params.encoder, vs)
+        if cfg.shared_encoder:          # hybrid: one decode, broadcast over K
+            rolls = enc_mod.decode(params.encoder, vs)
+        else:
+            rolls = jax.vmap(enc_mod.decode)(params.encoder, vs)
     if cfg.encoder_hidden:
         rolls = (rolls >= 0.5).astype(vs.dtype)          # decode -> binary
     return new_state, jnp.moveaxis(rolls, 0, 1)          # (B, K, D)

@@ -26,8 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 from multinn_tpu.ops import kernel_prng
 from multinn_tpu.ops.sampling import key_to_seeds
 
+from multinn_tpu.ops import vmem
+
 _LANE = 128
-_MAX_VMEM_BYTES = 8 * 1024 * 1024
+# batch-tiling budget: this kernel tiles B over the grid, so the constant is
+# a tile-size choice (weights + one tile's rows), not a hard gate — leave a
+# wider margin under the shared budget for pipeline double-buffers
+_MAX_VMEM_BYTES = (vmem.VMEM_BUDGET_BYTES * 4) // 5
 
 
 def _block_b(b: int, d: int, h: int) -> int:

@@ -30,7 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 from multinn_tpu.ops import kernel_prng
 from multinn_tpu.ops.sampling import key_to_seeds
 
-_MAX_VMEM_BYTES = 8 * 1024 * 1024
+from multinn_tpu.ops import vmem
+
+_MAX_VMEM_BYTES = (vmem.VMEM_BUDGET_BYTES * 4) // 5
 
 
 def supported(w: jax.Array) -> bool:

@@ -144,7 +144,8 @@ def multinn_param_shardings(params, mesh: Mesh, track_sharded: bool):
     def shard_subtree(tree, stacked: bool):
         return jax.tree.map(lambda _: trk if stacked else rep, tree)
 
-    dec_stacked = track_sharded and mode in ("per-track", "feedback")
+    dec_stacked = track_sharded and mode in ("per-track", "feedback",
+                                             "hybrid")
     enc_stacked = track_sharded and mode == "per-track"
     return params.replace(
         encoder=shard_subtree(params.encoder, enc_stacked),

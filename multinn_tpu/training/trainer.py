@@ -282,7 +282,7 @@ class Trainer:
         n_layers = len(cfg.model.encoder_hidden)
         if n_layers == 0 or cfg.train.pretrain_encoder_epochs == 0:
             return
-        shared = cfg.model.mode in ("feedback", "joint")
+        shared = cfg.model.mode in ("feedback", "joint", "hybrid")
         opt = optax.adam(cfg.train.pretrain_lr)
 
         def layer_loss(enc_params, key, x, layer):

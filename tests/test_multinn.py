@@ -1,4 +1,4 @@
-"""MultINN composition tests (SURVEY C11/C12): all three inter-track
+"""MultINN composition tests (SURVEY C11/C12): all inter-track
 architectures × both decoder families — loss/grads, generation shape and
 binarity, feedback-context influence, encoder stacking."""
 
@@ -24,7 +24,7 @@ def data(key=0):
         jax.random.PRNGKey(key), 0.3, (B, T, K, D)).astype(jnp.float32)
 
 
-@pytest.mark.parametrize("mode", ["per-track", "feedback", "joint"])
+@pytest.mark.parametrize("mode", ["per-track", "feedback", "joint", "hybrid"])
 @pytest.mark.parametrize("dec", ["rnn-rbm", "rnn-nade"])
 def test_loss_and_grads(mode, dec):
     cfg = make_cfg(mode, dec)
@@ -40,7 +40,7 @@ def test_loss_and_grads(mode, dec):
         assert metrics["loss_per_track"].shape == (K,)
 
 
-@pytest.mark.parametrize("mode", ["per-track", "feedback", "joint"])
+@pytest.mark.parametrize("mode", ["per-track", "feedback", "joint", "hybrid"])
 @pytest.mark.parametrize("dec", ["rnn-rbm", "rnn-nade"])
 def test_generate(mode, dec):
     cfg = make_cfg(mode, dec)
@@ -149,3 +149,35 @@ def test_generate_gibbs_k_override():
     assert r1.shape == r2.shape
     # different chain lengths consume different amounts of randomness
     assert not np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_musegan_mode_aliases():
+    """C12 extra modes: MuseGAN vocabulary normalizes to the native wiring
+    (jamming = independent per-track, composer = fully joint)."""
+    assert make_cfg("jamming").mode == "per-track"
+    assert make_cfg("composer").mode == "joint"
+    with pytest.raises(ValueError, match="mode must be"):
+        make_cfg("bogus")
+
+
+def test_hybrid_mode_shares_encoder_but_not_decoders():
+    """hybrid = ONE shared encoder (weight tying across tracks), independent
+    per-track decoders, NO cross-track feedback context."""
+    cfg = make_cfg("hybrid", enc_hidden=(8,))
+    assert cfg.shared_encoder and cfg.ctx_dim() == 0
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    # shared encoder: leaves carry NO leading track axis
+    enc_leaf = jax.tree.leaves(params.encoder)[0]
+    assert enc_leaf.shape[0] != K or enc_leaf.ndim == 2
+    # decoders: stacked per-track
+    dec_leaf = jax.tree.leaves(params.decoder)[0]
+    assert dec_leaf.shape[0] == K
+    # unlike feedback, per-track losses are INDEPENDENT of other tracks:
+    # perturbing track 2's input must not change track 0's loss
+    x = data()
+    x2 = x.at[:, :, 2, :].set(1.0 - x[:, :, 2, :])
+    _, m1 = multinn.loss(params, jax.random.PRNGKey(1), x, detailed=False)
+    _, m2 = multinn.loss(params, jax.random.PRNGKey(1), x2, detailed=False)
+    np.testing.assert_allclose(np.asarray(m1["loss_per_track"][0]),
+                               np.asarray(m2["loss_per_track"][0]),
+                               rtol=1e-6)

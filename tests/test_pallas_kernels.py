@@ -211,3 +211,68 @@ def test_kernel_rng_full_64bit_keying():
     seeds = {tuple(np.asarray(key_to_seeds(jax.random.PRNGKey(i))))
              for i in range(256)}
     assert len(seeds) == 256
+
+
+def test_nade_kernel_joint_distribution_chi2():
+    """Distribution-level closure (round-1 VERDICT weak #10): the fused NADE
+    sampler must reproduce the EXACT joint distribution, not just the same
+    algebra. D=3 -> 8 outcomes; empirical frequencies over N kernel samples
+    vs exact probabilities from nn.nade.log_prob, Pearson chi^2 with a
+    p~1e-3 threshold (fixed seed -> deterministic test)."""
+    import itertools
+    D_, H_ = 3, 5
+    p = nade_nn.init(jax.random.PRNGKey(3), D_, H_, w_std=1.0)
+    bv = p.bv + jnp.array([0.5, -0.3, 0.2])
+
+    states = jnp.array(list(itertools.product([0.0, 1.0], repeat=D_)))
+    logp = np.asarray(jax.vmap(
+        lambda s: nade_nn.log_prob(s, p.w, p.v, bv, p.bh))(states))
+    probs = np.exp(logp)
+    np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-5)
+
+    N = 8192
+    samples = np.asarray(nade_pallas.sample(
+        jax.random.PRNGKey(11), p.w, p.v, bv, p.bh, batch_shape=(N,),
+        interpret=True))
+    codes = samples @ np.array([4, 2, 1])
+    counts = np.bincount(codes.astype(int), minlength=8)
+    chi2 = float(((counts - N * probs) ** 2 / (N * probs)).sum())
+    assert chi2 < 24.3, (chi2, counts, np.round(N * probs, 1))  # df=7, p~1e-3
+
+
+def test_gen_fused_nade_joint_distribution_chi2():
+    """Same closure for the WHOLE-GENERATION NADE kernel: with the RNN
+    conditioning zeroed, the T emitted frames are iid draws from each
+    track's NADE joint — per-track empirical frequencies must match the
+    exact per-track distributions."""
+    import itertools
+    from multinn_tpu.models import multinn as mn
+    from multinn_tpu.nn import nade as nn_nade
+    K_, D_ = 2, 3
+    cfg = mn.MultINNConfig(n_tracks=K_, n_pitches=D_, mode="per-track",
+                           decoder_type="rnn-nade", n_hidden=5, n_rnn=4,
+                           w_std=1.0)
+    params = mn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    # zero the RNN conditioning so every step's conditionals are identical;
+    # give the tracks different biases so a track mixup would be caught
+    bv = jnp.stack([dec.bv[0] + jnp.array([0.6, -0.4, 0.1]),
+                    dec.bv[1] + jnp.array([-0.5, 0.3, -0.2])])
+    params = params.replace(decoder=dec.replace(
+        bv=bv, wuv=jnp.zeros_like(dec.wuv), wuh=jnp.zeros_like(dec.wuh)))
+    dec = params.decoder
+
+    T = 4096
+    st = mn.init_state(params, 1)
+    _, roll = mn._generate_fused(params, jax.random.PRNGKey(9), st, T,
+                                 interpret=True)        # (1, T, K, D)
+    states = jnp.array(list(itertools.product([0.0, 1.0], repeat=D_)))
+    for k in range(K_):
+        logp = np.asarray(jax.vmap(
+            lambda s: nn_nade.log_prob(s, dec.w[k], dec.v[k], dec.bv[k],
+                                       dec.bh[k]))(states))
+        probs = np.exp(logp)
+        codes = (np.asarray(roll[0, :, k]) @ np.array([4, 2, 1])).astype(int)
+        counts = np.bincount(codes, minlength=8)
+        chi2 = float(((counts - T * probs) ** 2 / (T * probs)).sum())
+        assert chi2 < 24.3, (k, chi2, counts, np.round(T * probs, 1))
