@@ -21,8 +21,10 @@ weights + (B, K*X) state rows. Per-track quantities live in (B, K*X) rows
 with per-track lane blocks, so each Gibbs sweep is TWO block-diagonal
 matmuls for ALL tracks and samples at once.
 
-NADE kernel: batch=1, dims advance for all K tracks together in dim-major
-padded block rows (see the section comment below).
+NADE kernel: same grid-per-step structure; batch=1, dims advance for all K
+tracks together in dim-major padded block rows (see the section comment
+below). Measured on v5e: 34.5 µs/step = 35 ms per 64-bar song (the D-dim
+serial sweep dominates).
 
 Scope (auto-dispatch gate in models/multinn.py): pass-through encoder,
 single-layer LSTM, per-track or feedback mode; rnn-rbm any batch that fits
@@ -397,9 +399,9 @@ def _nade_scratch(k: int, d: int, hid: int, u: int):
 
 
 def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
-    """NADE fused-generation gate: batch 1, K <= 8 (stride-8 dim blocks);
-    the (n_steps*K, D) roll output is VMEM-resident for the whole kernel so
-    n_steps IS part of the budget. Byte counts via the real arg builder."""
+    """NADE fused-generation gate: batch 1, K <= 8 (stride-8 dim blocks).
+    The roll streams to HBM per grid step, so n_steps does not bound VMEM.
+    Byte counts via the real arg builder."""
     if not _common_gate(cfg, "rnn-nade") or batch != 1 or cfg.n_tracks > 8:
         return False
     from multinn_tpu.models import rnn_nade
@@ -409,7 +411,7 @@ def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
     v0 = jax.ShapeDtypeStruct((k, 1, d), jnp.float32)
     need = vmem.eval_shape_bytes(_nade_args, params, st, st, v0)
     need += vmem.scratch_bytes(_nade_scratch(k, d, cfg.n_hidden, u))
-    need += 4 * n_steps * k * d              # roll output (VMEM-resident)
+    need += 2 * 4 * _KP * d                  # roll block, double-buffered
     return need <= vmem.VMEM_BUDGET_BYTES
 
 
@@ -418,14 +420,15 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
                  h0_ref, c0_ref, v0_ref,
                  roll_ref, hout_ref, cout_ref,
                  h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s, *,
-                 n_steps: int, n_tracks: int, d: int, hid: int, u: int,
+                 n_tracks: int, d: int, hid: int, u: int,
                  ctx_dim: int):
+    """One GRID ITERATION = one generation step (all K tracks advance
+    through the D dims together); scratch carries the LSTM/visible state and
+    feedback projection across iterations, and the step's (KP, D) frame
+    block streams to HBM (same structure as _rbm_kernel)."""
+    t = pl.program_id(0)
     kseed = seed_ref[0]
     kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
-    h_s[:] = h0_ref[:]                    # (1, K*U)
-    c_s[:] = c0_ref[:]
-    v_s[:] = v0_ref[:]                    # (KP, D) (rows >= K are padding;
-    #                                       carried for the state contract)
     kk = n_tracks
 
     def ctx_projection(v_rows):
@@ -441,85 +444,86 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
                 preferred_element_type=jnp.float32)
         return z
 
-    if ctx_dim:
-        zctx_s[:] = ctx_projection(v0_ref[:])
-
-    def step(t, _):
-        h_row = h_s[:]                    # (1, K*U)
-
-        # per-track conditioned biases -> block scratches
-        for k in range(kk):
-            h_k = h_row[:, k * u:(k + 1) * u]                 # (1, U)
-            bhp_s[:, k * hid:(k + 1) * hid] = (
-                bh_ref[k:k + 1, :] + jnp.dot(
-                    h_k, wuh_ref[k * u:(k + 1) * u, :],
-                    preferred_element_type=jnp.float32))
-        # visible biases dim-major: (D*KP, 1) = bv_dm + Wuv_dm · h
-        # (pad rows: bv_dm = -1e9, Wuv_dm = 0 -> stay -1e9)
-        bvp_s[:] = bv_ref[:] + jax.lax.dot_general(
-            wuvdm_ref[:].astype(jnp.float32), h_row,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # all of this step's randomness at once
-        u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, kseed1 + t)
-
-        a0 = bhp_s[:]                     # (1, K*H)
-        zb = jnp.zeros_like(b_ref[:])     # (1, K*4U) input-projection acc
-        vacc0 = jnp.zeros_like(v_s[:])    # (KP, D)
-
-        def dim_body(i, carry):
-            a, z_acc, v_acc = carry
-            base = pl.multiple_of(i * _KP, _KP)
-            h_act = jax.nn.sigmoid(a)                          # (1, K*H)
-            # block matrices are stored bf16 (VMEM budget); compute in f32
-            vrows = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-            # (KP,1)-shaped matmul results are unsupported by Mosaic here;
-            # a VPU broadcast-multiply + lane reduction is equivalent
-            s = jnp.sum(vrows * h_act, axis=1, keepdims=True)  # (KP, 1)
-            p = jax.nn.sigmoid(s + bvp_s[pl.ds(base, _KP), :])
-            x = (u_s[pl.ds(base, _KP), :] < p).astype(jnp.float32)
-            wrows = wdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-            a = a + jax.lax.dot_general(
-                x, wrows, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (1, K*H)
-            mrows = mdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-            z_acc = z_acc + jax.lax.dot_general(
-                x, mrows, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (1, K*4U)
-            col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 1)
-            v_acc = v_acc + x * (col == i).astype(jnp.float32)
-            return (a, z_acc, v_acc)
-
-        _, z_acc, v_new = jax.lax.fori_loop(0, d, dim_body, (a0, zb, vacc0))
-
-        v_s[:] = v_new
-        for k in range(kk):
-            roll_ref[pl.ds(t * kk + k, 1), :] = v_new[k:k + 1, :]
-
-        # LSTM advance: z = z_acc (own-sample input projection, accumulated
-        # during the sweep) + zctx (previous step's cross-track latents)
-        # + per-track h @ wh + b
-        zctx = zctx_s[:] if ctx_dim else None
-        for k in range(kk):
-            h_k = h_row[:, k * u:(k + 1) * u]
-            z = (z_acc[:, k * 4 * u:(k + 1) * 4 * u]
-                 + jnp.dot(h_k, wh_ref[k * u:(k + 1) * u, :],
-                           preferred_element_type=jnp.float32)
-                 + b_ref[:, k * 4 * u:(k + 1) * 4 * u])        # (1, 4U)
-            if ctx_dim:
-                z = z + zctx[:, k * 4 * u:(k + 1) * 4 * u]
-            i_g = jax.nn.sigmoid(z[:, :u])
-            f_g = jax.nn.sigmoid(z[:, u:2 * u])
-            g_g = jnp.tanh(z[:, 2 * u:3 * u])
-            o_g = jax.nn.sigmoid(z[:, 3 * u:])
-            c_new = f_g * c_s[:, k * u:(k + 1) * u] + i_g * g_g
-            c_s[:, k * u:(k + 1) * u] = c_new
-            h_s[:, k * u:(k + 1) * u] = o_g * jnp.tanh(c_new)
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]                # (1, K*U)
+        c_s[:] = c0_ref[:]
+        v_s[:] = v0_ref[:]                # (KP, D) (rows >= K are padding;
+        #                                   carried for the state contract)
         if ctx_dim:
-            zctx_s[:] = ctx_projection(v_new)
-        return 0
+            zctx_s[:] = ctx_projection(v0_ref[:])
 
-    jax.lax.fori_loop(0, n_steps, step, 0)
+    h_row = h_s[:]                    # (1, K*U)
+
+    # per-track conditioned biases -> block scratches
+    for k in range(kk):
+        h_k = h_row[:, k * u:(k + 1) * u]                 # (1, U)
+        bhp_s[:, k * hid:(k + 1) * hid] = (
+            bh_ref[k:k + 1, :] + jnp.dot(
+                h_k, wuh_ref[k * u:(k + 1) * u, :],
+                preferred_element_type=jnp.float32))
+    # visible biases dim-major: (D*KP, 1) = bv_dm + Wuv_dm · h
+    # (pad rows: bv_dm = -1e9, Wuv_dm = 0 -> stay -1e9)
+    bvp_s[:] = bv_ref[:] + jax.lax.dot_general(
+        wuvdm_ref[:].astype(jnp.float32), h_row,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # all of this step's randomness at once
+    u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, kseed1 + t)
+
+    a0 = bhp_s[:]                     # (1, K*H)
+    zb = jnp.zeros_like(b_ref[:])     # (1, K*4U) input-projection acc
+    vacc0 = jnp.zeros_like(v_s[:])    # (KP, D)
+
+    def dim_body(i, carry):
+        a, z_acc, v_acc = carry
+        base = pl.multiple_of(i * _KP, _KP)
+        h_act = jax.nn.sigmoid(a)                          # (1, K*H)
+        # block matrices are stored bf16 (VMEM budget); compute in f32
+        vrows = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+        # (KP,1)-shaped matmul results are unsupported by Mosaic here;
+        # a VPU broadcast-multiply + lane reduction is equivalent
+        s = jnp.sum(vrows * h_act, axis=1, keepdims=True)  # (KP, 1)
+        p = jax.nn.sigmoid(s + bvp_s[pl.ds(base, _KP), :])
+        x = (u_s[pl.ds(base, _KP), :] < p).astype(jnp.float32)
+        wrows = wdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+        a = a + jax.lax.dot_general(
+            x, wrows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (1, K*H)
+        mrows = mdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+        z_acc = z_acc + jax.lax.dot_general(
+            x, mrows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (1, K*4U)
+        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 1)
+        v_acc = v_acc + x * (col == i).astype(jnp.float32)
+        return (a, z_acc, v_acc)
+
+    _, z_acc, v_new = jax.lax.fori_loop(0, d, dim_body, (a0, zb, vacc0))
+
+    v_s[:] = v_new
+    roll_ref[0] = v_new                   # (KP, D) -> HBM output pipeline
+
+    # LSTM advance: z = z_acc (own-sample input projection, accumulated
+    # during the sweep) + zctx (previous step's cross-track latents)
+    # + per-track h @ wh + b
+    zctx = zctx_s[:] if ctx_dim else None
+    for k in range(kk):
+        h_k = h_row[:, k * u:(k + 1) * u]
+        z = (z_acc[:, k * 4 * u:(k + 1) * 4 * u]
+             + jnp.dot(h_k, wh_ref[k * u:(k + 1) * u, :],
+                       preferred_element_type=jnp.float32)
+             + b_ref[:, k * 4 * u:(k + 1) * 4 * u])        # (1, 4U)
+        if ctx_dim:
+            z = z + zctx[:, k * 4 * u:(k + 1) * 4 * u]
+        i_g = jax.nn.sigmoid(z[:, :u])
+        f_g = jax.nn.sigmoid(z[:, u:2 * u])
+        g_g = jnp.tanh(z[:, 2 * u:3 * u])
+        o_g = jax.nn.sigmoid(z[:, 3 * u:])
+        c_new = f_g * c_s[:, k * u:(k + 1) * u] + i_g * g_g
+        c_s[:, k * u:(k + 1) * u] = c_new
+        h_s[:, k * u:(k + 1) * u] = o_g * jnp.tanh(c_new)
+    if ctx_dim:
+        zctx_s[:] = ctx_projection(v_new)
     hout_ref[:] = h_s[:]
     cout_ref[:] = c_s[:]
 
@@ -542,16 +546,23 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
+        grid=(n_steps,),
         in_specs=[vspec] * len(args),
-        out_specs=(vspec, vspec, vspec),
+        out_specs=(
+            pl.BlockSpec((1, _KP, d), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),          # roll stream
+            pl.BlockSpec((1, k * u), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),          # h final
+            pl.BlockSpec((1, k * u), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),          # c final
+        ),
         scratch_shapes=_nade_scratch(k, d, hid, u),
     )
     roll, h_out, c_out = pl.pallas_call(
-        functools.partial(_nade_kernel, n_steps=n_steps, n_tracks=k,
+        functools.partial(_nade_kernel, n_tracks=k,
                           d=d, hid=hid, u=u, ctx_dim=ctx_dim),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_steps * k, d), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, d), jnp.float32),
                    jax.ShapeDtypeStruct((1, k * u), jnp.float32),
                    jax.ShapeDtypeStruct((1, k * u), jnp.float32)),
         interpret=(pltpu.InterpretParams() if interpret else False),
@@ -562,6 +573,6 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
             transcendentals=n_steps * d * (k * hid + k) + n_steps * 5 * k * u,
         ),
     )(seed, *args)
-    return (roll.reshape(n_steps, k, d),
+    return (roll[:, :k, :],
             h_out.reshape(k, 1, u),
             c_out.reshape(k, 1, u))
