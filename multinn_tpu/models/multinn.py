@@ -363,11 +363,10 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
     cfg = params.cfg
     cell0 = state.decoder.cell[0]                        # stacked LSTMState
     if cfg.decoder_type == "rnn-nade":
-        roll_tkd, h_f, c_f = gen_fused.generate_nade(
+        roll, h_f, c_f = gen_fused.generate_nade(
             key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
-            n_steps, interpret=interpret)                # roll (T, K, D)
+            n_steps, interpret=interpret)                # roll (B, T, K, D)
         state_cls = rnn_nade.State
-        roll = roll_tkd[None]                            # (1, T, K, D)
     else:
         roll, h_f, c_f = gen_fused.generate_rbm(
             key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,

@@ -21,10 +21,11 @@ weights + (B, K*X) state rows. Per-track quantities live in (B, K*X) rows
 with per-track lane blocks, so each Gibbs sweep is TWO block-diagonal
 matmuls for ALL tracks and samples at once.
 
-NADE kernel: same grid-per-step structure; batch=1, dims advance for all K
-tracks together in dim-major padded block rows (see the section comment
-below). Measured on v5e: 34.5 µs/step = 35 ms per 64-bar song (the D-dim
-serial sweep dominates).
+NADE kernel: same grid-per-step structure; dims advance for all K tracks
+AND all B samples together in dim-major padded block rows (see the section
+comment below; batch 1 or multiples of 8). Measured on v5e: 34.5 µs/step =
+35 ms per 64-bar song at B=1 (the D-dim serial sweep dominates); B=8 costs
+37 µs/step = 4.75 ms/song.
 
 Scope (auto-dispatch gate in models/multinn.py): pass-through encoder,
 single-layer LSTM, per-track or feedback mode; rnn-rbm any batch that fits
@@ -297,19 +298,23 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
 # RNN-NADE whole-generation fused kernel
 # ===========================================================================
 #
-# The NADE per-dimension sweep is restructured so ALL K tracks advance
-# together through the D dims: per-track quantities live in block layouts
-# (running activation a: (1, K*H); per-dim weight rows: (K, K*H) block rows
-# of a dim-major matrix), so each dim costs three small dot_generals for all
-# tracks at once and no transposes/shape-casts ever happen in-kernel:
+# The NADE per-dimension sweep is restructured so ALL K tracks (and all B
+# samples) advance together through the D dims: per-track quantities live in
+# block layouts (running activation a: (B, K*H); per-dim weight rows:
+# (K, K*H) block rows of a dim-major matrix), so each dim costs three small
+# dot_generals for all tracks and samples at once and no transposes/
+# shape-casts ever happen in-kernel:
 #
-#   s     = Vrows_i (K,K*H) · σ(a) (1,K*H)ᵀ            -> (K,1) logits
-#   x_i   = Bernoulli(σ(s + bv_dm rows))                -> (K,1)
-#   a    += x_iᵀ · Wrows_i (K,K*H)                      -> (1,K*H)
-#   z_acc+= x_iᵀ · Mrows_i (K,K*4U)                     -> (1,K*4U)  (LSTM
+#   s     = Vrows_i (KP,K*H) · σ(a) (B,K*H)ᵀ           -> (KP,B) logits
+#   x_i   = Bernoulli(σ(s + bv_dm rows))                -> (KP,B)
+#   a    += x_iᵀ · Wrows_i (KP,K*H)                     -> (B,K*H)
+#   z_acc+= x_iᵀ · Mrows_i (KP,K*4U)                    -> (B,K*4U)  (LSTM
 #           input projection accumulated during the sweep — the feedback
 #           context never needs materializing)
 #
+# At B=1 the (KP,B) logit matmul result is unsupported by Mosaic, so a VPU
+# broadcast-multiply + lane reduction replaces it (same algebra); batched
+# calls require B % 8 == 0 so (KP,B) results stay tile-aligned.
 # Block matrices are assembled once per call in XLA (_nade_args).
 
 _KP = 8   # dim-block row stride: Mosaic requires dynamic sublane offsets to
@@ -319,13 +324,14 @@ _KP = 8   # dim-block row stride: Mosaic requires dynamic sublane offsets to
 
 
 def _nade_args(dec_params, h0, c0, v0):
-    """Kernel inputs from track-STACKED rnn_nade.Params + state (batch 1).
-    h0/c0: (K, 1, U); v0: (K, 1, D). See the section comment for layouts."""
+    """Kernel inputs from track-STACKED rnn_nade.Params + state.
+    h0/c0: (K, B, U); v0: (K, B, D). See the section comment for layouts."""
     lstm = dec_params.cell[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
+    b = h0.shape[1]
     idx = jnp.arange(k)
     kp = _KP
 
@@ -372,7 +378,10 @@ def _nade_args(dec_params, h0, c0, v0):
     bv_full = jnp.full((d, kp), -1e9, jnp.float32)
     bv_full = bv_full.at[:, :k].set(jnp.transpose(dec_params.bv, (1, 0)))
     bv_dm = bv_full.reshape(d * kp, 1)
-    v0_pad = jnp.zeros((kp, d), jnp.float32).at[:k].set(v0.reshape(k, d))
+    v0_pad = jnp.zeros((kp, b, d), jnp.float32).at[:k].set(v0)
+
+    def rows(x_kbx):                       # (K, B, X) -> (B, K*X)
+        return jnp.moveaxis(x_kbx, 0, 1).reshape(b, -1)
 
     return (
         w_dm, v_dm, m_dm, wuv_dm,
@@ -382,36 +391,38 @@ def _nade_args(dec_params, h0, c0, v0):
         bv_dm,
         dec_params.bh,                                 # (K, H)
         lstm.b.reshape(1, k * four_u),
-        h0.reshape(1, k * u),
-        c0.reshape(1, k * u),
-        v0_pad,
+        rows(h0), rows(c0),
+        v0_pad,                                        # (KP, B, D)
     )
 
 
-def _nade_scratch(k: int, d: int, hid: int, u: int):
-    return [pltpu.VMEM((1, k * u), jnp.float32),    # h
-            pltpu.VMEM((1, k * u), jnp.float32),    # c
-            pltpu.VMEM((_KP, d), jnp.float32),      # v
-            pltpu.VMEM((1, k * hid), jnp.float32),  # bh'
-            pltpu.VMEM((d * _KP, 1), jnp.float32),  # bv'
-            pltpu.VMEM((d * _KP, 1), jnp.float32),  # uniforms
-            pltpu.VMEM((1, k * 4 * u), jnp.float32)]  # zctx
+def _nade_scratch(batch: int, k: int, d: int, hid: int, u: int):
+    return [pltpu.VMEM((batch, k * u), jnp.float32),    # h
+            pltpu.VMEM((batch, k * u), jnp.float32),    # c
+            pltpu.VMEM((_KP, batch, d), jnp.float32),   # v
+            pltpu.VMEM((batch, k * hid), jnp.float32),  # bh'
+            pltpu.VMEM((d * _KP, batch), jnp.float32),  # bv'
+            pltpu.VMEM((d * _KP, batch), jnp.float32),  # uniforms
+            pltpu.VMEM((batch, k * 4 * u), jnp.float32)]  # zctx
 
 
 def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
-    """NADE fused-generation gate: batch 1, K <= 8 (stride-8 dim blocks).
-    The roll streams to HBM per grid step, so n_steps does not bound VMEM.
-    Byte counts via the real arg builder."""
-    if not _common_gate(cfg, "rnn-nade") or batch != 1 or cfg.n_tracks > 8:
+    """NADE fused-generation gate: K <= 8 (stride-8 dim blocks); batch 1 or
+    a multiple of 8 (tile-aligned (KP, B) logit matmuls — see the section
+    comment). The roll streams to HBM per grid step, so n_steps does not
+    bound VMEM. Byte counts via the real arg builder."""
+    if (not _common_gate(cfg, "rnn-nade") or cfg.n_tracks > 8
+            or batch < 1 or (batch != 1 and batch % 8)):
         return False
     from multinn_tpu.models import rnn_nade
     k, d, u = cfg.n_tracks, cfg.n_pitches, cfg.n_rnn
     params = _decoder_param_shapes(cfg, rnn_nade)
-    st = jax.ShapeDtypeStruct((k, 1, u), jnp.float32)
-    v0 = jax.ShapeDtypeStruct((k, 1, d), jnp.float32)
+    st = jax.ShapeDtypeStruct((k, batch, u), jnp.float32)
+    v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
     need = vmem.eval_shape_bytes(_nade_args, params, st, st, v0)
-    need += vmem.scratch_bytes(_nade_scratch(k, d, cfg.n_hidden, u))
-    need += 2 * 4 * _KP * d                  # roll block, double-buffered
+    need += vmem.scratch_bytes(_nade_scratch(batch, k, d, cfg.n_hidden, u))
+    need += 2 * 4 * _KP * batch * d          # roll block, double-buffered
+    need += 2 * 4 * batch * k * u            # hout/cout blocks
     return need <= vmem.VMEM_BUDGET_BYTES
 
 
@@ -420,12 +431,13 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
                  h0_ref, c0_ref, v0_ref,
                  roll_ref, hout_ref, cout_ref,
                  h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s, *,
-                 n_tracks: int, d: int, hid: int, u: int,
+                 batch: int, n_tracks: int, d: int, hid: int, u: int,
                  ctx_dim: int):
-    """One GRID ITERATION = one generation step (all K tracks advance
-    through the D dims together); scratch carries the LSTM/visible state and
-    feedback projection across iterations, and the step's (KP, D) frame
-    block streams to HBM (same structure as _rbm_kernel)."""
+    """One GRID ITERATION = one generation step (all K tracks and B
+    samples advance through the D dims together); scratch carries the
+    LSTM/visible state and feedback projection across iterations, and the
+    step's (KP, B, D) frame block streams to HBM (same structure as
+    _rbm_kernel)."""
     t = pl.program_id(0)
     kseed = seed_ref[0]
     kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
@@ -433,36 +445,37 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
 
     def ctx_projection(v_rows):
         """Feedback-context contribution to every track's LSTM gates:
-        Σ_j v_j @ Wctx[j-block] -> (1, K*4U). ctx(t) = latents(t-1), so this
+        Σ_j v_j @ Wctx[j-block] -> (B, K*4U). ctx(t) = latents(t-1), so this
         is computed from the PREVIOUS step's samples (training parity with
-        multinn._feedback_ctx's time shift; at t=0 from the primed v_prev)."""
-        z = jnp.zeros_like(b_ref[:])
+        multinn._feedback_ctx's time shift; at t=0 from the primed v_prev).
+        v_rows: (KP, B, D) track-major sample rows."""
+        z = jnp.zeros((batch, b_ref.shape[-1]), jnp.float32)
         for j in range(kk):
             z = z + jnp.dot(
-                v_rows[j:j + 1, :],
+                v_rows[j],
                 wctx_ref[j * d:(j + 1) * d, :].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
         return z
 
     @pl.when(t == 0)
     def _():
-        h_s[:] = h0_ref[:]                # (1, K*U)
+        h_s[:] = h0_ref[:]                # (B, K*U)
         c_s[:] = c0_ref[:]
-        v_s[:] = v0_ref[:]                # (KP, D) (rows >= K are padding;
+        v_s[:] = v0_ref[:]                # (KP, B, D) (rows >= K padding;
         #                                   carried for the state contract)
         if ctx_dim:
             zctx_s[:] = ctx_projection(v0_ref[:])
 
-    h_row = h_s[:]                    # (1, K*U)
+    h_row = h_s[:]                    # (B, K*U)
 
     # per-track conditioned biases -> block scratches
     for k in range(kk):
-        h_k = h_row[:, k * u:(k + 1) * u]                 # (1, U)
+        h_k = h_row[:, k * u:(k + 1) * u]                 # (B, U)
         bhp_s[:, k * hid:(k + 1) * hid] = (
             bh_ref[k:k + 1, :] + jnp.dot(
                 h_k, wuh_ref[k * u:(k + 1) * u, :],
                 preferred_element_type=jnp.float32))
-    # visible biases dim-major: (D*KP, 1) = bv_dm + Wuv_dm · h
+    # visible biases dim-major: (D*KP, B) = bv_dm + Wuv_dm · hᵀ
     # (pad rows: bv_dm = -1e9, Wuv_dm = 0 -> stay -1e9)
     bvp_s[:] = bv_ref[:] + jax.lax.dot_general(
         wuvdm_ref[:].astype(jnp.float32), h_row,
@@ -471,37 +484,42 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
     # all of this step's randomness at once
     u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, kseed1 + t)
 
-    a0 = bhp_s[:]                     # (1, K*H)
-    zb = jnp.zeros_like(b_ref[:])     # (1, K*4U) input-projection acc
-    vacc0 = jnp.zeros_like(v_s[:])    # (KP, D)
+    a0 = bhp_s[:]                     # (B, K*H)
+    zb = jnp.zeros_like(zctx_s[:])    # (B, K*4U) input-projection acc
+    vacc0 = jnp.zeros_like(v_s[:])    # (KP, B, D)
 
     def dim_body(i, carry):
         a, z_acc, v_acc = carry
         base = pl.multiple_of(i * _KP, _KP)
-        h_act = jax.nn.sigmoid(a)                          # (1, K*H)
+        h_act = jax.nn.sigmoid(a)                          # (B, K*H)
         # block matrices are stored bf16 (VMEM budget); compute in f32
         vrows = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-        # (KP,1)-shaped matmul results are unsupported by Mosaic here;
-        # a VPU broadcast-multiply + lane reduction is equivalent
-        s = jnp.sum(vrows * h_act, axis=1, keepdims=True)  # (KP, 1)
+        if batch == 1:
+            # (KP,1)-shaped matmul results are unsupported by Mosaic;
+            # a VPU broadcast-multiply + lane reduction is equivalent
+            s = jnp.sum(vrows * h_act, axis=1, keepdims=True)  # (KP, 1)
+        else:
+            s = jax.lax.dot_general(
+                vrows, h_act, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (KP, B)
         p = jax.nn.sigmoid(s + bvp_s[pl.ds(base, _KP), :])
-        x = (u_s[pl.ds(base, _KP), :] < p).astype(jnp.float32)
+        x = (u_s[pl.ds(base, _KP), :] < p).astype(jnp.float32)  # (KP, B)
         wrows = wdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
         a = a + jax.lax.dot_general(
             x, wrows, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (1, K*H)
+            preferred_element_type=jnp.float32)            # (B, K*H)
         mrows = mdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
         z_acc = z_acc + jax.lax.dot_general(
             x, mrows, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (1, K*4U)
-        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 1)
-        v_acc = v_acc + x * (col == i).astype(jnp.float32)
+            preferred_element_type=jnp.float32)            # (B, K*4U)
+        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
+        v_acc = v_acc + x[:, :, None] * (col == i).astype(jnp.float32)
         return (a, z_acc, v_acc)
 
     _, z_acc, v_new = jax.lax.fori_loop(0, d, dim_body, (a0, zb, vacc0))
 
     v_s[:] = v_new
-    roll_ref[0] = v_new                   # (KP, D) -> HBM output pipeline
+    roll_ref[0] = v_new                   # (KP, B, D) -> HBM pipeline
 
     # LSTM advance: z = z_acc (own-sample input projection, accumulated
     # during the sweep) + zctx (previous step's cross-track latents)
@@ -512,7 +530,7 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
         z = (z_acc[:, k * 4 * u:(k + 1) * 4 * u]
              + jnp.dot(h_k, wh_ref[k * u:(k + 1) * u, :],
                        preferred_element_type=jnp.float32)
-             + b_ref[:, k * 4 * u:(k + 1) * 4 * u])        # (1, 4U)
+             + b_ref[:, k * 4 * u:(k + 1) * 4 * u])        # (B, 4U)
         if ctx_dim:
             z = z + zctx[:, k * 4 * u:(k + 1) * 4 * u]
         i_g = jax.nn.sigmoid(z[:, :u])
@@ -532,14 +550,16 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
 def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                   interpret: bool = False
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fused whole-generation for track-stacked rnn_nade.Params (batch 1).
-    h0/c0: (K, 1, U); v0: (K, 1, D).
-    Returns (roll (n_steps, K, D), h_final (K,1,U), c_final (K,1,U))."""
+    """Fused whole-generation for track-stacked rnn_nade.Params.
+    h0/c0: (K, B, U); v0: (K, B, D) — B = 1 or a multiple of 8 (the gate
+    enforces this). Returns (roll (B, n_steps, K, D), h_final (K, B, U),
+    c_final (K, B, U)) — same contract as generate_rbm."""
     lstm = dec_params.cell[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
+    b = h0.shape[1]
 
     args = _nade_args(dec_params, h0, c0, v0)
     seed = key_to_seeds(key)
@@ -549,30 +569,31 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
         grid=(n_steps,),
         in_specs=[vspec] * len(args),
         out_specs=(
-            pl.BlockSpec((1, _KP, d), lambda t, s: (t, 0, 0),
+            pl.BlockSpec((1, _KP, b, d), lambda t, s: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),          # roll stream
-            pl.BlockSpec((1, k * u), lambda t, s: (0, 0),
+            pl.BlockSpec((b, k * u), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),          # h final
-            pl.BlockSpec((1, k * u), lambda t, s: (0, 0),
+            pl.BlockSpec((b, k * u), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),          # c final
         ),
-        scratch_shapes=_nade_scratch(k, d, hid, u),
+        scratch_shapes=_nade_scratch(b, k, d, hid, u),
     )
     roll, h_out, c_out = pl.pallas_call(
-        functools.partial(_nade_kernel, n_tracks=k,
+        functools.partial(_nade_kernel, batch=b, n_tracks=k,
                           d=d, hid=hid, u=u, ctx_dim=ctx_dim),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, d), jnp.float32),
-                   jax.ShapeDtypeStruct((1, k * u), jnp.float32),
-                   jax.ShapeDtypeStruct((1, k * u), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, b, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, k * u), jnp.float32),
+                   jax.ShapeDtypeStruct((b, k * u), jnp.float32)),
         interpret=(pltpu.InterpretParams() if interpret else False),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_steps * d * k * k * (2 * hid + 4 * u)
-            + 2 * n_steps * k * u * (hid + 4 * u),
+            flops=2 * n_steps * b * (d * k * k * (2 * hid + 4 * u)
+                                     + k * u * (hid + 4 * u)),
             bytes_accessed=4 * n_steps * (d * k * k * (2 * hid + 4 * u)),
-            transcendentals=n_steps * d * (k * hid + k) + n_steps * 5 * k * u,
+            transcendentals=n_steps * b * (d * (k * hid + k) + 5 * k * u),
         ),
     )(seed, *args)
-    return (roll[:, :k, :],
-            h_out.reshape(k, 1, u),
-            c_out.reshape(k, 1, u))
+    roll = jnp.transpose(roll[:, :k], (2, 0, 1, 3))     # (B, T, K, D)
+    return (roll,
+            jnp.moveaxis(h_out.reshape(b, k, u), 0, 1),  # (K, B, U)
+            jnp.moveaxis(c_out.reshape(b, k, u), 0, 1))

@@ -228,9 +228,62 @@ def test_nade_fused_feedback_coupling():
 
 def test_nade_supported_gating():
     assert gen_fused.supported_nade(nade_cfg(), 1)
-    assert not gen_fused.supported_nade(nade_cfg(), 2)
+    assert gen_fused.supported_nade(nade_cfg(), 8)      # batched serving
+    assert not gen_fused.supported_nade(nade_cfg(), 2)  # not tile-aligned
     assert not gen_fused.supported_nade(cfg_for(), 1)   # rnn-rbm
     assert not gen_fused.supported_nade(nade_cfg(rnn_layers=2), 1)
+    assert not gen_fused.supported_nade(nade_cfg(), 80_000)  # VMEM
+
+
+def test_nade_fused_batched_matches_scan_distribution():
+    """Batched NADE fused generation (B=8): distribution parity vs scan,
+    state contract per batch row, per-row independence."""
+    cfg = nade_cfg("feedback")
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    bv = dec.bv + jnp.linspace(-2.0, 2.0, D)[None, :]
+    params = params.replace(decoder=dec.replace(bv=bv))
+
+    B, T = 8, 32
+    st = multinn.init_state(params, B)
+    _, scan_roll = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                    fused=False)
+    st2 = multinn.init_state(params, B)
+    fin, fused_roll = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    assert fused_roll.shape == scan_roll.shape == (B, T, K, D)
+    assert set(np.unique(np.asarray(fused_roll))) <= {0.0, 1.0}
+    m_scan = np.asarray(scan_roll.mean(axis=(0, 1, 2)))
+    m_fused = np.asarray(fused_roll.mean(axis=(0, 1, 2)))
+    np.testing.assert_allclose(m_fused, m_scan, atol=0.12)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(fin.decoder.v_prev, 0, 1)),
+        np.asarray(fused_roll[:, -1]))
+    assert fin.ctx.shape == (B, K * D)
+    assert not np.array_equal(np.asarray(fused_roll[0]),
+                              np.asarray(fused_roll[1]))
+
+
+def test_nade_fused_batched_deterministic_bias_pattern():
+    """Strong-bias determinism at B=8: every batch row reproduces its
+    track's bias pattern — no cross-sample or cross-track mixing in the
+    batched dim-major layout."""
+    cfg = nade_cfg("per-track", w_std=0.0)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    pattern = jnp.where(jnp.arange(D) % 3 == 0, 10.0, -10.0)
+    bv = jnp.tile(pattern[None], (K, 1)).at[1].set(-pattern)
+    params = params.replace(decoder=dec.replace(bv=bv))
+    B = 8
+    st = multinn.init_state(params, B)
+    _, roll = multinn._generate_fused(params, jax.random.PRNGKey(3), st, 3,
+                                      interpret=True)
+    expect0 = (np.asarray(pattern) > 0).astype(np.float32)
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(roll[b, :, 0]),
+                                      np.tile(expect0, (3, 1)))
+        np.testing.assert_array_equal(np.asarray(roll[b, :, 1]),
+                                      np.tile(1 - expect0, (3, 1)))
 
 
 # ---------------------------------------------------------------------------
