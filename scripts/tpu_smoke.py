@@ -60,17 +60,17 @@ def main() -> int:
                                 batch_shape=(8,))
         assert xs.shape == (8, 84)
 
-    def fused(dec, mode):
+    def fused(dec, mode, batch=1):
         def run():
             cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode=mode,
                                 decoder_type=dec, n_hidden=150, n_rnn=100,
                                 cd_k=1, gen_k=10)
             params = multinn.init(jax.random.PRNGKey(0), cfg)
-            st = multinn.init_state(params, 1)
+            st = multinn.init_state(params, batch)
             _, roll = multinn.generate(params, jax.random.PRNGKey(1), st,
                                        128, fused=True)
             jax.block_until_ready(roll)
-            assert roll.shape == (1, 128, 5, 84)
+            assert roll.shape == (batch, 128, 5, 84)
         return run
 
     def train_multi():
@@ -102,6 +102,9 @@ def main() -> int:
     check("fused_gen_rbm_feedback", fused("rnn-rbm", "feedback"))
     check("fused_gen_rbm_per_track", fused("rnn-rbm", "per-track"))
     check("fused_gen_nade_feedback", fused("rnn-nade", "feedback"))
+    check("fused_gen_rbm_batched_b8", fused("rnn-rbm", "feedback", batch=8))
+    check("fused_gen_nade_batched_b8", fused("rnn-nade", "feedback",
+                                             batch=8))
     check("train_multistep_and_masked_eval", train_multi)
 
     if failures:
