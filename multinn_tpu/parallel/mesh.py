@@ -1,6 +1,6 @@
 """Device mesh construction and PartitionSpecs (SURVEY §5.8).
 
-The mesh has two active axes (a third, ``seq``, is reserved — SURVEY §2.2):
+Mesh axes (SURVEY §2.2's parallelism rows):
 
   * ``data``  — batch (DP). Gradients are psum-reduced across it; this is the
     core scaling axis [B:5]. Collectives ride ICI within a slice and DCN
@@ -9,6 +9,18 @@ The mesh has two active axes (a third, ``seq``, is reserved — SURVEY §2.2):
     (the EP analogue, SURVEY §2.2); per-track-stacked params shard their
     leading K axis here. The feedback architecture adds one all-gather of
     per-track latents per step [B:10].
+  * ``model`` — tensor parallelism (Megatron-style column split): the RBM/NADE
+    hidden dimension H is sharded, so the big (B·T, F) × (F, H) visible→hidden
+    matmuls compute H/m columns per device and the free-energy softplus
+    reduction over H becomes a psum the partitioner inserts. Not needed at
+    reference scales (SURVEY §2.2 marks it optional) but fully implemented:
+    ``MeshConfig.model > 1`` shards w/v/bh/wuh; bv/wuv/RNN cells replicate
+    (the RNN is the small serial part — splitting it would put a collective
+    inside every scan step for no FLOP win).
+  * ``seq``   — time axis of teacher-forced training (parallel/seqpipe.py):
+    windows are chunked over this axis and the RNN carry is handed device to
+    device via ppermute in a microbatch pipeline (the SURVEY §2.2 SP row;
+    generation stays unsharded — it is inherently sequential).
 
 Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` (the
 driver's gang scheduler handles process launch; §5.3 — no elastic membership).
@@ -25,14 +37,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 TRACK_AXIS = "track"
-SEQ_AXIS = "seq"            # reserved (time-sharded scan design slot, §2.2)
+MODEL_AXIS = "model"        # tensor parallelism: RBM/NADE hidden dim
+SEQ_AXIS = "seq"            # time-sharded teacher forcing (parallel/seqpipe)
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """data=0 means 'all devices not used by track'; track=1 disables track
-    sharding. use_mesh=False runs plain single-device jit (the default on one
-    chip).
+    """data=0 means 'all devices not used by other axes'; track=1 / model=1 /
+    seq=1 disable those axes. use_mesh=False runs plain single-device jit (the
+    default on one chip).
 
     style selects how the step is partitioned:
       * "gspmd"     — params/batch are device_put with NamedShardings and the
@@ -53,13 +66,17 @@ class MeshConfig:
     use_mesh: bool = False
     data: int = 0
     track: int = 1
+    model: int = 1
+    seq: int = 1
+    seq_microbatches: int = 0   # 0 = auto (seqpipe picks from local batch)
     style: str = "gspmd"
 
     def resolved_data(self, n_devices: int) -> int:
         if self.data > 0:
             return self.data
-        assert n_devices % self.track == 0, (n_devices, self.track)
-        return n_devices // self.track
+        other = self.track * self.model * self.seq
+        assert n_devices % other == 0, (n_devices, other)
+        return n_devices // other
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -82,17 +99,28 @@ def init_distributed(coordinator: Optional[str] = None,
 
 def make_mesh(cfg: MeshConfig,
               devices: Optional[list] = None) -> Optional[Mesh]:
+    """Lay out the (data, track[, model][, seq]) mesh. Axes of size 1 beyond
+    ``track`` are dropped so single-purpose meshes keep their simple shape
+    (and their PartitionSpecs never name an absent axis)."""
     if not cfg.use_mesh:
         return None
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     d = cfg.resolved_data(n)
-    t = cfg.track
-    if d * t != n:
+    sizes = [d, cfg.track]
+    names = [DATA_AXIS, TRACK_AXIS]
+    if cfg.model > 1:
+        sizes.append(cfg.model)
+        names.append(MODEL_AXIS)
+    if cfg.seq > 1:
+        sizes.append(cfg.seq)
+        names.append(SEQ_AXIS)
+    if int(np.prod(sizes)) != n:
         raise ValueError(
-            f"mesh {d}x{t} (data x track) != device count {n}")
-    arr = np.asarray(devices).reshape(d, t)
-    return Mesh(arr, (DATA_AXIS, TRACK_AXIS))
+            f"mesh {'x'.join(map(str, sizes))} ({' x '.join(names)}) "
+            f"!= device count {n}")
+    arr = np.asarray(devices).reshape(*sizes)
+    return Mesh(arr, tuple(names))
 
 
 def data_spec(mesh: Optional[Mesh]) -> P:
@@ -129,17 +157,28 @@ def put_data_sharded(array, mesh: Optional[Mesh]):
 # GSPMD shardings for MultINN pytrees (dp × track)
 # ---------------------------------------------------------------------------
 
+# Decoder param fields whose LAST axis is the RBM/NADE hidden dim H — the
+# tensor-parallel (Megatron column-split) axis. bv/wuv (visible-dim) and the
+# RNN cell stay replicated: splitting the cell would put a collective inside
+# every scan step for tiny matmuls.
+_HIDDEN_DIM_FIELDS = ("w", "v", "bh", "wuh")
+
+
 def multinn_param_shardings(params, mesh: Mesh, track_sharded: bool):
     """NamedSharding tree matching a MultINNParams pytree.
 
     Per-track-STACKED subtrees (decoder always; encoder only in per-track
     mode) shard their leading K axis over ``track``; shared/joint subtrees
-    replicate. XLA SPMD propagates these through the whole train step —
-    including the feedback architecture's cross-track latent gather.
+    replicate. If the mesh has a ``model`` axis, decoder fields with a hidden
+    (H) last axis additionally shard it (TP). XLA SPMD propagates these
+    through the whole train step — inserting the feedback architecture's
+    cross-track latent gather and the TP free-energy psum over H.
     """
     mode = params.cfg.mode
     rep = NamedSharding(mesh, P())
     trk = NamedSharding(mesh, P(TRACK_AXIS))
+    model_sharded = (MODEL_AXIS in mesh.axis_names
+                     and mesh.shape[MODEL_AXIS] > 1)
 
     def shard_subtree(tree, stacked: bool):
         return jax.tree.map(lambda _: trk if stacked else rep, tree)
@@ -147,9 +186,22 @@ def multinn_param_shardings(params, mesh: Mesh, track_sharded: bool):
     dec_stacked = track_sharded and mode in ("per-track", "feedback",
                                              "hybrid")
     enc_stacked = track_sharded and mode == "per-track"
+    decoder = shard_subtree(params.decoder, dec_stacked)
+    if model_sharded:
+        def hidden_sharding(leaf):
+            spec = [TRACK_AXIS] if dec_stacked else []
+            spec += [None] * (leaf.ndim - len(spec) - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*spec))
+
+        updates = {
+            name: jax.tree.map(hidden_sharding, getattr(params.decoder, name))
+            for name in _HIDDEN_DIM_FIELDS
+            if getattr(params.decoder, name, None) is not None
+        }
+        decoder = decoder.replace(**updates)
     return params.replace(
         encoder=shard_subtree(params.encoder, enc_stacked),
-        decoder=shard_subtree(params.decoder, dec_stacked))
+        decoder=decoder)
 
 
 def batch_sharding(mesh: Mesh, track_sharded: bool,

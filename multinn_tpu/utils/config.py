@@ -79,6 +79,24 @@ class ExperimentConfig:
                 raise ValueError(
                     f"n_tracks={self.model.n_tracks} not divisible by "
                     f"mesh.track={self.mesh.track}")
+        if self.mesh.use_mesh and self.mesh.model > 1:
+            if self.mesh.style != "gspmd":
+                raise ValueError(
+                    "tensor (model-axis) sharding requires mesh.style=gspmd")
+            if self.model.n_hidden % self.mesh.model:
+                raise ValueError(
+                    f"n_hidden={self.model.n_hidden} not divisible by "
+                    f"mesh.model={self.mesh.model}")
+        if self.mesh.use_mesh and self.mesh.seq > 1:
+            if self.mesh.style != "seqpipe":
+                raise ValueError(
+                    "time (seq-axis) sharding requires mesh.style=seqpipe")
+            if self.data.window % self.mesh.seq:
+                raise ValueError(
+                    f"data.window={self.data.window} not divisible by "
+                    f"mesh.seq={self.mesh.seq}")
+        if self.mesh.style == "seqpipe" and self.mesh.seq <= 1:
+            raise ValueError("mesh.style=seqpipe requires mesh.seq > 1")
         return self
 
 

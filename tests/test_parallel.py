@@ -37,6 +37,10 @@ def test_mesh_construction():
     assert m.shape == {"data": 4, "track": 2}
     m2 = mesh_mod.make_mesh(MeshConfig(use_mesh=True))
     assert m2.shape == {"data": 8, "track": 1}
+    m3 = mesh_mod.make_mesh(MeshConfig(use_mesh=True, track=2, model=2))
+    assert m3.shape == {"data": 2, "track": 2, "model": 2}
+    m4 = mesh_mod.make_mesh(MeshConfig(use_mesh=True, seq=4))
+    assert m4.shape == {"data": 2, "track": 1, "seq": 4}
     assert mesh_mod.make_mesh(MeshConfig(use_mesh=False)) is None
     with pytest.raises(ValueError):
         mesh_mod.make_mesh(MeshConfig(use_mesh=True, data=3, track=2))
@@ -102,6 +106,73 @@ def test_dp_track_gspmd_matches_single_device(tmp_path, mode):
     t_mesh.close()
 
 
+@pytest.mark.parametrize("dec", ["rnn-rbm", "rnn-nade"])
+def test_tp_step_matches_single_device(tmp_path, dec):
+    """Tensor parallelism: hidden dim sharded over the ``model`` axis
+    (dp=2 × model=4). The free-energy softplus sum / NADE running-activation
+    contraction over H become partitioner-inserted psums; the step must match
+    single-device within float-reduction-reorder tolerance. The RBM case also
+    pins partitionable-threefry RNG: Gibbs h-samples on an H-sharded shape
+    must equal the unsharded stream."""
+    cfg_single = exp_cfg(tmp_path, MeshConfig(use_mesh=False),
+                         name=f"tp_s_{dec}", dec=dec)
+    cfg_mesh = exp_cfg(tmp_path,
+                       MeshConfig(use_mesh=True, model=4, style="gspmd"),
+                       name=f"tp_m_{dec}", dec=dec)
+    t_single = Trainer(cfg_single)
+    t_mesh = Trainer(cfg_mesh)
+    new_s, met_s = _one_step(t_single)
+    new_m, met_m = _one_step(t_mesh)
+    np.testing.assert_allclose(float(met_s["loss"]), float(met_m["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_s), jax.tree.leaves(new_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    t_single.close()
+    t_mesh.close()
+
+
+def test_dp_track_model_gspmd_matches_single_device(tmp_path):
+    """The full 3D mesh (dp=2 × track=2 × model=2) on the feedback
+    architecture: cross-track latent all-gather AND hidden-dim TP psum in one
+    program, equal to the single-device step."""
+    cfg_single = exp_cfg(tmp_path, MeshConfig(use_mesh=False), name="3d_s",
+                         mode="feedback")
+    cfg_mesh = exp_cfg(tmp_path,
+                       MeshConfig(use_mesh=True, track=2, model=2,
+                                  style="gspmd"),
+                       name="3d_m", mode="feedback")
+    t_single = Trainer(cfg_single)
+    t_mesh = Trainer(cfg_mesh)
+    new_s, met_s = _one_step(t_single)
+    new_m, met_m = _one_step(t_mesh)
+    np.testing.assert_allclose(float(met_s["loss"]), float(met_m["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_s), jax.tree.leaves(new_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    t_single.close()
+    t_mesh.close()
+
+
+def test_tp_sharding_placement(tmp_path):
+    """Hidden-dim leaves must actually shard over ``model``; visible-dim and
+    RNN-cell leaves must stay replicated (the TP layout contract)."""
+    cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=True, model=2,
+                                       style="gspmd"), name="tp_place")
+    t = Trainer(cfg)
+    dec = t.params.decoder
+    assert dec.w.sharding.spec[-1] == mesh_mod.MODEL_AXIS
+    assert dec.bh.sharding.spec[-1] == mesh_mod.MODEL_AXIS
+    assert dec.wuh.sharding.spec[-1] == mesh_mod.MODEL_AXIS
+    assert mesh_mod.MODEL_AXIS not in (dec.bv.sharding.spec or ())
+    assert mesh_mod.MODEL_AXIS not in (dec.wuv.sharding.spec or ())
+    for leaf in jax.tree.leaves(dec.cell):
+        assert mesh_mod.MODEL_AXIS not in (leaf.sharding.spec or ())
+    _one_step(t)
+    t.close()
+
+
 def test_track_sharding_placement(tmp_path):
     """Decoder param leaves must actually be sharded over the track axis."""
     cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=True, track=2,
@@ -134,6 +205,14 @@ def test_invalid_mesh_configs(tmp_path):
                                      style="shard_map"))
     with pytest.raises(ValueError, match="joint"):
         exp_cfg(tmp_path, MeshConfig(use_mesh=True, track=2), mode="joint")
+    # n_hidden=12 in exp_cfg: model=5 does not divide it
+    with pytest.raises(ValueError, match="n_hidden"):
+        exp_cfg(tmp_path, MeshConfig(use_mesh=True, model=5))
+    with pytest.raises(ValueError, match="gspmd"):
+        exp_cfg(tmp_path, MeshConfig(use_mesh=True, model=2,
+                                     style="shard_map"))
+    with pytest.raises(ValueError, match="seqpipe"):
+        exp_cfg(tmp_path, MeshConfig(use_mesh=True, seq=2, style="gspmd"))
 
 
 @pytest.mark.parametrize("style", ["gspmd", "shard_map"])
