@@ -95,12 +95,20 @@ def init_recurrent_state(state_cls, cfg: DecoderConfig, batch_shape):
         v_prev=jnp.zeros((*batch_shape, cfg.n_visible)))
 
 
-def scan_states(params, state, x_tm: jax.Array):
+def scan_states(params, state, x_tm: jax.Array, seq=None):
     """Run the cell stack over time-major inputs; return (final_cell_state,
     u_prev) where u_prev[t] = TOP-layer hidden state BEFORE consuming x[t]
-    (bias conditioning uses u(t-1) per arXiv:1206.6392 §2.3)."""
+    (bias conditioning uses u(t-1) per arXiv:1206.6392 §2.3).
+
+    ``seq`` (a parallel.seqpipe.SeqSpec) switches to the time-sharded
+    pipelined recurrence: x_tm is then this device's chunk of the window and
+    the carry crosses chunk boundaries via ppermute (final state not
+    materialized — returns (None, u_prev))."""
     import jax.numpy as jnp
     from multinn_tpu.nn import rnn as rnn_nn
+    if seq is not None:
+        from multinn_tpu.parallel import seqpipe
+        return seqpipe.scan_states_pipelined(params, state, x_tm, seq)
     cfg = params.cfg
     final, us = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
                                     x_tm, remat=cfg.remat)

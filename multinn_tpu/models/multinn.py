@@ -160,11 +160,17 @@ def _flatten_latents(vs: jax.Array) -> jax.Array:
     return jnp.moveaxis(vs, 0, 1).reshape(b, k * f)
 
 
-def _feedback_ctx(feats_k: jax.Array) -> jax.Array:
+def _feedback_ctx(feats_k: jax.Array, seq=None) -> jax.Array:
     """Teacher-forced feedback context: concat latents of all tracks at t-1.
-    feats_k: (K, B, T, F) -> ctx (B, T, K·F) with zeros at t=0."""
+    feats_k: (K, B, T, F) -> ctx (B, T, K·F) with zeros at t=0.
+
+    Under time sharding (``seq``: parallel.seqpipe.SeqSpec) the shift crosses
+    chunk boundaries — the one-frame latent halo rides a single ppermute."""
     k, b, t, f = feats_k.shape
     lat = jnp.moveaxis(feats_k, 0, 2).reshape(b, t, k * f)
+    if seq is not None:
+        from multinn_tpu.parallel import seqpipe
+        return seqpipe.shift_right_seq(lat, seq)
     return jnp.concatenate([jnp.zeros_like(lat[:, :1]), lat[:, :-1]], axis=1)
 
 
@@ -177,31 +183,33 @@ def _mean_tree(tree):
 # ---------------------------------------------------------------------------
 
 def loss(params: MultINNParams, key: jax.Array, x: jax.Array,
-         detailed: bool = True, frame_mask: Optional[jax.Array] = None):
+         detailed: bool = True, frame_mask: Optional[jax.Array] = None,
+         seq=None):
     """Unified teacher-forced loss over all tracks. x: (B, T, K, D).
     Returns (scalar_loss, metrics) — metrics averaged over tracks, plus
     per-track losses under 'loss_per_track'. ``detailed=False`` is the
-    trainer's hot path (loss-only metrics)."""
+    trainer's hot path (loss-only metrics). ``seq`` (seqpipe.SeqSpec): x is
+    this device's time chunk; the recurrence pipelines over the seq axis."""
     cfg = params.cfg
     dec = _dec(cfg)
     if cfg.mode == "joint":
         b, t, k, d = x.shape
         feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
         return dec.loss(params.decoder, key, feats, detailed=detailed,
-                        frame_mask=frame_mask)
+                        frame_mask=frame_mask, seq=seq)
 
     feats_k = _encode_tracks(params, x)                  # (K, B, T, F)
     keys = jax.random.split(key, cfg.n_tracks)
     if cfg.mode == "feedback":
-        ctx = _feedback_ctx(feats_k)                     # (B, T, K·F)
+        ctx = _feedback_ctx(feats_k, seq)                # (B, T, K·F)
         losses, metrics = jax.vmap(
             lambda p, kk, xx: dec.loss(p, kk, xx, ctx=ctx, detailed=detailed,
-                                       frame_mask=frame_mask)
+                                       frame_mask=frame_mask, seq=seq)
         )(params.decoder, keys, feats_k)
     else:
         losses, metrics = jax.vmap(
             lambda p, kk, xx: dec.loss(p, kk, xx, detailed=detailed,
-                                       frame_mask=frame_mask)
+                                       frame_mask=frame_mask, seq=seq)
         )(params.decoder, keys, feats_k)
     metrics = _mean_tree(metrics)
     metrics["loss_per_track"] = losses
@@ -212,28 +220,30 @@ def loss(params: MultINNParams, key: jax.Array, x: jax.Array,
 
 def log_likelihood(params: MultINNParams, key: jax.Array,
                    x: jax.Array,
-                   frame_mask: Optional[jax.Array] = None) -> jax.Array:
+                   frame_mask: Optional[jax.Array] = None,
+                   seq=None) -> jax.Array:
     """Per-sequence LL summed over tracks and time, (B,). Exact for NADE
-    decoders, pseudo-LL proxy for RBM decoders (intractable partition fn)."""
+    decoders, pseudo-LL proxy for RBM decoders (intractable partition fn).
+    Under ``seq`` the sum covers this device's time chunk (psum upstream)."""
     cfg = params.cfg
     dec = _dec(cfg)
     if cfg.mode == "joint":
         b, t, k, d = x.shape
         feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
         return dec.log_likelihood_proxy(params.decoder, key, feats,
-                                        frame_mask=frame_mask)
+                                        frame_mask=frame_mask, seq=seq)
     feats_k = _encode_tracks(params, x)
     keys = jax.random.split(key, cfg.n_tracks)
     if cfg.mode == "feedback":
-        ctx = _feedback_ctx(feats_k)
+        ctx = _feedback_ctx(feats_k, seq)
         lls = jax.vmap(
             lambda p, kk, xx: dec.log_likelihood_proxy(
-                p, kk, xx, ctx=ctx, frame_mask=frame_mask)
+                p, kk, xx, ctx=ctx, frame_mask=frame_mask, seq=seq)
         )(params.decoder, keys, feats_k)
     else:
         lls = jax.vmap(
             lambda p, kk, xx: dec.log_likelihood_proxy(
-                p, kk, xx, frame_mask=frame_mask)
+                p, kk, xx, frame_mask=frame_mask, seq=seq)
         )(params.decoder, keys, feats_k)
     return jnp.sum(lls, axis=0)                          # (B,)
 

@@ -78,13 +78,13 @@ _biases = base.conditioned_biases
 
 
 def _nll(params: Params, x: jax.Array, ctx: Optional[jax.Array],
-         m_tm: Optional[jax.Array] = None):
+         m_tm: Optional[jax.Array] = None, seq=None):
     """Mean per-frame negative log-likelihood + logits for metrics.
     x: (B, T, F); m_tm: optional time-major frame mask (T, B)."""
     x_tm = jnp.swapaxes(x, 0, 1)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
     state = init_state(params, x.shape[:1])
-    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm), seq)
     bv_t, bh_t = _biases(params, u_prev)
     ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)
     if m_tm is None:
@@ -95,15 +95,16 @@ def _nll(params: Params, x: jax.Array, ctx: Optional[jax.Array],
 
 def loss(params: Params, key: jax.Array, x: jax.Array,
          ctx: Optional[jax.Array] = None, detailed: bool = True,
-         frame_mask: Optional[jax.Array] = None):
+         frame_mask: Optional[jax.Array] = None, seq=None):
     """Exact NLL loss. ``key`` is unused (kept for the decoder contract).
     Returns (scalar_loss, metrics). ``detailed=False`` skips the extra
     conditional-probability pass used for frame metrics (trainer hot path).
-    ``frame_mask`` (B, T) excludes padded frames (eval integrity)."""
+    ``frame_mask`` (B, T) excludes padded frames (eval integrity).
+    ``seq`` (parallel.seqpipe.SeqSpec): time-sharded pipelined recurrence."""
     del key
     m_tm = (None if frame_mask is None
             else jnp.swapaxes(frame_mask, 0, 1).astype(jnp.float32))
-    nll, (x_tm, bv_t, bh_t) = _nll(params, x, ctx, m_tm)
+    nll, (x_tm, bv_t, bh_t) = _nll(params, x, ctx, m_tm, seq)
     if not detailed:
         return nll, {"loss": nll}
     # teacher-forced conditional probabilities for frame metrics
@@ -118,14 +119,16 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
 
 def log_likelihood(params: Params, key: jax.Array, x: jax.Array,
                    ctx: Optional[jax.Array] = None,
-                   frame_mask: Optional[jax.Array] = None) -> jax.Array:
-    """EXACT per-sequence log-likelihood (B,), summed over (real) time frames
-    — the paper's Table-1 quantity (reported per frame upstream)."""
+                   frame_mask: Optional[jax.Array] = None,
+                   seq=None) -> jax.Array:
+    """EXACT per-sequence log-likelihood (B,), summed over (real, local
+    under ``seq``) time frames — the paper's Table-1 quantity (reported per
+    frame upstream)."""
     del key
     x_tm = jnp.swapaxes(x, 0, 1)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
     state = init_state(params, x.shape[:1])
-    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm), seq)
     bv_t, bh_t = _biases(params, u_prev)
     ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)
     if frame_mask is not None:

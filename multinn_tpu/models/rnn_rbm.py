@@ -80,7 +80,7 @@ _biases = base.conditioned_biases
 
 def loss(params: Params, key: jax.Array, x: jax.Array,
          ctx: Optional[jax.Array] = None, detailed: bool = True,
-         frame_mask: Optional[jax.Array] = None):
+         frame_mask: Optional[jax.Array] = None, seq=None):
     """CD-k loss, teacher forced. x: (B, T, F); ctx: (B, T, C) or None.
 
     Returns (scalar_loss, metrics). Gradients flow into the RNN through the
@@ -89,12 +89,16 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
     ``detailed=False`` skips the monitoring extras (mean-field reconstruction
     pass, PLL, frame metrics) — the trainer's hot path uses it and computes
     full metrics only on logging steps.
+
+    ``seq`` (parallel.seqpipe.SeqSpec): x/ctx are this device's time chunk;
+    the recurrence runs pipelined across the seq mesh axis, everything else
+    (biases, CD, metrics) is per-frame local.
     """
     cfg = params.cfg
     x_tm = jnp.swapaxes(x, 0, 1)                      # (T, B, F)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
     state = init_state(params, x.shape[:1])
-    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm), seq)
     bv_t, bh_t = _biases(params, u_prev)              # (T, B, F/H)
 
     k1, k2, k3 = jax.random.split(key, 3)
@@ -135,13 +139,14 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
 
 def log_likelihood_proxy(params: Params, key: jax.Array, x: jax.Array,
                          ctx: Optional[jax.Array] = None,
-                         frame_mask: Optional[jax.Array] = None) -> jax.Array:
+                         frame_mask: Optional[jax.Array] = None,
+                         seq=None) -> jax.Array:
     """Per-sequence pseudo-LL (RBM LL is intractable; PLL is the eval proxy).
-    Returns (B,) summed over (real) time frames."""
+    Returns (B,) summed over (real, local under ``seq``) time frames."""
     x_tm = jnp.swapaxes(x, 0, 1)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
     state = init_state(params, x.shape[:1])
-    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm))
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm), seq)
     bv_t, bh_t = _biases(params, u_prev)
     pll = rbm_nn.pseudo_log_likelihood(key, x_tm, params.w, bv_t, bh_t)
     if frame_mask is not None:

@@ -68,7 +68,22 @@ class Trainer:
         self.mesh = mesh_mod.make_mesh(cfg.mesh)
 
         self._gspmd = self.mesh is not None and cfg.mesh.style == "gspmd"
+        self._seqpipe = self.mesh is not None and cfg.mesh.style == "seqpipe"
         self.track_sharded = self._gspmd and cfg.mesh.track > 1
+        # explicit-collective styles: shard_map (DP) and seqpipe (DP × SP).
+        # _explicit_axes are the mesh axes per-shard code pmean/psums over;
+        # _batch_spec shards (B, T, ...) batches (and (B, T) masks) on them.
+        if self.mesh is not None and not self._gspmd:
+            if self._seqpipe:
+                self._explicit_axes = (mesh_mod.DATA_AXIS, mesh_mod.SEQ_AXIS)
+            else:
+                self._explicit_axes = (mesh_mod.DATA_AXIS,)
+            self._batch_spec = P(*self._explicit_axes)
+            self._stacked_spec = P(None, *self._explicit_axes)
+        else:
+            self._explicit_axes = None
+            self._batch_spec = None
+            self._stacked_spec = None
 
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self.rng, init_key = jax.random.split(self.rng)
@@ -110,39 +125,58 @@ class Trainer:
 
     def _loss_fn(self, params, batch_u8, key, detailed=True):
         x = batch_u8.astype(jnp.float32)
-        return multinn.loss(params, key, x, detailed=detailed)
+        return multinn.loss(params, key, x, detailed=detailed,
+                            seq=self._seq_spec(x))
+
+    def _seq_spec(self, x_local):
+        """SeqSpec for the seqpipe style, built at TRACE time from the
+        device-local shapes (so padded tail batches get a valid pipeline
+        depth automatically); None for all other styles."""
+        if not self._seqpipe:
+            return None
+        from multinn_tpu.parallel import seqpipe
+        return seqpipe.SeqSpec(
+            axis=mesh_mod.SEQ_AXIS, n_seq=self.cfg.mesh.seq,
+            microbatches=seqpipe.auto_microbatches(
+                x_local.shape[0], self.cfg.mesh.seq,
+                self.cfg.mesh.seq_microbatches))
+
+    def _fold_shard_key(self, key):
+        """Decorrelate per-shard RNG streams (Gibbs noise) reproducibly."""
+        for ax in self._explicit_axes:
+            key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+        return key
 
     def _build_train_step(self, detailed: bool = True):
         opt = self.optimizer
-        explicit_pmean = self.mesh is not None and not self._gspmd
+        axes = self._explicit_axes
 
         def step_fn(params, opt_state, batch, key):
             with profiling.annotate("train_step"):
                 (loss, metrics), grads = jax.value_and_grad(
                     lambda p, b, k: self._loss_fn(p, b, k, detailed),
                     has_aux=True)(params, batch, key)
-                if explicit_pmean:
-                    grads = jax.lax.pmean(grads, mesh_mod.DATA_AXIS)
-                    metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
+                if axes is not None:
+                    grads = jax.lax.pmean(grads, axes)
+                    metrics = jax.lax.pmean(metrics, axes)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 metrics["grad_norm"] = optax.global_norm(grads)
                 return params, opt_state, metrics
 
-        if self.mesh is None or self._gspmd:
+        if axes is None:
             # GSPMD: global-view program; argument shardings (params/batch
             # placed in __init__/_put_batch) drive XLA's SPMD partitioner,
             # which inserts the grad psums and the feedback all-gather.
             return jax.jit(step_fn, donate_argnums=(0, 1))
 
         def sharded(params, opt_state, batch, key):
-            key = jax.random.fold_in(
-                key, jax.lax.axis_index(mesh_mod.DATA_AXIS))
-            return step_fn(params, opt_state, batch, key)
+            return step_fn(params, opt_state, batch,
+                           self._fold_shard_key(key))
 
         mapped = jax.shard_map(
             sharded, mesh=self.mesh,
-            in_specs=(P(), P(), P(mesh_mod.DATA_AXIS), P()),
+            in_specs=(P(), P(), self._batch_spec, P()),
             out_specs=(P(), P(), P()),
             check_vma=False)
         return jax.jit(mapped, donate_argnums=(0, 1))
@@ -157,15 +191,15 @@ class Trainer:
         with detailed metrics + grad_norm, so the metrics ledger keeps full
         observability (f1/free-energy/grad-norm) under steps_per_call>1."""
         opt = self.optimizer
-        explicit_pmean = self.mesh is not None and not self._gspmd
+        axes = self._explicit_axes
 
         def one_step(p, s, batch, k, detailed):
             (loss, metrics), grads = jax.value_and_grad(
                 lambda q, b, kk: self._loss_fn(q, b, kk, detailed),
                 has_aux=True)(p, batch, k)
-            if explicit_pmean:
-                grads = jax.lax.pmean(grads, mesh_mod.DATA_AXIS)
-                metrics = jax.lax.pmean(metrics, mesh_mod.DATA_AXIS)
+            if axes is not None:
+                grads = jax.lax.pmean(grads, axes)
+                metrics = jax.lax.pmean(metrics, axes)
             updates, s = opt.update(grads, s, p)
             if detailed:
                 metrics["grad_norm"] = optax.global_norm(grads)
@@ -190,17 +224,16 @@ class Trainer:
             metrics["loss_mean"] = (jnp.sum(losses) + metrics["loss"]) / n
             return params, opt_state, metrics
 
-        if self.mesh is None or self._gspmd:
+        if axes is None:
             return jax.jit(multi_fn, donate_argnums=(0, 1))
 
         def sharded(params, opt_state, batches, key):
-            key = jax.random.fold_in(
-                key, jax.lax.axis_index(mesh_mod.DATA_AXIS))
-            return multi_fn(params, opt_state, batches, key)
+            return multi_fn(params, opt_state, batches,
+                            self._fold_shard_key(key))
 
         mapped = jax.shard_map(
             sharded, mesh=self.mesh,
-            in_specs=(P(), P(), P(None, mesh_mod.DATA_AXIS), P()),
+            in_specs=(P(), P(), self._stacked_spec, P()),
             out_specs=(P(), P(), P()),
             check_vma=False)
         return jax.jit(mapped, donate_argnums=(0, 1))
@@ -212,35 +245,38 @@ class Trainer:
         — shards with different masked-tail frame counts contribute exactly
         their frames (pmean of per-shard means would bias toward light
         shards)."""
-        explicit_sm = self.mesh is not None and not self._gspmd
+        axes = self._explicit_axes
 
         def eval_fn(params, batch, key, mask):
             k_loss, k_ll = jax.random.split(key)   # independent estimates
             x = batch.astype(jnp.float32)
+            seq = self._seq_spec(x)
             loss, metrics = multinn.loss(params, k_loss, x,
-                                         frame_mask=mask)
-            ll = multinn.log_likelihood(params, k_ll, x, frame_mask=mask)
+                                         frame_mask=mask, seq=seq)
+            ll = multinn.log_likelihood(params, k_ll, x, frame_mask=mask,
+                                        seq=seq)
             n_frames = jnp.sum(mask.astype(jnp.float32))       # raw weight
             denom = jnp.maximum(n_frames, 1.0)
             metrics["ll_per_frame"] = (jnp.sum(ll)
                                        / (denom * self.cfg.model.n_tracks))
             weighted = {name: v * n_frames for name, v in metrics.items()}
             weighted["n_frames"] = n_frames
-            if explicit_sm:
-                weighted = jax.lax.psum(weighted, mesh_mod.DATA_AXIS)
+            if axes is not None:
+                # per-shard frame-weighted sums psum'd over every sharded
+                # axis (data, and seq under seqpipe) — exact for metrics
+                # linear in frames even with unequal per-shard frame counts
+                weighted = jax.lax.psum(weighted, axes)
             return weighted
 
-        if self.mesh is None or self._gspmd:
+        if axes is None:
             return jax.jit(eval_fn)
 
         def sharded(params, batch, key, mask):
-            key = jax.random.fold_in(
-                key, jax.lax.axis_index(mesh_mod.DATA_AXIS))
-            return eval_fn(params, batch, key, mask)
+            return eval_fn(params, batch, self._fold_shard_key(key), mask)
 
         mapped = jax.shard_map(
             sharded, mesh=self.mesh,
-            in_specs=(P(), P(mesh_mod.DATA_AXIS), P(), P(mesh_mod.DATA_AXIS)),
+            in_specs=(P(), self._batch_spec, P(), self._batch_spec),
             out_specs=P(), check_vma=False)
         return jax.jit(mapped)
 
@@ -264,10 +300,13 @@ class Trainer:
                 self.mesh, self.track_sharded,
                 stacked=(batch_u8.ndim == 5)))
         if self.mesh is not None:
+            # explicit styles (shard_map / seqpipe): lay batches out to match
+            # the shard_map in_specs so no resharding happens at dispatch
             if batch_u8.ndim == 5:            # (N, B, ...) super-batch
                 return jax.device_put(batch_u8, mesh_mod.NamedSharding(
-                    self.mesh, P(None, mesh_mod.DATA_AXIS)))
-            return mesh_mod.put_data_sharded(batch_u8, self.mesh)
+                    self.mesh, self._stacked_spec))
+            return jax.device_put(batch_u8, mesh_mod.NamedSharding(
+                self.mesh, self._batch_spec))
         return jnp.asarray(batch_u8)
 
     # ------------------------------------------------------------------

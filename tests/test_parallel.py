@@ -197,6 +197,58 @@ def test_rbm_dp_training_runs_on_mesh(tmp_path):
     t.close()
 
 
+@pytest.mark.parametrize("mode", ["per-track", "feedback"])
+def test_seqpipe_step_matches_single_device(tmp_path, mode):
+    """Time-axis parallelism (SURVEY §2.2 SP row): dp=2 × seq=4 pipelined
+    teacher forcing must equal the single-device step. The RNN carry crosses
+    chunk boundaries via ppermute in a microbatch pipeline; the feedback
+    mode additionally exercises the one-frame cross-track latent halo.
+    NADE losses are key-independent, so params after one optimizer step are
+    comparable to float-reduction tolerance."""
+    cfg_single = exp_cfg(tmp_path, MeshConfig(use_mesh=False),
+                         name=f"sp_s_{mode}", mode=mode)
+    cfg_pipe = exp_cfg(tmp_path,
+                       MeshConfig(use_mesh=True, data=2, seq=4,
+                                  style="seqpipe"),
+                       name=f"sp_m_{mode}", mode=mode)
+    t_single = Trainer(cfg_single)
+    t_pipe = Trainer(cfg_pipe)
+    new_s, met_s = _one_step(t_single)
+    new_p, met_p = _one_step(t_pipe)
+    np.testing.assert_allclose(float(met_s["loss"]), float(met_p["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_s), jax.tree.leaves(new_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    t_single.close()
+    t_pipe.close()
+
+
+def test_seqpipe_rbm_training_runs(tmp_path):
+    """RBM decoders under seqpipe: the CD Gibbs chains run per-chunk with
+    per-shard folded RNG (streams differ from single-device by design);
+    a full epoch must run with finite loss and the fused multi-step path."""
+    cfg = exp_cfg(tmp_path,
+                  MeshConfig(use_mesh=True, data=2, seq=4, style="seqpipe"),
+                  name="sp_rbm", dec="rnn-rbm", mode="feedback")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps_per_call=2))
+    t = Trainer(cfg)
+    t.train()
+    ev = t.evaluate("valid")
+    assert np.isfinite(ev["loss"])
+    t.close()
+
+
+def test_seqpipe_microbatch_autopick():
+    from multinn_tpu.parallel import seqpipe
+    assert seqpipe.auto_microbatches(8, 4) == 8       # min(8, 2*4)
+    assert seqpipe.auto_microbatches(6, 4) == 6
+    assert seqpipe.auto_microbatches(7, 2) == 1       # 7 prime, target 4
+    assert seqpipe.auto_microbatches(8, 2, requested=3) == 2  # cap, divisor
+    assert seqpipe.auto_microbatches(1, 8) == 1
+
+
 def test_invalid_mesh_configs(tmp_path):
     with pytest.raises(ValueError, match="not divisible"):
         exp_cfg(tmp_path, MeshConfig(use_mesh=True, track=2), n_tracks=3)
@@ -215,7 +267,7 @@ def test_invalid_mesh_configs(tmp_path):
         exp_cfg(tmp_path, MeshConfig(use_mesh=True, seq=2, style="gspmd"))
 
 
-@pytest.mark.parametrize("style", ["gspmd", "shard_map"])
+@pytest.mark.parametrize("style", ["gspmd", "shard_map", "seqpipe"])
 def test_eval_matches_single_device_with_short_tail(tmp_path, style):
     """evaluate() must be exact under a mesh even when the split has a short
     tail batch and unequal per-shard real-frame counts: the shard_map path
@@ -237,8 +289,10 @@ def test_eval_matches_single_device_with_short_tail(tmp_path, style):
                                         train=train, mesh=mesh).validate()
 
     t_single = Trainer(mk(MeshConfig(use_mesh=False), "ev_s"))
-    t_mesh = Trainer(mk(MeshConfig(use_mesh=True, style=style),
-                        f"ev_{style}"))
+    mesh_cfg = (MeshConfig(use_mesh=True, data=2, seq=4, style="seqpipe")
+                if style == "seqpipe"
+                else MeshConfig(use_mesh=True, style=style))
+    t_mesh = Trainer(mk(mesh_cfg, f"ev_{style}"))
     ev_s = t_single.evaluate("valid")
     ev_m = t_mesh.evaluate("valid")
     assert ev_s.keys() == ev_m.keys()
