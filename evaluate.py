@@ -94,6 +94,8 @@ def main(argv=None) -> int:
         corpus = dataset.windows["train"][:max(args.n_gen * 4, 32)]
         report["musical_corpus"] = musical.evaluate_rolls(
             corpus, steps_per_bar, cfg.data.pitch_min, drum_track)
+        report["musical_significance"] = musical.compare_rolls(
+            rolls, corpus, steps_per_bar, cfg.data.pitch_min, drum_track)
 
     out = os.path.join(cfg.train.run_dir, f"eval_{args.split}.json")
     with open(out, "w") as f:

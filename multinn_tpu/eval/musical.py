@@ -164,6 +164,73 @@ def note_density(rolls: np.ndarray) -> np.ndarray:
     return rolls.mean(axis=(0, 1, 3)) * rolls.shape[3]
 
 
+def per_sample_stats(rolls: np.ndarray, steps_per_bar: int = 16,
+                     pitch_min: int = 0, drum_track: Optional[int] = None
+                     ) -> Dict[str, np.ndarray]:
+    """Per-SAMPLE metric values (each song/window is one observation) —
+    the sampling unit for the significance summary below. Returns
+    {metric: (N,) array} with per-track metrics averaged over tracks
+    (drums excluded from UPC, which is pitch-class-meaningless there)."""
+    rolls = _ensure_4d(rolls)
+    n, _, k, _ = rolls.shape
+    melodic = [i for i in range(k) if i != drum_track]
+    out: Dict[str, list] = {m: [] for m in
+                            ("empty_bar_ratio", "used_pitch_classes",
+                             "qualified_note_ratio", "polyphony_rate",
+                             "note_density")}
+    if drum_track is not None:
+        out["drum_pattern_ratio"] = []
+    for i in range(n):
+        r = rolls[i:i + 1]
+        out["empty_bar_ratio"].append(
+            empty_bar_ratio(r, steps_per_bar).mean())
+        out["used_pitch_classes"].append(used_pitch_classes_per_bar(
+            r, steps_per_bar, pitch_min)[melodic].mean())
+        out["qualified_note_ratio"].append(qualified_note_ratio(r).mean())
+        out["polyphony_rate"].append(polyphony_rate(r).mean())
+        out["note_density"].append(note_density(r).mean())
+        if drum_track is not None:
+            out["drum_pattern_ratio"].append(
+                drum_pattern_ratio(r, drum_track, steps_per_bar))
+    return {m: np.asarray(v, np.float64) for m, v in out.items()}
+
+
+def _norm_sf(z: float) -> float:
+    """Two-sided normal tail probability (scipy-free)."""
+    import math
+    return float(math.erfc(abs(z) / math.sqrt(2.0)))
+
+
+def compare_rolls(gen_rolls: np.ndarray, corpus_rolls: np.ndarray,
+                  steps_per_bar: int = 16, pitch_min: int = 0,
+                  drum_track: Optional[int] = None) -> Dict[str, object]:
+    """Significance summary: generated vs corpus per-sample statistics.
+
+    For each metric: means on both sides, Cohen's-d effect size against the
+    corpus spread, and a Welch two-sample statistic with a normal-
+    approximation p-value (small sample sizes make this approximate —
+    treat |d| as the primary signal, p as a rough guide)."""
+    gs = per_sample_stats(gen_rolls, steps_per_bar, pitch_min, drum_track)
+    cs = per_sample_stats(corpus_rolls, steps_per_bar, pitch_min, drum_track)
+    out: Dict[str, object] = {}
+    for m in gs:
+        g, c = gs[m], cs[m]
+        mg, mc = float(g.mean()), float(c.mean())
+        vg = float(g.var(ddof=1)) if len(g) > 1 else 0.0
+        vc = float(c.var(ddof=1)) if len(c) > 1 else 0.0
+        pooled = np.sqrt((vg + vc) / 2.0)
+        d = (mg - mc) / pooled if pooled > 1e-12 else 0.0
+        se = np.sqrt(vg / max(len(g), 1) + vc / max(len(c), 1))
+        t = (mg - mc) / se if se > 1e-12 else 0.0
+        out[m] = {"generated_mean": round(mg, 4),
+                  "corpus_mean": round(mc, 4),
+                  "effect_size_d": round(float(d), 3),
+                  "welch_t": round(float(t), 3),
+                  "p_normal_approx": round(_norm_sf(float(t)), 4),
+                  "n": [int(len(g)), int(len(c))]}
+    return out
+
+
 def evaluate_rolls(rolls: np.ndarray, steps_per_bar: int = 16,
                    pitch_min: int = 0, drum_track: Optional[int] = None
                    ) -> Dict[str, object]:

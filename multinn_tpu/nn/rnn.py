@@ -85,6 +85,25 @@ def lstm_step_premixed(params: LSTMParams, state: LSTMState,
     return _lstm_gates(state.c, z)
 
 
+# Scan unroll for the training recurrences, chosen by batch width. At small
+# batch the per-step work (one small batched matmul + gates) is
+# issue-latency-bound, and unrolling 8 steps per loop iteration cuts loop
+# overhead / lets XLA overlap VPU work across iterations (measured on v5e,
+# flagship feedback RNN-RBM full train step: B=16 1.27→1.07 ms, −16%). At
+# large batch the step is bandwidth-bound and unrolling HURTS (B=64 −4%,
+# B=256 −21%) — so unroll only below the measured crossover. Semantics are
+# unchanged either way (lax.scan unroll).
+_UNROLL = 8
+_UNROLL_MAX_BATCH = 32
+
+
+def _unroll_for(xz: jax.Array) -> int:
+    batch = 1
+    for s in xz.shape[1:-1]:
+        batch *= s
+    return _UNROLL if batch <= _UNROLL_MAX_BATCH else 1
+
+
 def lstm_scan(params: LSTMParams, state: LSTMState,
               xs: jax.Array) -> Tuple[LSTMState, jax.Array]:
     """Run the LSTM over time-major xs (T, B, in).
@@ -98,7 +117,7 @@ def lstm_scan(params: LSTMParams, state: LSTMState,
         st = lstm_step_premixed(params, st, xz_t)
         return st, st.h
 
-    return jax.lax.scan(body, state, xz)
+    return jax.lax.scan(body, state, xz, unroll=_unroll_for(xz))
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +167,7 @@ def vanilla_scan(params, state, xs):
         st = VanillaRNNState(h=jnp.tanh(xz_t + st.h @ params.wh))
         return st, st.h
 
-    return jax.lax.scan(body, state, xz)
+    return jax.lax.scan(body, state, xz, unroll=_unroll_for(xz))
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +229,7 @@ def _remat_cell_scan(cell_type: str, params, state, xs):
         st = step(params, st, x_t)
         return st, st.h
 
-    return jax.lax.scan(body, state, xs)
+    return jax.lax.scan(body, state, xs, unroll=_unroll_for(xs))
 
 
 # ---------------------------------------------------------------------------

@@ -75,3 +75,22 @@ def test_evaluate_rolls_full_report():
     assert "0-1" not in rep["tonal_distance"]          # drums excluded
     assert "1-2" in rep["tonal_distance"]
     assert all(np.isfinite(v) for v in rep["tonal_distance"].values())
+
+
+def test_compare_rolls_significance():
+    """Same-distribution sets -> small effect sizes; clearly different
+    density -> large |d| with small normal-approx p."""
+    rng = np.random.default_rng(2)
+    a = (rng.random((8, 64, 3, 24)) < 0.05).astype(np.uint8)
+    b = (rng.random((8, 64, 3, 24)) < 0.05).astype(np.uint8)
+    dense = (rng.random((8, 64, 3, 24)) < 0.4).astype(np.uint8)
+    same = musical.compare_rolls(a, b, steps_per_bar=16, pitch_min=0)
+    assert abs(same["note_density"]["effect_size_d"]) < 1.5
+    diff = musical.compare_rolls(dense, b, steps_per_bar=16, pitch_min=0)
+    assert abs(diff["note_density"]["effect_size_d"]) > 3.0
+    assert diff["note_density"]["p_normal_approx"] < 0.01
+    assert diff["note_density"]["n"] == [8, 8]
+    # per-sample stats have one observation per song
+    ps = musical.per_sample_stats(a, steps_per_bar=16, drum_track=0)
+    assert ps["note_density"].shape == (8,)
+    assert "drum_pattern_ratio" in ps
