@@ -9,9 +9,11 @@ Design principles (TPU-first, not a port):
   * CD-k Gibbs sampling and NADE per-dimension conditional sweeps are fused
     Pallas TPU kernels with pure-XLA fallbacks behind one dispatch interface
     (``multinn_tpu.ops``).
-  * Parallelism is a ``jax.sharding.Mesh`` with axes ``(data, track)`` driven
-    through ``shard_map`` — XLA:TPU compiles the collectives onto ICI/DCN;
-    there is no hand-written communication backend (SURVEY §5.8).
+  * Parallelism is a ``jax.sharding.Mesh`` with axes ``(data, track,
+    model, seq)`` — DP, per-track expert parallelism, tensor-parallel hidden
+    dims and a time-axis ppermute pipeline (``parallel/seqpipe.py``); XLA:TPU
+    compiles the collectives onto ICI/DCN; there is no hand-written
+    communication backend (SURVEY §5.8).
   * Parameters live in ``flax.struct`` pytree dataclasses; every model API is a
     pure function of (params, inputs, rng).
 """

@@ -61,6 +61,13 @@ class MeshConfig:
         the cross-track feedback gather is exactly what SPMD propagation is
         for, and duplicating it by hand would be a second implementation of
         the model's coupling semantics.
+      * "seqpipe"   — time-axis parallelism (requires seq > 1): shard_map
+        over (data, seq) where training windows chunk over ``seq`` and the
+        RNN carry pipelines device-to-device via ppermute
+        (parallel/seqpipe.py). A separate style because no GSPMD annotation
+        can express a software pipeline — the partitioner would serialize a
+        time-sharded scan. Composes with DP; track/model sharding stay
+        gspmd-only.
     """
 
     use_mesh: bool = False
