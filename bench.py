@@ -75,10 +75,11 @@ def bench():
     compile_train = time.time() - t0
     # In-program measurement (lax.scan of N optimizer steps — what the
     # Trainer runs with steps_per_call>1): per-EXECUTE host overhead on this
-    # tunneled TPU is ~30 ms, 20x the actual device step time, so the fused
-    # multi-step program is both the honest device number and the real
-    # production configuration.
-    n_iter = 20
+    # tunneled TPU is ~30-70 ms (and varies minute to minute), many times
+    # the actual device step time, so the fused multi-step program is both
+    # the honest device number and the real production configuration.
+    # n_iter=50 keeps the unamortized floor under ~0.6 ms/step.
+    n_iter = 50
 
     @jax.jit
     def train_many(p, s, key):
