@@ -301,16 +301,23 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
 # The NADE per-dimension sweep is restructured so ALL K tracks (and all B
 # samples) advance together through the D dims: per-track quantities live in
 # block layouts (running activation a: (B, K*H); per-dim weight rows:
-# (K, K*H) block rows of a dim-major matrix), so each dim costs three small
+# (K, K*H) block rows of a dim-major matrix), so each dim costs TWO small
 # dot_generals for all tracks and samples at once and no transposes/
 # shape-casts ever happen in-kernel:
 #
-#   s     = Vrows_i (KP,K*H) · σ(a) (B,K*H)ᵀ           -> (KP,B) logits
+#   s     = Vrows_i (KP,KHp) · σ(acc[:, :KHp]) (B,KHp)ᵀ -> (KP,B) logits
 #   x_i   = Bernoulli(σ(s + bv_dm rows))                -> (KP,B)
-#   a    += x_iᵀ · Wrows_i (KP,K*H)                     -> (B,K*H)
-#   z_acc+= x_iᵀ · Mrows_i (KP,K*4U)                    -> (B,K*4U)  (LSTM
-#           input projection accumulated during the sweep — the feedback
-#           context never needs materializing)
+#   acc  += x_iᵀ · WMrows_i (KP, KHp+K*4U)              -> (B, KHp+K*4U)
+#
+# where acc packs the running activation a (first KHp lanes; K*H padded to
+# a 128-lane boundary so in-kernel slices stay tile-aligned — pad lanes
+# carry zero weights everywhere, so their σ(0)=0.5 never contributes) and
+# the LSTM input projection z (last K*4U lanes, accumulated during the
+# sweep — the feedback context never needs materializing). Fusing the W and
+# M updates into one matmul shortens the per-dim serial chain (ancestral
+# sampling is inherently sequential over D; the chain length is the
+# latency). The fused update is bit-identical to two separate dots — each
+# output lane contracts the same KP products.
 #
 # At B=1 the (KP,B) logit matmul result is unsupported by Mosaic, so a VPU
 # broadcast-multiply + lane reduction replaces it (same algebra); batched
@@ -321,6 +328,11 @@ _KP = 8   # dim-block row stride: Mosaic requires dynamic sublane offsets to
           # be provably multiples of 8, so each dim's K track-rows are padded
           # to 8 (pad rows carry -inf visible bias -> always sample 0 -> their
           # contributions to every accumulation vanish)
+
+
+def _khp(k: int, hid: int) -> int:
+    """Lane-padded width of the running-activation region (128-aligned)."""
+    return ((k * hid + 127) // 128) * 128
 
 
 def _nade_args(dec_params, h0, c0, v0):
@@ -350,8 +362,11 @@ def _nade_args(dec_params, h0, c0, v0):
         out = out.at[:, idx, idx, :].set(jnp.transpose(mat_kdh, (1, 0, 2)))
         return pad_rows(out.reshape(ddim, k, k * x))
 
+    khp = _khp(k, hid)
     w_dm = diag_dm(dec_params.w)                       # (D*KP, K*H) bf16
-    v_dm = diag_dm(dec_params.v)                       # (D*KP, K*H) bf16
+    # v padded to the 128-aligned activation width (pad lanes: zero weights)
+    v_dm = jnp.zeros((d * kp, khp), jnp.bfloat16
+                     ).at[:, :k * hid].set(diag_dm(dec_params.v))
     # Own-sample LSTM input projection, dim-major (DIAGONAL blocks only —
     # x(t) = [v_k(t); ctx(t)=latents(t-1)], so only the v_k(t) part can be
     # accumulated during the sweep; the ctx part is applied from the
@@ -360,6 +375,10 @@ def _nade_args(dec_params, h0, c0, v0):
     m4 = jnp.zeros((d, k, k, four_u), lstm.wx.dtype)
     m4 = m4.at[:, idx, idx, :].add(jnp.transpose(wx_v, (1, 0, 2)))
     m_dm = pad_rows(m4.reshape(d, k, k * four_u))      # (D*KP, K*4U) bf16
+    # fused accumulation matrix: [W | pad | M] — one matmul per dim updates
+    # both the running activation and the LSTM input projection
+    wm_dm = jnp.zeros((d * kp, khp + k * four_u), jnp.bfloat16)
+    wm_dm = wm_dm.at[:, :k * hid].set(w_dm).at[:, khp:].set(m_dm)
     # Feedback-context projection: rows [j*D + i] map source sample v_{j,i}
     # (from step t-1) to all K target tracks' gates.
     if ctx_dim:
@@ -384,7 +403,7 @@ def _nade_args(dec_params, h0, c0, v0):
         return jnp.moveaxis(x_kbx, 0, 1).reshape(b, -1)
 
     return (
-        w_dm, v_dm, m_dm, wuv_dm,
+        wm_dm, v_dm, wuv_dm,
         dec_params.wuh.reshape(k * u, hid),
         lstm.wh.reshape(k * u, four_u),
         wctx,
@@ -426,7 +445,7 @@ def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
     return need <= vmem.VMEM_BUDGET_BYTES
 
 
-def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
+def _nade_kernel(seed_ref, wmdm_ref, vdm_ref, wuvdm_ref,
                  wuh_ref, wh_ref, wctx_ref, bv_ref, bh_ref, b_ref,
                  h0_ref, c0_ref, v0_ref,
                  roll_ref, hout_ref, cout_ref,
@@ -484,14 +503,19 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
     # all of this step's randomness at once
     u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, kseed1 + t)
 
-    a0 = bhp_s[:]                     # (B, K*H)
-    zb = jnp.zeros_like(zctx_s[:])    # (B, K*4U) input-projection acc
+    khp = _khp(n_tracks, hid)
+    # acc = [a (K*H) | pad | z (K*4U)] — one fused accumulator (see the
+    # section comment); pad lanes have zero weights everywhere
+    acc0 = jnp.concatenate(
+        [bhp_s[:],
+         jnp.zeros((batch, khp - n_tracks * hid), jnp.float32),
+         jnp.zeros_like(zctx_s[:])], axis=1)           # (B, KHp + K*4U)
     vacc0 = jnp.zeros_like(v_s[:])    # (KP, B, D)
 
     def dim_body(i, carry):
-        a, z_acc, v_acc = carry
+        acc, v_acc = carry
         base = pl.multiple_of(i * _KP, _KP)
-        h_act = jax.nn.sigmoid(a)                          # (B, K*H)
+        h_act = jax.nn.sigmoid(acc[:, :khp])               # (B, KHp)
         # block matrices are stored bf16 (VMEM budget); compute in f32
         vrows = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
         if batch == 1:
@@ -504,19 +528,19 @@ def _nade_kernel(seed_ref, wdm_ref, vdm_ref, mdm_ref, wuvdm_ref,
                 preferred_element_type=jnp.float32)            # (KP, B)
         p = jax.nn.sigmoid(s + bvp_s[pl.ds(base, _KP), :])
         x = (u_s[pl.ds(base, _KP), :] < p).astype(jnp.float32)  # (KP, B)
-        wrows = wdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-        a = a + jax.lax.dot_general(
-            x, wrows, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (B, K*H)
-        mrows = mdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-        z_acc = z_acc + jax.lax.dot_general(
-            x, mrows, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (B, K*4U)
+        # NOTE: feeding the dot bf16 directly (x is exact in bf16) measured
+        # SLOWER — bf16 MXU tiles are (16, 128) and these 8-sublane rows pay
+        # a relayout; the f32 upconversion wins at this shape. Don't retry.
+        wmrows = wmdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x, wmrows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, KHp + K*4U)
         col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
         v_acc = v_acc + x[:, :, None] * (col == i).astype(jnp.float32)
-        return (a, z_acc, v_acc)
+        return (acc, v_acc)
 
-    _, z_acc, v_new = jax.lax.fori_loop(0, d, dim_body, (a0, zb, vacc0))
+    acc_f, v_new = jax.lax.fori_loop(0, d, dim_body, (acc0, vacc0))
+    z_acc = acc_f[:, khp:]                             # (B, K*4U)
 
     v_s[:] = v_new
     roll_ref[0] = v_new                   # (KP, B, D) -> HBM pipeline
