@@ -387,3 +387,28 @@ def test_checkpoint_roundtrip_across_topologies(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.isfinite(t3.evaluate("valid")["loss"])
     t3.close()
+
+
+def test_3d_mesh_generation_matches_single_device(tmp_path):
+    """Generation with experts on the track axis AND the hidden dim
+    tensor-sharded over model (dp=2 × track=2 × model=2) must equal
+    single-device generation bit-for-bit (GSPMD is semantics-preserving;
+    partitionable threefry keeps the Bernoulli streams identical on the
+    H-sharded conditional shapes)."""
+    from multinn_tpu.training.generator import Generator
+    cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=False), name="g3d_s",
+                  mode="feedback")
+    t = Trainer(cfg)
+    seed = t.dataset.seed_windows("valid", n=8)
+    r1 = Generator(cfg, t.params).generate(jax.random.PRNGKey(5),
+                                           n_steps=6, seed=seed)
+
+    mesh_cfg = MeshConfig(use_mesh=True, track=2, model=2, style="gspmd")
+    cfg_m = exp_cfg(tmp_path, mesh_cfg, name="g3d_m", mode="feedback")
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    gen = Generator(cfg_m, t.params, mesh=mesh)
+    leaf = gen.params.decoder.w
+    assert leaf.sharding.spec[-1] == mesh_mod.MODEL_AXIS
+    r2 = gen.generate(jax.random.PRNGKey(5), n_steps=6, seed=seed)
+    np.testing.assert_array_equal(r1, r2)
+    t.close()
