@@ -40,17 +40,38 @@ class FaultInjected(RuntimeError):
     """Raised by --train.fault_inject_step (SURVEY §5.3 resume-path CI)."""
 
 
-def make_optimizer(cfg) -> optax.GradientTransformation:
+def make_schedule(cfg, steps_per_epoch: int = 0):
+    """LR schedule from TrainConfig: optional linear warmup into constant or
+    cosine decay (to lr_min over decay_steps; 0 = epochs × steps_per_epoch).
+    Returns a float (constant, no warmup) or an optax schedule — the
+    schedule is part of the jitted update, so LR changes never recompile."""
+    if cfg.lr_schedule == "constant":
+        if not cfg.warmup_steps:
+            return cfg.lr
+        return optax.schedules.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    if cfg.lr_schedule == "cosine":
+        decay = cfg.decay_steps or max(cfg.epochs * max(steps_per_epoch, 1),
+                                       1)
+        return optax.schedules.warmup_cosine_decay_schedule(
+            init_value=0.0 if cfg.warmup_steps else cfg.lr,
+            peak_value=cfg.lr, warmup_steps=cfg.warmup_steps,
+            decay_steps=decay, end_value=cfg.lr_min)
+    raise ValueError(f"unknown lr_schedule '{cfg.lr_schedule}'")
+
+
+def make_optimizer(cfg, steps_per_epoch: int = 0
+                   ) -> optax.GradientTransformation:
     chain = []
     if cfg.grad_clip and cfg.grad_clip > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    lr = make_schedule(cfg, steps_per_epoch)
     if cfg.optimizer == "adam":
         if cfg.weight_decay:
-            chain.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+            chain.append(optax.adamw(lr, weight_decay=cfg.weight_decay))
         else:
-            chain.append(optax.adam(cfg.lr))
+            chain.append(optax.adam(lr))
     elif cfg.optimizer == "sgd":
-        chain.append(optax.sgd(cfg.lr, momentum=0.9))
+        chain.append(optax.sgd(lr, momentum=0.9))
     else:
         raise ValueError(f"unknown optimizer '{cfg.optimizer}'")
     return optax.chain(*chain)
@@ -94,7 +115,8 @@ class Trainer:
                 self.params, self.mesh, self.track_sharded)
         elif self.mesh is not None:
             self.params = mesh_mod.put_replicated(self.params, self.mesh)
-        self.optimizer = make_optimizer(cfg.train)
+        self.optimizer = make_optimizer(
+            cfg.train, steps_per_epoch=self.dataset.n_batches("train"))
         # init AFTER placement: optax state inherits param shardings
         self.opt_state = self.optimizer.init(self.params)
 

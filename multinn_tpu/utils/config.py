@@ -22,6 +22,10 @@ from multinn_tpu.parallel.mesh import MeshConfig
 class TrainConfig:
     epochs: int = 10
     lr: float = 1e-3
+    lr_schedule: str = "constant"      # constant | cosine (to lr_min)
+    lr_min: float = 0.0                # cosine floor
+    warmup_steps: int = 0              # linear 0 -> lr over this many steps
+    decay_steps: int = 0               # cosine horizon; 0 = epochs * ~steps
     optimizer: str = "adam"            # adam | sgd
     grad_clip: float = 5.0             # global-norm clip; 0 disables
     weight_decay: float = 0.0

@@ -326,3 +326,37 @@ def test_steps_per_call_with_shard_map(tmp_path):
         recs = [json.loads(line) for line in f]
     assert any(r["split"] == "train" and "grad_norm" in r for r in recs)
     t.close()
+
+
+def test_lr_schedules(tmp_path):
+    """Warmup + cosine LR schedules: schedule math and an e2e run. The
+    schedule lives inside the jitted optax update (step count in opt_state),
+    so resume restores the LR position for free."""
+    import jax.numpy as jnp
+    from multinn_tpu.training import trainer as trainer_mod
+
+    cfg = cfg_mod.TrainConfig(lr=1e-2, lr_schedule="cosine", lr_min=1e-4,
+                              warmup_steps=10, decay_steps=100)
+    sched = trainer_mod.make_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(1e-2, rel=1e-6)
+    assert float(sched(100)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(trainer_mod.make_schedule(
+        cfg_mod.TrainConfig(lr=3e-3))) == pytest.approx(3e-3)
+    with pytest.raises(ValueError, match="lr_schedule"):
+        trainer_mod.make_schedule(cfg_mod.TrainConfig(lr_schedule="bogus"))
+
+    data = DataConfig.from_preset("synthetic", n_tracks=2, pitch_min=40,
+                                  pitch_max=63, window=8, batch_size=8,
+                                  synthetic_songs=8, synthetic_steps=32)
+    model = MultINNConfig(n_tracks=2, n_pitches=24, decoder_type="rnn-nade",
+                          n_hidden=12, n_rnn=8, gen_k=2)
+    train = cfg_mod.TrainConfig(epochs=2, lr=1e-3, lr_schedule="cosine",
+                                warmup_steps=2, ckpt_every_steps=0,
+                                run_dir=str(tmp_path / "lrsched"))
+    exp = cfg_mod.ExperimentConfig(name="lrsched", data=data, model=model,
+                                   train=train).validate()
+    t = Trainer(exp)
+    ev = t.train()
+    assert np.isfinite(ev["loss"])
+    t.close()
