@@ -40,7 +40,7 @@ def bench():
 
     from multinn_tpu.models import multinn
     from multinn_tpu.models.multinn import MultINNConfig
-    from multinn_tpu.nn import rbm as rbm_nn
+    from multinn_tpu.ops import gibbs as gibbs_ops
     from multinn_tpu.utils.profiling import timeit
 
     _warmup_compile_service()
@@ -145,7 +145,10 @@ def bench():
 
     def many(kk):
         def body(v, k1):
-            return rbm_nn.gibbs_chain(k1, v, w, bv, bh, k=K_SWEEPS), None
+            # the dispatch picks the faster impl per shape (pallas kernel
+            # while latency-bound, XLA fusion at large batch)
+            return gibbs_ops.gibbs_chain(k1, v, w, bv, bh,
+                                         k=K_SWEEPS), None
         v, _ = jax.lax.scan(body, v0, jax.random.split(kk, n_chains))
         return v
 
