@@ -38,7 +38,9 @@ def gibbs_chain(key: jax.Array, v0: jax.Array, w, bv, bh, k: int,
     MULTINN_GIBBS_IMPL=xla|pallas — perf A/B knob)."""
     if impl == "auto":
         import os
-        forced = os.environ.get("MULTINN_GIBBS_IMPL")
+        from multinn_tpu.ops import sampling
+        forced = sampling.forced_impl() or os.environ.get(
+            "MULTINN_GIBBS_IMPL")
         if forced:
             impl = forced
         else:

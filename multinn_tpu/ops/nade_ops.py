@@ -37,8 +37,13 @@ def nade_sample(key: jax.Array, w, v, bv, bh,
                 batch_shape: Tuple[int, ...] = (),
                 impl: str = "auto") -> jax.Array:
     if impl == "auto":
-        impl = ("pallas" if jax.default_backend() == "tpu"
-                and _pallas_supported(w) else "xla")
+        from multinn_tpu.ops import sampling
+        forced = sampling.forced_impl()
+        if forced:
+            impl = forced
+        else:
+            impl = ("pallas" if jax.default_backend() == "tpu"
+                    and _pallas_supported(w) else "xla")
     if impl == "pallas":
         from multinn_tpu.ops import nade_pallas
         return nade_pallas.sample(key, w, v, bv, bh, batch_shape)

@@ -13,8 +13,36 @@ part #3).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time override for the sampler-impl dispatches (ops/gibbs.py,
+# ops/nade_ops.py). Needed because impl="auto" resolves while TRACING: a
+# Pallas custom call inside a multi-device GSPMD program cannot be
+# partitioned by XLA's SPMD pass, so mesh-sharded generation must compile
+# the (fully partitionable) XLA formulation instead. The Generator wraps
+# its jitted calls in ``force_impl("xla")`` whenever a multi-device mesh is
+# active; single-chip programs are unaffected.
+_FORCED_IMPL: contextvars.ContextVar = contextvars.ContextVar(
+    "multinn_forced_sampler_impl", default=None)
+
+
+def forced_impl():
+    """The active trace-time impl override ('xla'/'pallas') or None."""
+    return _FORCED_IMPL.get()
+
+
+@contextlib.contextmanager
+def force_impl(name: str):
+    """Force every sampler dispatch traced inside this context to ``name``."""
+    token = _FORCED_IMPL.set(name)
+    try:
+        yield
+    finally:
+        _FORCED_IMPL.reset(token)
 
 
 def bernoulli(key: jax.Array, p: jax.Array) -> jax.Array:

@@ -52,7 +52,8 @@ class Generator:
         self.params = params
         # the fused whole-generation kernels are single-chip programs; under
         # a multi-device mesh force the (GSPMD-shardable) scan path
-        multi_device = mesh is not None and mesh.size > 1
+        self._multi_device = mesh is not None and mesh.size > 1
+        multi_device = self._multi_device
         fused = False if multi_device else None
 
         gibbs_k = getattr(cfg.generate, "gibbs_k", 0) or None
@@ -82,6 +83,15 @@ class Generator:
                         else mesh_mod.P(mesh_mod.DATA_AXIS))
             seed = jax.device_put(
                 seed, mesh_mod.NamedSharding(self.mesh, spec))
+        if self._multi_device:
+            # per-step Pallas sampler kernels are Mosaic custom calls that
+            # XLA's SPMD partitioner cannot shard — force the (fully
+            # partitionable) XLA formulations at trace time (first call per
+            # shape traces; later calls hit the jit cache inside the same
+            # forced context, so every compiled program is mesh-safe)
+            from multinn_tpu.ops import sampling
+            with sampling.force_impl("xla"):
+                return self._jit_impl(self.params, key, seed, n_steps, batch)
         return self._jit_impl(self.params, key, seed, n_steps, batch)
 
     def generate(self, key: jax.Array, n_steps: int,
