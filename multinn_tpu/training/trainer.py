@@ -169,6 +169,18 @@ class Trainer:
             key = jax.random.fold_in(key, jax.lax.axis_index(ax))
         return key
 
+    def _sampler_ctx(self):
+        """Trace-time sampler-impl context for step invocations: on a
+        multi-device mesh the Gibbs/NADE dispatches must pick the XLA
+        formulations (a Mosaic custom call cannot be partitioned by the
+        SPMD pass — same rule as Generator); single-device programs keep
+        auto-picking the Pallas kernels."""
+        import contextlib
+        if self.mesh is not None and self.mesh.size > 1:
+            from multinn_tpu.ops import sampling
+            return sampling.force_impl("xla")
+        return contextlib.nullcontext()
+
     def _build_train_step(self, detailed: bool = True):
         opt = self.optimizer
         axes = self._explicit_axes
@@ -442,10 +454,11 @@ class Trainer:
         dev_batch = self._put_batch(batch)
         params, opt_state = self.params, self.opt_state
         # warm the compile outside the trace
-        params, opt_state, m = self._train_step(
-            params, opt_state, dev_batch, jax.random.PRNGKey(0))
+        with self._sampler_ctx():
+            params, opt_state, m = self._train_step(
+                params, opt_state, dev_batch, jax.random.PRNGKey(0))
         jax.block_until_ready(m["loss"])
-        with profiling.device_trace(trace_dir):
+        with profiling.device_trace(trace_dir), self._sampler_ctx():
             for i in range(n_steps):
                 params, opt_state, m = self._train_step(
                     params, opt_state, dev_batch, jax.random.PRNGKey(i + 1))
@@ -507,8 +520,9 @@ class Trainer:
             log_step = ((self.step + 1) % cfg.log_every_steps == 0)
             step_fn = (self._train_step_detailed if log_step
                        else self._train_step)
-            self.params, self.opt_state, metrics = step_fn(
-                self.params, self.opt_state, self._put_batch(batch), key)
+            with self._sampler_ctx():
+                self.params, self.opt_state, metrics = step_fn(
+                    self.params, self.opt_state, self._put_batch(batch), key)
             m = self._post_step(metrics, timing, 1)
             if m:
                 last_metrics = m
@@ -535,9 +549,10 @@ class Trainer:
                 stacked = np.stack(pending)
                 pending.clear()
                 self.rng, key = jax.random.split(self.rng)
-                self.params, self.opt_state, metrics = self._train_multi(
-                    self.params, self.opt_state,
-                    self._put_batch(stacked), key)
+                with self._sampler_ctx():
+                    self.params, self.opt_state, metrics = self._train_multi(
+                        self.params, self.opt_state,
+                        self._put_batch(stacked), key)
                 m = self._post_step(metrics, timing, spc)
                 if m:
                     last_metrics = m
@@ -574,9 +589,10 @@ class Trainer:
                 mask = np.concatenate(
                     [mask, np.zeros((pad, *mask.shape[1:]), mask.dtype)])
             key, k = jax.random.split(key)
-            m = jax.device_get(self._eval_step(
-                self.params, self._put_batch(batch), k,
-                self._put_batch(mask)))
+            with self._sampler_ctx():
+                m = jax.device_get(self._eval_step(
+                    self.params, self._put_batch(batch), k,
+                    self._put_batch(mask)))
             n_frames_total += float(np.asarray(m.pop("n_frames")))
             for name, v in m.items():
                 a = np.asarray(v)
