@@ -334,12 +334,12 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
 
     ``fused`` selects the whole-generation Pallas kernel
     (ops/gen_fused.py: the full T-step loop incl. Gibbs chains, feedback
-    context and LSTM advance in one kernel, state resident in VMEM; the
-    RBM kernel is batched — the roll streams to HBM per step).
+    context and LSTM advance in one kernel, state resident in VMEM; both
+    kernels are batched — the roll streams to HBM per step).
     None = auto: fused on TPU when the config qualifies (pass encoder,
-    1-layer LSTM; rnn-rbm any batch the VMEM gate admits, rnn-nade batch 1).
-    Both paths sample the same distribution; RNG streams differ
-    (ops/sampling.py contract)."""
+    1-layer LSTM; rnn-rbm any batch the VMEM gate admits, rnn-nade batch 1
+    or a multiple of 8). Both paths sample the same distribution; RNG
+    streams differ (ops/sampling.py contract)."""
     cfg = params.cfg
     batch = (state.decoder.v_prev.shape[1] if cfg.mode != "joint"
              else state.decoder.v_prev.shape[0])

@@ -32,7 +32,7 @@ _LANE = 128
 # batch-tiling budget: this kernel tiles B over the grid, so the constant is
 # a tile-size choice (weights + one tile's rows), not a hard gate — leave a
 # wider margin under the shared budget for pipeline double-buffers
-_MAX_VMEM_BYTES = (vmem.VMEM_BUDGET_BYTES * 4) // 5
+_MAX_VMEM_BYTES = vmem.PER_STEP_KERNEL_BUDGET_BYTES
 
 
 def _block_b(b: int, d: int, h: int) -> int:

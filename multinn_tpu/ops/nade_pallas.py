@@ -32,7 +32,7 @@ from multinn_tpu.ops.sampling import key_to_seeds
 
 from multinn_tpu.ops import vmem
 
-_MAX_VMEM_BYTES = (vmem.VMEM_BUDGET_BYTES * 4) // 5
+_MAX_VMEM_BYTES = vmem.PER_STEP_KERNEL_BUDGET_BYTES
 
 
 def supported(w: jax.Array) -> bool:

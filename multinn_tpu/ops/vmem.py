@@ -19,6 +19,12 @@ import jax.numpy as jnp
 
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
+# The per-STEP kernels (gibbs_pallas/nade_pallas) run inside scan bodies
+# where Mosaic double-buffers their I/O; they claim only this fraction of
+# the budget so the enclosing program keeps headroom. One definition here —
+# two drifting copies would give the kernels different effective budgets.
+PER_STEP_KERNEL_BUDGET_BYTES = (VMEM_BUDGET_BYTES * 4) // 5
+
 
 def _nbytes(shape, dtype) -> int:
     return math.prod(shape) * jnp.dtype(dtype).itemsize

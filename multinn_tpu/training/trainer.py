@@ -389,8 +389,10 @@ class Trainer:
                 losses = []
                 for batch in self.dataset.batches("train", epoch=ep):
                     self.rng, k = jax.random.split(self.rng)
-                    enc_params, opt_state, loss = pre_step(
-                        enc_params, opt_state, jnp.asarray(batch), k, layer)
+                    with self._sampler_ctx():
+                        enc_params, opt_state, loss = pre_step(
+                            enc_params, opt_state, jnp.asarray(batch), k,
+                            layer)
                     losses.append(float(loss))
                 self.log.info("pretrain layer %d epoch %d cd-loss %.4f",
                               layer, ep, np.mean(losses))
