@@ -412,3 +412,26 @@ def test_3d_mesh_generation_matches_single_device(tmp_path):
     r2 = gen.generate(jax.random.PRNGKey(5), n_steps=6, seed=seed)
     np.testing.assert_array_equal(r1, r2)
     t.close()
+
+
+def test_seqpipe_multilayer_remat_matches_single_device(tmp_path):
+    """seqpipe composed with the other §5.7 levers: 2-layer stacked LSTM
+    (the carry handoff moves ALL layers' states across chunk boundaries)
+    and remat (checkpointed chunk scans inside the pipeline)."""
+    def mk(mesh, name):
+        cfg = exp_cfg(tmp_path, mesh, name=name, mode="feedback")
+        model = dataclasses.replace(cfg.model, rnn_layers=2, remat=True)
+        return dataclasses.replace(cfg, model=model).validate()
+
+    t_single = Trainer(mk(MeshConfig(use_mesh=False), "spml_s"))
+    t_pipe = Trainer(mk(MeshConfig(use_mesh=True, data=2, seq=4,
+                                   style="seqpipe"), "spml_m"))
+    new_s, met_s = _one_step(t_single)
+    new_p, met_p = _one_step(t_pipe)
+    np.testing.assert_allclose(float(met_s["loss"]), float(met_p["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_s), jax.tree.leaves(new_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    t_single.close()
+    t_pipe.close()
