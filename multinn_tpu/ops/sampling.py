@@ -45,6 +45,16 @@ def force_impl(name: str):
         _FORCED_IMPL.reset(token)
 
 
+def partitionable_ctx(mesh):
+    """The context Trainer/Generator wrap their jitted calls in: force the
+    SPMD-partitionable XLA samplers whenever ``mesh`` spans more than one
+    device, no-op otherwise (single-chip programs keep auto-picking the
+    Pallas kernels)."""
+    if mesh is not None and mesh.size > 1:
+        return force_impl("xla")
+    return contextlib.nullcontext()
+
+
 def bernoulli(key: jax.Array, p: jax.Array) -> jax.Array:
     """Sample {0,1} in p's dtype (keeps downstream matmuls in one dtype).
     Single definition lives in nn.rbm (this module re-exports it so the RNG

@@ -83,16 +83,13 @@ class Generator:
                         else mesh_mod.P(mesh_mod.DATA_AXIS))
             seed = jax.device_put(
                 seed, mesh_mod.NamedSharding(self.mesh, spec))
-        if self._multi_device:
-            # per-step Pallas sampler kernels are Mosaic custom calls that
-            # XLA's SPMD partitioner cannot shard — force the (fully
-            # partitionable) XLA formulations at trace time (first call per
-            # shape traces; later calls hit the jit cache inside the same
-            # forced context, so every compiled program is mesh-safe)
-            from multinn_tpu.ops import sampling
-            with sampling.force_impl("xla"):
-                return self._jit_impl(self.params, key, seed, n_steps, batch)
-        return self._jit_impl(self.params, key, seed, n_steps, batch)
+        # per-step Pallas sampler kernels are Mosaic custom calls that XLA's
+        # SPMD partitioner cannot shard — on a multi-device mesh force the
+        # (fully partitionable) XLA formulations at trace time (first call
+        # per shape traces; later calls hit the jit cache)
+        from multinn_tpu.ops import sampling
+        with sampling.partitionable_ctx(self.mesh):
+            return self._jit_impl(self.params, key, seed, n_steps, batch)
 
     def generate(self, key: jax.Array, n_steps: int,
                  seed: Optional[np.ndarray] = None,

@@ -173,13 +173,9 @@ class Trainer:
         """Trace-time sampler-impl context for step invocations: on a
         multi-device mesh the Gibbs/NADE dispatches must pick the XLA
         formulations (a Mosaic custom call cannot be partitioned by the
-        SPMD pass — same rule as Generator); single-device programs keep
-        auto-picking the Pallas kernels."""
-        import contextlib
-        if self.mesh is not None and self.mesh.size > 1:
-            from multinn_tpu.ops import sampling
-            return sampling.force_impl("xla")
-        return contextlib.nullcontext()
+        SPMD pass — one rule shared with Generator: ops.sampling)."""
+        from multinn_tpu.ops import sampling
+        return sampling.partitionable_ctx(self.mesh)
 
     def _build_train_step(self, detailed: bool = True):
         opt = self.optimizer
