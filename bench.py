@@ -134,6 +134,20 @@ def bench():
     res8 = timeit(gen8, jax.random.PRNGKey(4), iters=5, warmup=1)
     per_song_b8 = res8["min_s"] / 8
 
+    # RNN-NADE flagship generation (the second decoder family's fused
+    # whole-generation kernel; same slope method for device time)
+    cfg_n = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
+                          decoder_type="rnn-nade", n_hidden=150, n_rnn=100)
+    params_n = multinn.init(jax.random.PRNGKey(0), cfg_n)
+    state_n = multinn.init_state(params_n, 1)
+    gen_n = jax.jit(
+        lambda kk: multinn.generate(params_n, kk, state_n, n_steps)[1])
+    gen_n4 = jax.jit(
+        lambda kk: multinn.generate(params_n, kk, state_n, 4 * n_steps)[1])
+    rn1 = timeit(gen_n, jax.random.PRNGKey(4), iters=5, warmup=1)
+    rn4 = timeit(gen_n4, jax.random.PRNGKey(4), iters=3, warmup=1)
+    nade_device_s = (rn4["min_s"] - rn1["min_s"]) / (3 * n_steps) * n_steps
+
     # ---- 3) Gibbs sweeps/s (in-program amortized: scan of chains) ---------
     D, H, BB, K_SWEEPS = 84, 150, 4096, 25
     w = 0.01 * jax.random.normal(jax.random.PRNGKey(5), (D, H))
@@ -165,6 +179,7 @@ def bench():
             "gen_device_s_64bar": round(gen_device_latency, 4),
             "gen_device_us_per_step": round(us_per_step, 2),
             "gen_per_song_s_at_batch8": round(per_song_b8, 4),
+            "gen_nade_device_s_64bar": round(nade_device_s, 4),
             "train_pianoroll_steps_per_sec_per_chip":
                 round(train_steps_per_sec, 0),
             "train_step_ms": round(step_s * 1e3, 2),
