@@ -178,8 +178,9 @@ def _check_rolls(arrs, spec: pr.RollSpec) -> List[np.ndarray]:
         a = np.asarray(a)
         if a.ndim == 2:
             a = a[:, None, :]
-        assert a.shape[-1] == spec.n_pitches, \
-            f"npz roll pitch dim {a.shape[-1]} != spec {spec.n_pitches}"
+        if a.shape[-1] != spec.n_pitches:
+            raise ValueError(f"npz roll pitch dim {a.shape[-1]} != spec "
+                             f"{spec.n_pitches}")
         out.append((a > 0).astype(np.uint8))
     return out
 

@@ -77,7 +77,9 @@ def parse_bytes(data: bytes):
     """Parse SMF bytes -> (notes structured array, tpqn, tempo_us).
     Raises ValueError on malformed input (parity with midi.MidiParseError)."""
     lib = _load()
-    assert lib is not None, "native library unavailable"
+    if lib is None:
+        raise RuntimeError("native MIDI library unavailable "
+                           "(build with `make -C native`)")
     res = _ParseResult()
     rc = lib.midi_parse(data, len(data), ctypes.byref(res))
     if rc != 0:
@@ -95,7 +97,9 @@ def parse_bytes(data: bytes):
 def midi_file_to_roll(path: str, spec) -> np.ndarray:
     """Native counterpart of pianoroll.midi_to_roll(midi.load(path), spec)."""
     lib = _load()
-    assert lib is not None
+    if lib is None:
+        raise RuntimeError("native MIDI library unavailable "
+                           "(build with `make -C native`)")
     with open(path, "rb") as f:
         data = f.read()
     notes, tpqn, _ = parse_bytes(data)

@@ -95,7 +95,8 @@ def roll_to_midi(roll: np.ndarray, spec: RollSpec,
     if roll.ndim == 2:
         roll = roll[:, None, :]
     t_len, k_tracks, d = roll.shape
-    assert d == spec.n_pitches, (d, spec.n_pitches)
+    if d != spec.n_pitches:
+        raise ValueError(f"roll pitch dim {d} != spec {spec.n_pitches}")
     ticks_per_step = int(round(ticks_per_quarter / spec.steps_per_quarter))
     if track_programs is None:
         # LPD-5 defaults: drums(any), acoustic piano, guitar, bass, strings

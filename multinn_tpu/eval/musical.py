@@ -23,7 +23,8 @@ def _ensure_4d(rolls: np.ndarray) -> np.ndarray:
     rolls = np.asarray(rolls)
     if rolls.ndim == 3:
         rolls = rolls[None]
-    assert rolls.ndim == 4, rolls.shape
+    if rolls.ndim != 4:
+        raise ValueError(f"expected (N, T, K, D) rolls, got {rolls.shape}")
     return (rolls > 0).astype(np.uint8)
 
 
@@ -180,12 +181,18 @@ def per_sample_stats(rolls: np.ndarray, steps_per_bar: int = 16,
                              "note_density")}
     if drum_track is not None:
         out["drum_pattern_ratio"] = []
+    if not melodic:
+        # drums-only roll set: UPC is pitch-class-meaningless everywhere —
+        # drop the metric (compare_rolls skips one-sided metrics) instead
+        # of letting an empty-slice mean produce NaN + RuntimeWarnings
+        del out["used_pitch_classes"]
     for i in range(n):
         r = rolls[i:i + 1]
         out["empty_bar_ratio"].append(
             empty_bar_ratio(r, steps_per_bar).mean())
-        out["used_pitch_classes"].append(used_pitch_classes_per_bar(
-            r, steps_per_bar, pitch_min)[melodic].mean())
+        if melodic:
+            out["used_pitch_classes"].append(used_pitch_classes_per_bar(
+                r, steps_per_bar, pitch_min)[melodic].mean())
         out["qualified_note_ratio"].append(qualified_note_ratio(r).mean())
         out["polyphony_rate"].append(polyphony_rate(r).mean())
         out["note_density"].append(note_density(r).mean())
@@ -214,6 +221,8 @@ def compare_rolls(gen_rolls: np.ndarray, corpus_rolls: np.ndarray,
     cs = per_sample_stats(corpus_rolls, steps_per_bar, pitch_min, drum_track)
     out: Dict[str, object] = {}
     for m in gs:
+        if m not in cs:       # metric undefined on one side (drums-only set)
+            continue
         g, c = gs[m], cs[m]
         mg, mc = float(g.mean()), float(c.mean())
         vg = float(g.var(ddof=1)) if len(g) > 1 else 0.0

@@ -103,12 +103,15 @@ def scan_states(params, state, x_tm: jax.Array, seq=None):
     ``seq`` (a parallel.seqpipe.SeqSpec) switches to the time-sharded
     pipelined recurrence: x_tm is then this device's chunk of the window and
     the carry crosses chunk boundaries via ppermute (final state not
-    materialized — returns (None, u_prev))."""
+    materialized — returns (None, u_prev)). The seqpipe path IGNORES
+    ``state`` and always starts from zeros (training windows are stateless
+    truncated BPTT; a primed state cannot enter a pipeline mid-schedule) —
+    callers with a non-fresh state must not pass ``seq``."""
     import jax.numpy as jnp
     from multinn_tpu.nn import rnn as rnn_nn
     if seq is not None:
         from multinn_tpu.parallel import seqpipe
-        return seqpipe.scan_states_pipelined(params, state, x_tm, seq)
+        return seqpipe.scan_states_pipelined(params, x_tm, seq)
     cfg = params.cfg
     final, us = rnn_nn.stacked_scan(cfg.cell, params.cell, state.cell,
                                     x_tm, remat=cfg.remat)

@@ -93,7 +93,8 @@ def log_prob_chunked(x: jax.Array, w, v, bv, bh, chunk: int = 16) -> jax.Array:
     D must be divisible by chunk (pad upstream if not).
     """
     d, h_dim = w.shape
-    assert d % chunk == 0, f"D={d} not divisible by chunk={chunk}"
+    if d % chunk:
+        raise ValueError(f"D={d} not divisible by chunk={chunk}")
     n_chunks = d // chunk
     batch_shape = x.shape[:-1]
 

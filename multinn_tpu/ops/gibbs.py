@@ -35,7 +35,13 @@ def gibbs_chain(key: jax.Array, v0: jax.Array, w, bv, bh, k: int,
     """k-sweep block Gibbs from v0. v0: (..., D); biases broadcastable.
 
     impl='auto' picks the Pallas kernel on TPU (override with env
-    MULTINN_GIBBS_IMPL=xla|pallas — perf A/B knob)."""
+    MULTINN_GIBBS_IMPL=xla|pallas — perf A/B knob). Precedence: an active
+    ``ops.sampling.force_impl`` context WINS over the env knob — it exists
+    for correctness (global-view GSPMD programs cannot partition a Mosaic
+    custom call), while the env var is only a perf experiment. Manual-mode
+    (shard_map/seqpipe) step bodies don't enter that context
+    (sampling.partitionable_ctx(manual=True)), so the env knob and the
+    kernels stay live there."""
     if impl == "auto":
         import os
         from multinn_tpu.ops import sampling

@@ -45,12 +45,18 @@ def force_impl(name: str):
         _FORCED_IMPL.reset(token)
 
 
-def partitionable_ctx(mesh):
-    """The context Trainer/Generator wrap their jitted calls in: force the
-    SPMD-partitionable XLA samplers whenever ``mesh`` spans more than one
-    device, no-op otherwise (single-chip programs keep auto-picking the
-    Pallas kernels)."""
-    if mesh is not None and mesh.size > 1:
+def partitionable_ctx(mesh, manual: bool = False):
+    """The context Trainer/Generator enter inside their step bodies (at trace
+    time): force the SPMD-partitionable XLA samplers whenever ``mesh`` spans
+    more than one device, no-op otherwise (single-chip programs keep
+    auto-picking the Pallas kernels).
+
+    ``manual=True`` declares the step a per-shard (manual-mode) program — a
+    ``shard_map``/seqpipe body, where each device traces its own block and a
+    Mosaic custom call is an ordinary per-device op the partitioner never has
+    to split. Those programs keep the Pallas kernels (and the env A/B knob);
+    only global-view GSPMD programs must force XLA."""
+    if mesh is not None and mesh.size > 1 and not manual:
         return force_impl("xla")
     return contextlib.nullcontext()
 

@@ -82,7 +82,11 @@ class MeshConfig:
         if self.data > 0:
             return self.data
         other = self.track * self.model * self.seq
-        assert n_devices % other == 0, (n_devices, other)
+        if n_devices % other:
+            raise ValueError(
+                f"track*model*seq = {other} does not divide the device "
+                f"count {n_devices}; set mesh.data explicitly or adjust "
+                f"the axis sizes")
         return n_devices // other
 
 

@@ -82,16 +82,22 @@ def shift_right_seq(lat: jax.Array, spec: SeqSpec) -> jax.Array:
     return jnp.concatenate([incoming[:, None], lat[:, :-1]], axis=1)
 
 
-def scan_states_pipelined(params, state, x_tm: jax.Array, spec: SeqSpec):
+def scan_states_pipelined(params, x_tm: jax.Array, spec: SeqSpec):
     """Time-sharded drop-in for ``models/base.scan_states`` inside a
     shard_map over ``spec.axis``.
+
+    ALWAYS starts from the zero RNN state (rebuilt here at microbatch
+    size) — there is deliberately no initial-state parameter: teacher-forced
+    training windows are stateless (truncated BPTT, SURVEY §5.7), and a
+    primed state cannot be threaded through the pipeline (microbatch j's
+    state would have to enter at device 0 mid-schedule). Priming and
+    generation run unsharded over time (models/base.prime_state).
 
     x_tm: (T_local, B_local, I) — this device's time chunk of the whole
     window (time-major). Returns ``(None, u_prev)`` with u_prev[t] = the
     top-layer hidden state BEFORE consuming x[t] (u(t-1) conditioning,
     arXiv:1206.6392 §2.3), u_prev: (T_local, B_local, U). The final cell
-    state is not materialized (teacher-forced losses never use it; priming
-    and generation run unsharded over time).
+    state is not materialized (teacher-forced losses never use it).
     """
     from multinn_tpu.nn import rnn as rnn_nn
 

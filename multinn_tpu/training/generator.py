@@ -62,6 +62,12 @@ class Generator:
             state = multinn.init_state(params, batch)
             if seed is not None:
                 state = multinn.prime(params, state, seed)
+            elif self._multi_device:
+                # UNSEEDED mesh generation: the state is built inside jit
+                # from replicated params, so nothing would push the batch
+                # onto the data axis — constrain it explicitly (seeded runs
+                # inherit the sharding from the device_put seed instead)
+                state = self._constrain_state_batch(state, batch)
             # generate.gibbs_k overrides the model's gen_k (0 = model default)
             _, roll = multinn.generate(params, key, state, n_steps,
                                        fused=fused, k=gibbs_k)
@@ -69,6 +75,32 @@ class Generator:
 
         # one compiled program per (n_steps, batch, seed-shape) combination
         self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch"))
+
+    def _constrain_state_batch(self, state, batch: int):
+        """Trace-time sharding constraint pinning an UNSEEDED generation
+        state's batch axis to the mesh's ``data`` axis (and, when track-
+        sharded, the decoder states' leading K axis to ``track``), so DP
+        generation parallelizes without a primed seed. ``batch`` is static;
+        unshardable batches stay replicated (still correct, just serial)."""
+        from multinn_tpu.parallel import mesh as mesh_mod
+        n_data = self.mesh.shape[mesh_mod.DATA_AXIS]
+        if batch % n_data:
+            return state
+        constrain = jax.lax.with_sharding_constraint
+        if self.cfg.model.mode == "joint":       # state leaves: (B, ...)
+            dec_spec = mesh_mod.P(mesh_mod.DATA_AXIS)
+        else:                                    # state leaves: (K, B, ...)
+            lead = mesh_mod.TRACK_AXIS if self.track_sharded else None
+            dec_spec = mesh_mod.P(lead, mesh_mod.DATA_AXIS)
+        decoder = jax.tree.map(
+            lambda leaf: constrain(
+                leaf, mesh_mod.NamedSharding(self.mesh, dec_spec)),
+            state.decoder)
+        ctx = state.ctx
+        if ctx is not None:                      # (B, K*F)
+            ctx = constrain(ctx, mesh_mod.NamedSharding(
+                self.mesh, mesh_mod.P(mesh_mod.DATA_AXIS)))
+        return state.replace(decoder=decoder, ctx=ctx)
 
     def _generate_impl(self, key, seed, n_steps: int, batch: int):
         if self.mesh is not None and seed is not None:

@@ -170,19 +170,25 @@ class Trainer:
         return key
 
     def _sampler_ctx(self):
-        """Trace-time sampler-impl context for step invocations: on a
-        multi-device mesh the Gibbs/NADE dispatches must pick the XLA
-        formulations (a Mosaic custom call cannot be partitioned by the
-        SPMD pass — one rule shared with Generator: ops.sampling)."""
+        """Trace-time sampler-impl context: on a multi-device GSPMD mesh the
+        Gibbs/NADE dispatches must pick the XLA formulations (a Mosaic custom
+        call cannot be partitioned by the SPMD pass — one rule shared with
+        Generator: ops.sampling). Entered INSIDE every step body, so any
+        caller that traces a step (tests, __graft_entry__, future code) is
+        protected regardless of call site. shard_map/seqpipe bodies are
+        per-shard (manual-mode) programs where Pallas custom calls are legal,
+        so they keep the kernels (ops.sampling.partitionable_ctx(manual=...))."""
         from multinn_tpu.ops import sampling
-        return sampling.partitionable_ctx(self.mesh)
+        return sampling.partitionable_ctx(self.mesh,
+                                          manual=self._explicit_axes
+                                          is not None)
 
     def _build_train_step(self, detailed: bool = True):
         opt = self.optimizer
         axes = self._explicit_axes
 
         def step_fn(params, opt_state, batch, key):
-            with profiling.annotate("train_step"):
+            with self._sampler_ctx(), profiling.annotate("train_step"):
                 (loss, metrics), grads = jax.value_and_grad(
                     lambda p, b, k: self._loss_fn(p, b, k, detailed),
                     has_aux=True)(params, batch, key)
@@ -236,23 +242,25 @@ class Trainer:
             return optax.apply_updates(p, updates), s, metrics
 
         def multi_fn(params, opt_state, batches, key):
-            n = batches.shape[0]
-            keys = jax.random.split(key, n)
+            with self._sampler_ctx():
+                n = batches.shape[0]
+                keys = jax.random.split(key, n)
 
-            def body(carry, inp):
-                p, s = carry
-                batch, k = inp
-                p, s, metrics = one_step(p, s, batch, k, False)
-                return (p, s), metrics["loss"]
+                def body(carry, inp):
+                    p, s = carry
+                    batch, k = inp
+                    p, s, metrics = one_step(p, s, batch, k, False)
+                    return (p, s), metrics["loss"]
 
-            losses = jnp.zeros((0,))
-            if n > 1:
-                (params, opt_state), losses = jax.lax.scan(
-                    body, (params, opt_state), (batches[:-1], keys[:-1]))
-            params, opt_state, metrics = one_step(
-                params, opt_state, batches[-1], keys[-1], True)
-            metrics["loss_mean"] = (jnp.sum(losses) + metrics["loss"]) / n
-            return params, opt_state, metrics
+                losses = jnp.zeros((0,))
+                if n > 1:
+                    (params, opt_state), losses = jax.lax.scan(
+                        body, (params, opt_state), (batches[:-1], keys[:-1]))
+                params, opt_state, metrics = one_step(
+                    params, opt_state, batches[-1], keys[-1], True)
+                metrics["loss_mean"] = (jnp.sum(losses)
+                                        + metrics["loss"]) / n
+                return params, opt_state, metrics
 
         if axes is None:
             return jax.jit(multi_fn, donate_argnums=(0, 1))
@@ -278,25 +286,28 @@ class Trainer:
         axes = self._explicit_axes
 
         def eval_fn(params, batch, key, mask):
-            k_loss, k_ll = jax.random.split(key)   # independent estimates
-            x = batch.astype(jnp.float32)
-            seq = self._seq_spec(x)
-            loss, metrics = multinn.loss(params, k_loss, x,
-                                         frame_mask=mask, seq=seq)
-            ll = multinn.log_likelihood(params, k_ll, x, frame_mask=mask,
-                                        seq=seq)
-            n_frames = jnp.sum(mask.astype(jnp.float32))       # raw weight
-            denom = jnp.maximum(n_frames, 1.0)
-            metrics["ll_per_frame"] = (jnp.sum(ll)
-                                       / (denom * self.cfg.model.n_tracks))
-            weighted = {name: v * n_frames for name, v in metrics.items()}
-            weighted["n_frames"] = n_frames
-            if axes is not None:
-                # per-shard frame-weighted sums psum'd over every sharded
-                # axis (data, and seq under seqpipe) — exact for metrics
-                # linear in frames even with unequal per-shard frame counts
-                weighted = jax.lax.psum(weighted, axes)
-            return weighted
+            with self._sampler_ctx():
+                k_loss, k_ll = jax.random.split(key)  # independent estimates
+                x = batch.astype(jnp.float32)
+                seq = self._seq_spec(x)
+                loss, metrics = multinn.loss(params, k_loss, x,
+                                             frame_mask=mask, seq=seq)
+                ll = multinn.log_likelihood(params, k_ll, x, frame_mask=mask,
+                                            seq=seq)
+                n_frames = jnp.sum(mask.astype(jnp.float32))   # raw weight
+                denom = jnp.maximum(n_frames, 1.0)
+                metrics["ll_per_frame"] = (jnp.sum(ll)
+                                           / (denom
+                                              * self.cfg.model.n_tracks))
+                weighted = {name: v * n_frames
+                            for name, v in metrics.items()}
+                weighted["n_frames"] = n_frames
+                if axes is not None:
+                    # per-shard frame-weighted sums psum'd over every sharded
+                    # axis (data, and seq under seqpipe) — exact for metrics
+                    # linear in frames even with unequal per-shard counts
+                    weighted = jax.lax.psum(weighted, axes)
+                return weighted
 
         if axes is None:
             return jax.jit(eval_fn)
@@ -365,18 +376,18 @@ class Trainer:
 
         @partial(jax.jit, static_argnames=("layer",))
         def pre_step(enc_params, opt_state, batch, key, layer):
-            x = batch.astype(jnp.float32)
-            if cfg.model.mode == "joint":
-                b, t, k, d = x.shape
-                x = x.reshape(b, t, k * d)
-            elif shared:
-                x = jnp.moveaxis(x, 2, 0)        # (K, B, T, D), broadcast enc
-            else:
-                x = jnp.moveaxis(x, 2, 0)
-            loss, grads = jax.value_and_grad(layer_loss)(
-                enc_params, key, x, layer)
-            updates, opt_state = opt.update(grads, opt_state, enc_params)
-            return optax.apply_updates(enc_params, updates), opt_state, loss
+            with self._sampler_ctx():
+                x = batch.astype(jnp.float32)
+                if cfg.model.mode == "joint":
+                    b, t, k, d = x.shape
+                    x = x.reshape(b, t, k * d)
+                else:
+                    x = jnp.moveaxis(x, 2, 0)    # (K, B, T, D)
+                loss, grads = jax.value_and_grad(layer_loss)(
+                    enc_params, key, x, layer)
+                updates, opt_state = opt.update(grads, opt_state, enc_params)
+                return (optax.apply_updates(enc_params, updates), opt_state,
+                        loss)
 
         enc_params = self.params.encoder
         for layer in range(n_layers):
@@ -385,10 +396,8 @@ class Trainer:
                 losses = []
                 for batch in self.dataset.batches("train", epoch=ep):
                     self.rng, k = jax.random.split(self.rng)
-                    with self._sampler_ctx():
-                        enc_params, opt_state, loss = pre_step(
-                            enc_params, opt_state, jnp.asarray(batch), k,
-                            layer)
+                    enc_params, opt_state, loss = pre_step(
+                        enc_params, opt_state, jnp.asarray(batch), k, layer)
                     losses.append(float(loss))
                 self.log.info("pretrain layer %d epoch %d cd-loss %.4f",
                               layer, ep, np.mean(losses))
@@ -452,11 +461,10 @@ class Trainer:
         dev_batch = self._put_batch(batch)
         params, opt_state = self.params, self.opt_state
         # warm the compile outside the trace
-        with self._sampler_ctx():
-            params, opt_state, m = self._train_step(
-                params, opt_state, dev_batch, jax.random.PRNGKey(0))
+        params, opt_state, m = self._train_step(
+            params, opt_state, dev_batch, jax.random.PRNGKey(0))
         jax.block_until_ready(m["loss"])
-        with profiling.device_trace(trace_dir), self._sampler_ctx():
+        with profiling.device_trace(trace_dir):
             for i in range(n_steps):
                 params, opt_state, m = self._train_step(
                     params, opt_state, dev_batch, jax.random.PRNGKey(i + 1))
@@ -518,9 +526,8 @@ class Trainer:
             log_step = ((self.step + 1) % cfg.log_every_steps == 0)
             step_fn = (self._train_step_detailed if log_step
                        else self._train_step)
-            with self._sampler_ctx():
-                self.params, self.opt_state, metrics = step_fn(
-                    self.params, self.opt_state, self._put_batch(batch), key)
+            self.params, self.opt_state, metrics = step_fn(
+                self.params, self.opt_state, self._put_batch(batch), key)
             m = self._post_step(metrics, timing, 1)
             if m:
                 last_metrics = m
@@ -547,10 +554,9 @@ class Trainer:
                 stacked = np.stack(pending)
                 pending.clear()
                 self.rng, key = jax.random.split(self.rng)
-                with self._sampler_ctx():
-                    self.params, self.opt_state, metrics = self._train_multi(
-                        self.params, self.opt_state,
-                        self._put_batch(stacked), key)
+                self.params, self.opt_state, metrics = self._train_multi(
+                    self.params, self.opt_state,
+                    self._put_batch(stacked), key)
                 m = self._post_step(metrics, timing, spc)
                 if m:
                     last_metrics = m
@@ -587,10 +593,9 @@ class Trainer:
                 mask = np.concatenate(
                     [mask, np.zeros((pad, *mask.shape[1:]), mask.dtype)])
             key, k = jax.random.split(key)
-            with self._sampler_ctx():
-                m = jax.device_get(self._eval_step(
-                    self.params, self._put_batch(batch), k,
-                    self._put_batch(mask)))
+            m = jax.device_get(self._eval_step(
+                self.params, self._put_batch(batch), k,
+                self._put_batch(mask)))
             n_frames_total += float(np.asarray(m.pop("n_frames")))
             for name, v in m.items():
                 a = np.asarray(v)
