@@ -442,21 +442,34 @@ def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
     need += vmem.scratch_bytes(_nade_scratch(batch, k, d, cfg.n_hidden, u))
     need += 2 * 4 * _KP * batch * d          # roll block, double-buffered
     need += 2 * 4 * batch * k * u            # hout/cout blocks
+    need += 2 * (d // 2) * _KP * _khp(k, cfg.n_hidden)  # spec2 wsum (bf16)
     return need <= vmem.VMEM_BUDGET_BYTES
 
 
-def _nade_kernel(seed_ref, wmdm_ref, vdm_ref, wuvdm_ref,
-                 wuh_ref, wh_ref, wctx_ref, bv_ref, bh_ref, b_ref,
-                 h0_ref, c0_ref, v0_ref,
-                 roll_ref, hout_ref, cout_ref,
-                 h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s, *,
+def _nade_kernel(seed_ref, *refs,
                  batch: int, n_tracks: int, d: int, hid: int, u: int,
-                 ctx_dim: int):
+                 ctx_dim: int, spec2: bool = False):
     """One GRID ITERATION = one generation step (all K tracks and B
     samples advance through the D dims together); scratch carries the
     LSTM/visible state and feedback projection across iterations, and the
     step's (KP, B, D) frame block streams to HBM (same structure as
-    _rbm_kernel)."""
+    _rbm_kernel).
+
+    ``spec2`` switches the dim sweep to SPECULATIVE PAIRS (see the section
+    comment): per track the acc update is binary in x_i, so dim i+1's
+    logits are computed under BOTH branches while x_i samples, then
+    selected — the serial chain shrinks from D to D/2 dependency rounds,
+    bit-identical to the sequential sweep (same uniforms, same algebra)."""
+    if spec2:
+        (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
+         bh_ref, b_ref, h0_ref, c0_ref, v0_ref, wsum_ref,
+         roll_ref, hout_ref, cout_ref,
+         h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs
+    else:
+        (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
+         bh_ref, b_ref, h0_ref, c0_ref, v0_ref,
+         roll_ref, hout_ref, cout_ref,
+         h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs
     t = pl.program_id(0)
     kseed = seed_ref[0]
     kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
@@ -539,7 +552,59 @@ def _nade_kernel(seed_ref, wmdm_ref, vdm_ref, wuvdm_ref,
         v_acc = v_acc + x[:, :, None] * (col == i).astype(jnp.float32)
         return (acc, v_acc)
 
-    acc_f, v_new = jax.lax.fori_loop(0, d, dim_body, (acc0, vacc0))
+    def pair_body(i2, carry):
+        """Dims (i, i+1) in ONE dependency round. Exactness: per track r
+        the acc update from dim i touches only r's lane block and is
+        x_i[r] * wm row — so sigmoid(acc + wsum_i) holds every track's
+        x_i=1 branch (wsum_i = the KP rows summed; blocks are disjoint, the
+        sum is a gather) and v_{i+1} row r reads only r's block. Selecting
+        per row on x_i reproduces the sequential sweep bit-for-bit (same
+        uniforms)."""
+        acc, v_acc = carry
+        i = 2 * i2
+        base = pl.multiple_of(i * _KP, _KP)
+        a_hid = acc[:, :khp]
+        h0 = jax.nn.sigmoid(a_hid)                         # x_i = 0 branch
+        # wsum lives in row 0 of an 8-row block per pair (Mosaic dynamic
+        # sublane offsets must be multiples of 8)
+        wsum_i = wsum_ref[pl.ds(pl.multiple_of(i2 * _KP, _KP), 1), :]
+        h1 = jax.nn.sigmoid(a_hid + wsum_i.astype(jnp.float32))
+        vrows_i = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+        vrows_j = vdm_ref[pl.ds(base + _KP, _KP), :].astype(jnp.float32)
+        if batch == 1:
+            s_i = jnp.sum(vrows_i * h0, axis=1, keepdims=True)   # (KP, 1)
+            s0_j = jnp.sum(vrows_j * h0, axis=1, keepdims=True)
+            s1_j = jnp.sum(vrows_j * h1, axis=1, keepdims=True)
+        else:
+            # one MXU op for all three logit sets: [v_i; v_j] x [h0; h1]
+            v2 = jnp.concatenate([vrows_i, vrows_j], axis=0)   # (2KP, KHp)
+            h2 = jnp.concatenate([h0, h1], axis=0)             # (2B, KHp)
+            s4 = jax.lax.dot_general(
+                v2, h2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (2KP, 2B)
+            s_i = s4[:_KP, :batch]
+            s0_j = s4[_KP:, :batch]
+            s1_j = s4[_KP:, batch:]
+        p_i = jax.nn.sigmoid(s_i + bvp_s[pl.ds(base, _KP), :])
+        x_i = (u_s[pl.ds(base, _KP), :] < p_i).astype(jnp.float32)
+        s_j = x_i * s1_j + (1.0 - x_i) * s0_j          # per-track select
+        p_j = jax.nn.sigmoid(s_j + bvp_s[pl.ds(base + _KP, _KP), :])
+        x_j = (u_s[pl.ds(base + _KP, _KP), :] < p_j).astype(jnp.float32)
+        x2 = jnp.concatenate([x_i, x_j], axis=0)       # (2KP, B)
+        wmrows = wmdm_ref[pl.ds(base, 2 * _KP), :].astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x2, wmrows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, KHp + K*4U)
+        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
+        v_acc = (v_acc + x_i[:, :, None] * (col == i).astype(jnp.float32)
+                 + x_j[:, :, None] * (col == i + 1).astype(jnp.float32))
+        return (acc, v_acc)
+
+    if spec2:
+        acc_f, v_new = jax.lax.fori_loop(0, d // 2, pair_body,
+                                         (acc0, vacc0))
+    else:
+        acc_f, v_new = jax.lax.fori_loop(0, d, dim_body, (acc0, vacc0))
     z_acc = acc_f[:, khp:]                             # (B, K*4U)
 
     v_s[:] = v_new
@@ -570,22 +635,42 @@ def _nade_kernel(seed_ref, wmdm_ref, vdm_ref, wuvdm_ref,
     cout_ref[:] = c_s[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "interpret", "spec2"))
 def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
-                  interpret: bool = False
+                  interpret: bool = False, spec2: bool = None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused whole-generation for track-stacked rnn_nade.Params.
     h0/c0: (K, B, U); v0: (K, B, D) — B = 1 or a multiple of 8 (the gate
     enforces this). Returns (roll (B, n_steps, K, D), h_final (K, B, U),
-    c_final (K, B, U)) — same contract as generate_rbm."""
+    c_final (K, B, U)) — same contract as generate_rbm.
+
+    ``spec2`` (None = auto: on for even D) runs the dim sweep in
+    speculative pairs — bit-identical samples, ~half the serial dependency
+    rounds (equality-tested; A/B measured in BASELINE.md). Env knob
+    MULTINN_NADE_SPEC2=0|1 overrides the auto choice."""
     lstm = dec_params.cell[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
     b = h0.shape[1]
+    if spec2 is None:
+        import os
+        env = os.environ.get("MULTINN_NADE_SPEC2")
+        spec2 = (d % 2 == 0) if env is None else (env == "1" and d % 2 == 0)
 
-    args = _nade_args(dec_params, h0, c0, v0)
+    args = list(_nade_args(dec_params, h0, c0, v0))
+    if spec2:
+        khp = _khp(k, hid)
+        # per-pair x_i=1 branch offsets: the KP rows of dim i summed (the
+        # per-track blocks are disjoint, so the bf16 "sum" is an exact
+        # gather), stored in row 0 of an 8-row block per pair
+        wm_dm = args[0]
+        wsum = wm_dm.reshape(d, _KP, -1)[:, :, :khp].sum(axis=1)  # (D, KHp)
+        args.append(jnp.zeros((d // 2, _KP, khp), jnp.bfloat16)
+                    .at[:, 0, :].set(wsum[0::2])
+                    .reshape(d // 2 * _KP, khp))
     seed = key_to_seeds(key)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -604,7 +689,7 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     )
     roll, h_out, c_out = pl.pallas_call(
         functools.partial(_nade_kernel, batch=b, n_tracks=k,
-                          d=d, hid=hid, u=u, ctx_dim=ctx_dim),
+                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec2=spec2),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, b, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, k * u), jnp.float32),

@@ -240,6 +240,46 @@ def test_nade_kernel_joint_distribution_chi2():
     assert chi2 < 24.3, (chi2, counts, np.round(N * probs, 1))  # df=7, p~1e-3
 
 
+def test_gen_fused_rbm_stationary_distribution_chi2():
+    """Distribution-level closure for the WHOLE-GENERATION RBM kernel
+    (VERDICT r2 weak #6 — the last sampling path pinned only at mean level):
+    with the RNN conditioning zeroed the per-step biases are fixed, so each
+    emitted frame is a gen_k-sweep block-Gibbs draw whose stationary law is
+    the exact RBM joint p(v) ∝ exp(−F(v)). gen_k=25 mixes a 3-dim RBM far
+    past any autocorrelation this χ² can see; per-track empirical
+    frequencies over T frames vs the enumerated joint, per-track biases
+    distinct so a track mixup would be caught."""
+    import itertools
+    from multinn_tpu.models import multinn as mn
+    K_, D_, H_ = 2, 3, 4
+    cfg = mn.MultINNConfig(n_tracks=K_, n_pitches=D_, mode="per-track",
+                           decoder_type="rnn-rbm", n_hidden=H_, n_rnn=4,
+                           w_std=0.8, gen_k=25)
+    params = mn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    bv = jnp.stack([dec.bv[0] + jnp.array([0.6, -0.4, 0.1]),
+                    dec.bv[1] + jnp.array([-0.5, 0.3, -0.2])])
+    params = params.replace(decoder=dec.replace(
+        bv=bv, wuv=jnp.zeros_like(dec.wuv), wuh=jnp.zeros_like(dec.wuh)))
+    dec = params.decoder
+
+    T = 4096
+    st = mn.init_state(params, 1)
+    _, roll = mn._generate_fused(params, jax.random.PRNGKey(21), st, T,
+                                 interpret=True)         # (1, T, K, D)
+    states = jnp.array(list(itertools.product([0.0, 1.0], repeat=D_)))
+    for k in range(K_):
+        fe = np.asarray(jax.vmap(
+            lambda s: rbm_nn.free_energy(s, dec.w[k], dec.bv[k], dec.bh[k])
+        )(states))
+        probs = np.exp(-fe - (-fe).max())
+        probs /= probs.sum()
+        codes = (np.asarray(roll[0, :, k]) @ np.array([4, 2, 1])).astype(int)
+        counts = np.bincount(codes, minlength=8)
+        chi2 = float(((counts - T * probs) ** 2 / (T * probs)).sum())
+        assert chi2 < 24.3, (k, chi2, counts, np.round(T * probs, 1))
+
+
 def test_gen_fused_nade_joint_distribution_chi2():
     """Same closure for the WHOLE-GENERATION NADE kernel: with the RNN
     conditioning zeroed, the T emitted frames are iid draws from each
