@@ -23,9 +23,13 @@ matmuls for ALL tracks and samples at once.
 
 NADE kernel: same grid-per-step structure; dims advance for all K tracks
 AND all B samples together in dim-major padded block rows (see the section
-comment below; batch 1 or multiples of 8). Measured on v5e: 34.5 µs/step =
-35 ms per 64-bar song at B=1 (the D-dim serial sweep dominates); B=8 costs
-37 µs/step = 4.75 ms/song.
+comment below; batch 1 or multiples of 8), and the serial dim sweep runs
+SPECULATIVELY in quads/pairs when the depth divides D (later dims' logits
+computed under every branch of the earlier samples, then selected per
+track row — same uniforms, D/spec dependency rounds; see _nade_kernel).
+Measured on v5e (spec=4): 17.7 µs/step = 18.2 ms per 64-bar song at B=1
+(sequential sweep was 34.5 µs, pairs 21.3); B=8 costs 18.4 µs/step =
+2.36 ms/song.
 
 Scope (auto-dispatch gate in models/multinn.py): pass-through encoder,
 single-layer LSTM, per-track or feedback mode; rnn-rbm any batch that fits
@@ -442,27 +446,36 @@ def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
     need += vmem.scratch_bytes(_nade_scratch(batch, k, d, cfg.n_hidden, u))
     need += 2 * 4 * _KP * batch * d          # roll block, double-buffered
     need += 2 * 4 * batch * k * u            # hout/cout blocks
-    need += 2 * (d // 2) * _KP * _khp(k, cfg.n_hidden)  # spec2 wsum (bf16)
+    # speculative-sweep side tables (whichever depth dispatches; budget the
+    # larger): spec2 wsum (bf16) / spec4 per-quad w rows (f32)
+    need += max(2 * (d // 2) * _KP * _khp(k, cfg.n_hidden),
+                4 * (d // 4) * _KP * _khp(k, cfg.n_hidden))
     return need <= vmem.VMEM_BUDGET_BYTES
 
 
 def _nade_kernel(seed_ref, *refs,
                  batch: int, n_tracks: int, d: int, hid: int, u: int,
-                 ctx_dim: int, spec2: bool = False):
+                 ctx_dim: int, spec: int = 1):
     """One GRID ITERATION = one generation step (all K tracks and B
     samples advance through the D dims together); scratch carries the
     LSTM/visible state and feedback projection across iterations, and the
     step's (KP, B, D) frame block streams to HBM (same structure as
     _rbm_kernel).
 
-    ``spec2`` switches the dim sweep to SPECULATIVE PAIRS (see the section
-    comment): per track the acc update is binary in x_i, so dim i+1's
-    logits are computed under BOTH branches while x_i samples, then
-    selected — the serial chain shrinks from D to D/2 dependency rounds,
-    bit-identical to the sequential sweep (same uniforms, same algebra)."""
-    if spec2:
+    ``spec`` is the SPECULATIVE SWEEP DEPTH (see the section comment): per
+    track the acc update is binary in each x_i, so later dims' logits can
+    be computed under every branch combination while earlier dims sample,
+    then selected per track row — the serial chain shrinks from D to
+    D/spec dependency rounds, consuming the same uniforms as the
+    sequential sweep. spec=2 (pairs) is bit-identical to the sequential
+    sweep; spec=4 (quads) builds each branch activation by adding one w
+    row at a time in dim order, so every REALIZED path reproduces the
+    sequential adds exactly — only the cross-quad acc grouping (one 4KP-row
+    dot instead of two 2KP-row dots) can differ in the last ulp (same
+    distribution; equality still expected and tested at small sizes)."""
+    if spec > 1:
         (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
-         bh_ref, b_ref, h0_ref, c0_ref, v0_ref, wsum_ref,
+         bh_ref, b_ref, h0_ref, c0_ref, v0_ref, wspec_ref,
          roll_ref, hout_ref, cout_ref,
          h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs
     else:
@@ -567,7 +580,7 @@ def _nade_kernel(seed_ref, *refs,
         h0 = jax.nn.sigmoid(a_hid)                         # x_i = 0 branch
         # wsum lives in row 0 of an 8-row block per pair (Mosaic dynamic
         # sublane offsets must be multiples of 8)
-        wsum_i = wsum_ref[pl.ds(pl.multiple_of(i2 * _KP, _KP), 1), :]
+        wsum_i = wspec_ref[pl.ds(pl.multiple_of(i2 * _KP, _KP), 1), :]
         h1 = jax.nn.sigmoid(a_hid + wsum_i.astype(jnp.float32))
         vrows_i = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
         vrows_j = vdm_ref[pl.ds(base + _KP, _KP), :].astype(jnp.float32)
@@ -600,7 +613,91 @@ def _nade_kernel(seed_ref, *refs,
                  + x_j[:, :, None] * (col == i + 1).astype(jnp.float32))
         return (acc, v_acc)
 
-    if spec2:
+    def quad_body(i4, carry):
+        """Dims (i..i+3) in FOUR sample rounds but ONE logit matmul and ONE
+        acc update. Branch activations for every subset of realized earlier
+        samples are built by adding one w row at a time in dim order
+        (a+w_i, (a+w_i)+w_{i+1}, ...), so each REALIZED path's activation is
+        bit-identical to the sequential sweep's adds. One (4KP, 8B) MXU op
+        yields all dims' logits under all branches; per sample round the
+        surviving branches are narrowed by per-track-row selects (7, then
+        3, then 1 — each level halves the live set for every later dim)."""
+        acc, v_acc = carry
+        i = 4 * i4
+        base = pl.multiple_of(i * _KP, _KP)
+        a = acc[:, :khp]
+        # per-quad single-dim w rows live in rows 0..2 of an 8-row block
+        # (Mosaic dynamic sublane offsets must be multiples of 8; rows are
+        # sliced statically after the load)
+        wq = wspec_ref[pl.ds(pl.multiple_of(i4 * _KP, _KP), _KP), :]
+        w0, w1, w2 = wq[0:1], wq[1:2], wq[2:3]             # (1, khp) f32
+        a001 = a + w0
+        a010 = a + w1
+        a011 = a001 + w1
+        a100 = a + w2
+        a101 = a001 + w2
+        a110 = a010 + w2
+        a111 = a011 + w2
+        # branch index s = x_i + 2*x_{i+1} + 4*x_{i+2}
+        h8 = jax.nn.sigmoid(jnp.concatenate(
+            [a, a001, a010, a011, a100, a101, a110, a111], axis=0))
+        v4 = vdm_ref[pl.ds(base, 4 * _KP), :].astype(jnp.float32)
+        if batch == 1:
+            # (4KP, 8) logits via 8 VPU lane reductions (B=1 matmul results
+            # are unsupported by Mosaic — same workaround as dim_body)
+            s8 = jnp.concatenate(
+                [jnp.sum(v4 * h8[s:s + 1], axis=1, keepdims=True)
+                 for s in range(8)], axis=1)               # (4KP, 8)
+        else:
+            s8 = jax.lax.dot_general(
+                v4, h8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (4KP, 8B)
+
+        def blk(m, s):
+            """Logits of dim i+m under branch s: (KP, B)."""
+            return s8[m * _KP:(m + 1) * _KP, s * batch:(s + 1) * batch]
+
+        def sample(m, s_m):
+            p = jax.nn.sigmoid(s_m + bvp_s[pl.ds(base + m * _KP, _KP), :])
+            return (u_s[pl.ds(base + m * _KP, _KP), :] < p
+                    ).astype(jnp.float32)
+
+        def sel(x, s1, s0):
+            return x * s1 + (1.0 - x) * s0
+
+        x_i = sample(0, blk(0, 0))
+        # narrow every later dim's live branches on x_i ...
+        s1 = sel(x_i, blk(1, 1), blk(1, 0))
+        s2_0 = sel(x_i, blk(2, 1), blk(2, 0))
+        s2_1 = sel(x_i, blk(2, 3), blk(2, 2))
+        s3_0 = sel(x_i, blk(3, 1), blk(3, 0))
+        s3_1 = sel(x_i, blk(3, 3), blk(3, 2))
+        s3_2 = sel(x_i, blk(3, 5), blk(3, 4))
+        s3_3 = sel(x_i, blk(3, 7), blk(3, 6))
+        x_j = sample(1, s1)
+        # ... then on x_{i+1} ...
+        s2 = sel(x_j, s2_1, s2_0)
+        s3_a = sel(x_j, s3_1, s3_0)
+        s3_b = sel(x_j, s3_3, s3_2)
+        x_k = sample(2, s2)
+        # ... then on x_{i+2}
+        x_l = sample(3, sel(x_k, s3_b, s3_a))
+        x4 = jnp.concatenate([x_i, x_j, x_k, x_l], axis=0)  # (4KP, B)
+        wmrows = wmdm_ref[pl.ds(base, 4 * _KP), :].astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x4, wmrows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
+        v_acc = (v_acc + x_i[:, :, None] * (col == i).astype(jnp.float32)
+                 + x_j[:, :, None] * (col == i + 1).astype(jnp.float32)
+                 + x_k[:, :, None] * (col == i + 2).astype(jnp.float32)
+                 + x_l[:, :, None] * (col == i + 3).astype(jnp.float32))
+        return (acc, v_acc)
+
+    if spec == 4:
+        acc_f, v_new = jax.lax.fori_loop(0, d // 4, quad_body,
+                                         (acc0, vacc0))
+    elif spec == 2:
         acc_f, v_new = jax.lax.fori_loop(0, d // 2, pair_body,
                                          (acc0, vacc0))
     else:
@@ -636,41 +733,58 @@ def _nade_kernel(seed_ref, *refs,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_steps", "interpret", "spec2"))
+                   static_argnames=("n_steps", "interpret", "spec"))
 def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
-                  interpret: bool = False, spec2: bool = None
+                  interpret: bool = False, spec: int = None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused whole-generation for track-stacked rnn_nade.Params.
     h0/c0: (K, B, U); v0: (K, B, D) — B = 1 or a multiple of 8 (the gate
     enforces this). Returns (roll (B, n_steps, K, D), h_final (K, B, U),
     c_final (K, B, U)) — same contract as generate_rbm.
 
-    ``spec2`` (None = auto: on for even D) runs the dim sweep in
-    speculative pairs — bit-identical samples, ~half the serial dependency
-    rounds (equality-tested; A/B measured in BASELINE.md). Env knob
-    MULTINN_NADE_SPEC2=0|1 overrides the auto choice."""
+    ``spec`` (None = auto: deepest depth in {4, 2, 1} dividing D) is the
+    speculative dim-sweep depth — same uniforms as the sequential sweep,
+    D/spec serial dependency rounds (equality-tested; A/B measured in
+    BASELINE.md). Env knob MULTINN_NADE_SPEC=1|2|4 overrides the auto
+    choice (ignored when it does not divide D)."""
     lstm = dec_params.cell[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
     b = h0.shape[1]
-    if spec2 is None:
+    if spec is None:
         import os
-        env = os.environ.get("MULTINN_NADE_SPEC2")
-        spec2 = (d % 2 == 0) if env is None else (env == "1" and d % 2 == 0)
+        env = os.environ.get("MULTINN_NADE_SPEC")
+        if env in ("1", "2", "4") and d % int(env) == 0:
+            spec = int(env)
+        else:
+            spec = 4 if d % 4 == 0 else 2 if d % 2 == 0 else 1
+    if d % spec:
+        raise ValueError(f"spec={spec} must divide D={d}")
 
     args = list(_nade_args(dec_params, h0, c0, v0))
-    if spec2:
-        khp = _khp(k, hid)
-        # per-pair x_i=1 branch offsets: the KP rows of dim i summed (the
-        # per-track blocks are disjoint, so the bf16 "sum" is an exact
-        # gather), stored in row 0 of an 8-row block per pair
-        wm_dm = args[0]
-        wsum = wm_dm.reshape(d, _KP, -1)[:, :, :khp].sum(axis=1)  # (D, KHp)
+    khp = _khp(k, hid)
+    wm_dm = args[0]
+    # single-dim w rows: the KP track rows of each dim summed — the
+    # per-track lane blocks are disjoint, so the bf16 "sum" is an exact
+    # gather (f32-exact after the cast)
+    if spec > 1:
+        wrow = wm_dm.reshape(d, _KP, -1)[:, :, :khp].sum(axis=1)  # (D, KHp)
+    if spec == 2:
+        # per-pair x_i=1 branch offset in row 0 of an 8-row block per pair
         args.append(jnp.zeros((d // 2, _KP, khp), jnp.bfloat16)
-                    .at[:, 0, :].set(wsum[0::2])
+                    .at[:, 0, :].set(wrow[0::2])
                     .reshape(d // 2 * _KP, khp))
+    elif spec == 4:
+        # per-quad single-dim w rows (f32 — the kernel builds every branch
+        # activation by realized-path-order adds from these) in rows 0..2
+        # of an 8-row block per quad
+        args.append(jnp.zeros((d // 4, _KP, khp), jnp.float32)
+                    .at[:, 0, :].set(wrow[0::4].astype(jnp.float32))
+                    .at[:, 1, :].set(wrow[1::4].astype(jnp.float32))
+                    .at[:, 2, :].set(wrow[2::4].astype(jnp.float32))
+                    .reshape(d // 4 * _KP, khp))
     seed = key_to_seeds(key)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -689,7 +803,7 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     )
     roll, h_out, c_out = pl.pallas_call(
         functools.partial(_nade_kernel, batch=b, n_tracks=k,
-                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec2=spec2),
+                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec=spec),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, b, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, k * u), jnp.float32),

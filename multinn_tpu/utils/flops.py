@@ -85,17 +85,24 @@ def gen_step_flops_rbm(cfg, batch: int, gen_k: int = None) -> dict:
     return {"model": model, "executed": executed}
 
 
-def gen_step_flops_nade(cfg, batch: int) -> dict:
+def gen_step_flops_nade(cfg, batch: int, spec: int = None) -> dict:
     """One generated frame via the fused NADE kernel: D serial dims, each a
     (KP,KHp) logit dot + a (KP, KHp+K4U) accumulation dot (KP=8 padded
-    rows; executed counts the pads and the dense K-blocks)."""
+    rows; executed counts the pads and the dense K-blocks). The speculative
+    sweep (``spec`` branches per round, default = the kernel's auto choice)
+    widens the EXECUTED logit dots and sigmoid grids 2^(spec-1)-fold —
+    deliberately trading idle MXU/VPU width for a shorter serial chain; the
+    MODEL count is unchanged."""
     k, d, h, u, ctx = _dims(cfg)
     kp, khp = 8, ((k * h + 127) // 128) * 128
+    if spec is None:
+        spec = 4 if d % 4 == 0 else 2 if d % 2 == 0 else 1
+    branches = 2 ** (spec - 1)                       # branch sets per round
     lstm = lstm_frame_flops(d + ctx, u, 1)
     model = batch * k * (6 * d * h + 2 * d * 4 * u + lstm)
-    executed = batch * (d * (2 * kp * khp            # logit dots
+    executed = batch * (d * (2 * kp * khp * branches  # speculative logit dots
                              + 2 * kp * (khp + k * 4 * u)  # fused acc dots
-                             + khp)                  # sigmoid grid
+                             + khp * branches // spec)  # branch sigmoid grids
                         + k * lstm + 2 * k * d * k * 4 * u)  # ctx proj
     return {"model": model, "executed": executed}
 

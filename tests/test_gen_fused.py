@@ -344,17 +344,23 @@ def test_fused_feedback_ctx_timing_matches_scan(dec_type):
         np.asarray(fin_scan.decoder.cell[0].c), **tol)
 
 
+@pytest.mark.parametrize("spec", [2, 4])
 @pytest.mark.parametrize("mode,batch", [("per-track", 1), ("feedback", 1),
                                         ("feedback", 8)])
-def test_nade_spec2_bit_identical_to_sequential(mode, batch):
-    """The speculative-pair dim sweep (gen_fused spec2 — VERDICT r2 next #6)
-    must reproduce the sequential sweep BIT-FOR-BIT: it consumes the same
-    uniforms and per track selects between the two exactly-computed branch
-    activations, so any deviation is a bug, not sampling noise. Covers roll
-    AND final LSTM state, per-track + feedback wiring, B=1 (VPU logits) and
-    B=8 (stacked MXU logits)."""
+def test_nade_spec_identical_to_sequential(mode, batch, spec):
+    """The speculative dim sweeps (gen_fused spec — VERDICT r2 next #6)
+    must reproduce the sequential sweep: they consume the same uniforms and
+    per track select between exactly-computed branch activations (spec=2:
+    both branches; spec=4: realized-path-order adds from single-dim w
+    rows), so any sample deviation is a bug, not sampling noise. Covers
+    roll AND final LSTM state, per-track + feedback wiring, B=1 (VPU
+    logits) and B=8 (stacked MXU logits). spec=2 is bit-identical by
+    construction; spec=4's cross-quad acc grouping can differ from the
+    sequential sweep in the last ulp, so its states get a float-tolerance
+    (a timing/selection bug would produce O(1) differences — same guard
+    structure as the scan-parity test above)."""
     from multinn_tpu.ops import gen_fused
-    k_tr, d_p, u_r = 3, 6, 4
+    k_tr, d_p, u_r = 3, 8, 4
     cfg = multinn.MultINNConfig(n_tracks=k_tr, n_pitches=d_p, mode=mode,
                                 decoder_type="rnn-nade", n_hidden=5,
                                 n_rnn=u_r, w_std=0.7)
@@ -365,9 +371,14 @@ def test_nade_spec2_bit_identical_to_sequential(mode, batch):
     v0 = jnp.zeros((k_tr, batch, d_p))
     key = jax.random.PRNGKey(5)
     r_seq = gen_fused.generate_nade(key, dec, h0, c0, v0, 16,
-                                    interpret=True, spec2=False)
+                                    interpret=True, spec=1)
     r_sp = gen_fused.generate_nade(key, dec, h0, c0, v0, 16,
-                                   interpret=True, spec2=True)
-    for a, b in zip(r_seq, r_sp):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+                                   interpret=True, spec=spec)
+    np.testing.assert_array_equal(np.asarray(r_seq[0]), np.asarray(r_sp[0]))
+    for a, b in zip(r_seq[1:], r_sp[1:]):
+        if spec == 2:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
     assert float(r_sp[0].mean()) > 0.05      # non-degenerate sampling
