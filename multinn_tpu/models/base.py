@@ -122,8 +122,9 @@ def scan_states(params, state, x_tm: jax.Array, seq=None):
 
 def conditioned_biases(params, u_prev: jax.Array):
     """bv(t) = bv + u(t-1) @ Wuv;  bh(t) = bh + u(t-1) @ Wuh."""
-    return (params.bv + u_prev @ params.wuv,
-            params.bh + u_prev @ params.wuh)
+    from multinn_tpu.ops import precision
+    return (params.bv + precision.mm(u_prev, params.wuv),
+            params.bh + precision.mm(u_prev, params.wuh))
 
 
 def prime_state(state_cls, params, state, x: jax.Array,

@@ -30,6 +30,7 @@ from typing import Tuple
 import jax
 
 from multinn_tpu.nn import rbm as rbm_nn
+from multinn_tpu.ops import precision
 from multinn_tpu.ops import gibbs as gibbs_ops
 
 
@@ -68,7 +69,7 @@ def encode(params: Params, x: jax.Array,
     final layer is Bernoulli-sampled instead (sample_output mode)."""
     h = x
     for i, layer in enumerate(params):
-        h = jax.nn.sigmoid(h @ layer.w + layer.bh)
+        h = jax.nn.sigmoid(precision.mm(h, layer.w) + layer.bh)
         if key is not None and i == len(params) - 1:
             u = jax.random.uniform(key, h.shape, dtype=h.dtype)
             h = (u < h).astype(h.dtype)
@@ -79,7 +80,7 @@ def decode(params: Params, h: jax.Array) -> jax.Array:
     """Downward pass to pianoroll-space probabilities."""
     v = h
     for layer in reversed(params):
-        v = jax.nn.sigmoid(v @ layer.w.T + layer.bv)
+        v = jax.nn.sigmoid(precision.mm(v, layer.w.T) + layer.bv)
     return v
 
 
@@ -87,7 +88,7 @@ def layer_inputs(params: Params, x: jax.Array, layer: int) -> jax.Array:
     """Features feeding RBM ``layer`` during greedy pre-training."""
     h = x
     for lyr in params[:layer]:
-        h = jax.nn.sigmoid(h @ lyr.w + lyr.bh)
+        h = jax.nn.sigmoid(precision.mm(h, lyr.w) + lyr.bh)
     return h
 
 

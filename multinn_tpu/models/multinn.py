@@ -63,6 +63,10 @@ class MultINNConfig:
     gen_k: int = 10
     w_std: float = 0.01
     remat: bool = False        # gradient-checkpoint the time scans (§5.7)
+    # 'bf16' feeds the training hot-path matmuls bf16 (f32 accumulation,
+    # f32 master weights — ops/precision.py). Measured lever at
+    # scale-stress shapes (H >= 1024); neutral at reference scales.
+    matmul_dtype: str = "f32"
 
     def __post_init__(self):
         if self.mode in MODE_ALIASES:
@@ -71,6 +75,9 @@ class MultINNConfig:
             raise ValueError(
                 f"mode must be one of {MODES} (aliases: "
                 f"{sorted(MODE_ALIASES)}), got {self.mode}")
+        if self.matmul_dtype not in ("f32", "float32", "bf16", "bfloat16"):
+            raise ValueError(
+                f"matmul_dtype must be f32 or bf16, got {self.matmul_dtype}")
 
     @property
     def shared_encoder(self) -> bool:
@@ -246,6 +253,34 @@ def log_likelihood(params: MultINNParams, key: jax.Array,
                 p, kk, xx, frame_mask=frame_mask, seq=seq)
         )(params.decoder, keys, feats_k)
     return jnp.sum(lls, axis=0)                          # (B,)
+
+
+def conditional_logits(params: MultINNParams, x: jax.Array, seq=None):
+    """Teacher-forced conditional logits + targets for NADE decoders — the
+    Gauss-Newton linearization point for the Hessian-free optimizer
+    (training/hf.py). x: (B, T, K, D).
+
+    Returns (logits, targets), both track-and-time-major:
+      per-track / feedback: (K, T, B, F);  joint: (1, T, B, K·D).
+    The exact NLL loss (multinn.loss) equals the frame-masked Bernoulli
+    cross-entropy of ``logits`` against ``targets`` under the trainer's
+    normalization (see hf._ce_loss, equality-tested)."""
+    cfg = params.cfg
+    if cfg.decoder_type != "rnn-nade":
+        raise ValueError("conditional_logits requires an rnn-nade decoder "
+                         "(RBM CD training has no GGN linearization)")
+    from multinn_tpu.models import rnn_nade
+    if cfg.mode == "joint":
+        b, t, k, d = x.shape
+        feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
+        logits = rnn_nade.conditional_logits(params.decoder, feats, seq=seq)
+        return logits[None], jnp.swapaxes(feats, 0, 1)[None]
+    feats_k = _encode_tracks(params, x)                  # (K, B, T, F)
+    ctx = (_feedback_ctx(feats_k, seq) if cfg.mode == "feedback" else None)
+    logits_k = jax.vmap(
+        lambda p, xx: rnn_nade.conditional_logits(p, xx, ctx=ctx, seq=seq)
+    )(params.decoder, feats_k)                           # (K, T, B, F)
+    return logits_k, jnp.swapaxes(feats_k, 1, 2)         # targets (K, T, B, F)
 
 
 # ---------------------------------------------------------------------------

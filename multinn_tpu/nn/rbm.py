@@ -31,6 +31,8 @@ import jax.numpy as jnp
 
 from flax import struct
 
+from multinn_tpu.ops import precision
+
 
 @struct.dataclass
 class RBMParams:
@@ -67,16 +69,16 @@ def free_energy(v: jax.Array, w: jax.Array, bv: jax.Array,
     """
     vis_term = jnp.sum(v * bv, axis=-1)
     hid_term = jnp.sum(jax.nn.softplus(
-        jnp.matmul(v, w) + bh), axis=-1)
+        precision.mm(v, w) + bh), axis=-1)
     return -vis_term - hid_term
 
 
 def prob_h_given_v(v, w, bh):
-    return jax.nn.sigmoid(jnp.matmul(v, w) + bh)
+    return jax.nn.sigmoid(precision.mm(v, w) + bh)
 
 
 def prob_v_given_h(h, w, bv):
-    return jax.nn.sigmoid(jnp.matmul(h, w.T) + bv)
+    return jax.nn.sigmoid(precision.mm(h, w.T) + bv)
 
 
 def _bernoulli(key: jax.Array, p: jax.Array) -> jax.Array:

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 from flax import struct
 
+from multinn_tpu.ops import precision
+
 
 # ---------------------------------------------------------------------------
 # LSTM
@@ -74,14 +76,15 @@ def _lstm_gates(c, z):
 
 def lstm_step(params: LSTMParams, state: LSTMState, x: jax.Array) -> LSTMState:
     """One LSTM step. x: (..., in)."""
-    z = x @ params.wx + state.h @ params.wh + params.b
+    z = (precision.mm(x, params.wx) + precision.mm(state.h, params.wh)
+         + params.b)
     return _lstm_gates(state.c, z)
 
 
 def lstm_step_premixed(params: LSTMParams, state: LSTMState,
                        xz: jax.Array) -> LSTMState:
     """Step where the input projection x@wx+b was precomputed (scan hot path)."""
-    z = xz + state.h @ params.wh
+    z = xz + precision.mm(state.h, params.wh)
     return _lstm_gates(state.c, z)
 
 
@@ -111,7 +114,7 @@ def lstm_scan(params: LSTMParams, state: LSTMState,
     Returns (final_state, hs) with hs (T, B, H). The x-projection for all T
     steps is one MXU matmul outside the scan.
     """
-    xz = xs @ params.wx + params.b       # (T, B, 4H) — batched, hoisted
+    xz = precision.mm(xs, params.wx) + params.b   # (T, B, 4H) — hoisted
 
     def body(st, xz_t):
         st = lstm_step_premixed(params, st, xz_t)
@@ -156,15 +159,16 @@ def vanilla_zero_state(batch_shape, n_hidden, dtype=jnp.float32):
 
 def vanilla_step(params: VanillaRNNParams, state: VanillaRNNState,
                  x: jax.Array) -> VanillaRNNState:
-    return VanillaRNNState(h=jnp.tanh(x @ params.wx + state.h @ params.wh
-                                      + params.b))
+    return VanillaRNNState(h=jnp.tanh(
+        precision.mm(x, params.wx) + precision.mm(state.h, params.wh)
+        + params.b))
 
 
 def vanilla_scan(params, state, xs):
-    xz = xs @ params.wx + params.b
+    xz = precision.mm(xs, params.wx) + params.b
 
     def body(st, xz_t):
-        st = VanillaRNNState(h=jnp.tanh(xz_t + st.h @ params.wh))
+        st = VanillaRNNState(h=jnp.tanh(xz_t + precision.mm(st.h, params.wh)))
         return st, st.h
 
     return jax.lax.scan(body, state, xz, unroll=_unroll_for(xz))

@@ -115,10 +115,28 @@ class Trainer:
                 self.params, self.mesh, self.track_sharded)
         elif self.mesh is not None:
             self.params = mesh_mod.put_replicated(self.params, self.mesh)
-        self.optimizer = make_optimizer(
-            cfg.train, steps_per_epoch=self.dataset.n_batches("train"))
-        # init AFTER placement: optax state inherits param shardings
-        self.opt_state = self.optimizer.init(self.params)
+        self._hf = cfg.train.optimizer == "hf"
+        if self._hf:
+            # Hessian-free truncated Newton (training/hf.py): second-order
+            # macro-steps; needs a differentiable exact objective (NADE) and
+            # a global-view program (CG runs inside one jit; explicit
+            # shard_map styles would solve divergent per-shard systems).
+            from multinn_tpu.training import hf as hf_mod
+            if cfg.model.decoder_type != "rnn-nade":
+                raise ValueError("optimizer='hf' requires an rnn-nade "
+                                 "decoder (CD has no objective to "
+                                 "second-order optimize)")
+            if self._explicit_axes is not None:
+                raise ValueError("optimizer='hf' supports single-device or "
+                                 "GSPMD meshes only (mesh.style='gspmd')")
+            self.optimizer = None
+            self.opt_state = hf_mod.init_state(self.params,
+                                               cfg.train.hf_lambda0)
+        else:
+            self.optimizer = make_optimizer(
+                cfg.train, steps_per_epoch=self.dataset.n_batches("train"))
+            # init AFTER placement: optax state inherits param shardings
+            self.opt_state = self.optimizer.init(self.params)
 
         self.step = 0
         self.epoch = 0
@@ -170,22 +188,51 @@ class Trainer:
         return key
 
     def _sampler_ctx(self):
-        """Trace-time sampler-impl context: on a multi-device GSPMD mesh the
-        Gibbs/NADE dispatches must pick the XLA formulations (a Mosaic custom
-        call cannot be partitioned by the SPMD pass — one rule shared with
-        Generator: ops.sampling). Entered INSIDE every step body, so any
-        caller that traces a step (tests, __graft_entry__, future code) is
-        protected regardless of call site. shard_map/seqpipe bodies are
-        per-shard (manual-mode) programs where Pallas custom calls are legal,
-        so they keep the kernels (ops.sampling.partitionable_ctx(manual=...))."""
-        from multinn_tpu.ops import sampling
-        return sampling.partitionable_ctx(self.mesh,
-                                          manual=self._explicit_axes
-                                          is not None)
+        """Trace-time contexts entered INSIDE every jitted step body (so any
+        caller that traces a step — tests, __graft_entry__, future code — is
+        covered regardless of call site; both contexts resolve at trace
+        time):
+
+        * sampler impl: on a multi-device GSPMD mesh the Gibbs/NADE
+          dispatches must pick the XLA formulations (a Mosaic custom call
+          cannot be partitioned by the SPMD pass — one rule shared with
+          Generator: ops.sampling). shard_map/seqpipe bodies are per-shard
+          (manual-mode) programs where Pallas custom calls are legal, so
+          they keep the kernels (partitionable_ctx(manual=...)).
+        * matmul precision: MultINNConfig.matmul_dtype routes the hot-path
+          matmul feeds (ops/precision.py)."""
+        import contextlib
+        from multinn_tpu.ops import precision, sampling
+        stack = contextlib.ExitStack()
+        stack.enter_context(sampling.partitionable_ctx(
+            self.mesh, manual=self._explicit_axes is not None))
+        stack.enter_context(precision.matmul_precision(
+            self.cfg.model.matmul_dtype))
+        return stack
+
+    def _hf_step_fn(self):
+        """HF macro-step with the trainer's step contract
+        (params, opt_state, batch, key) -> (params, opt_state, metrics)."""
+        from multinn_tpu.training import hf as hf_mod
+        cg_iters = self.cfg.train.hf_cg_iters
+
+        def step_fn(params, opt_state, batch, key):
+            with self._sampler_ctx(), profiling.annotate("train_step"):
+                x = batch.astype(jnp.float32)
+                return hf_mod.hf_step(params, opt_state, x, key,
+                                      seq=self._seq_spec(x),
+                                      cg_iters=cg_iters)
+
+        return step_fn
 
     def _build_train_step(self, detailed: bool = True):
         opt = self.optimizer
         axes = self._explicit_axes
+
+        if self._hf:
+            # detailed/hot distinction doesn't apply: every HF macro-step
+            # reports its own diagnostics (rho/lambda/q/accept)
+            return jax.jit(self._hf_step_fn(), donate_argnums=(0, 1))
 
         def step_fn(params, opt_state, batch, key):
             with self._sampler_ctx(), profiling.annotate("train_step"):
@@ -228,6 +275,31 @@ class Trainer:
         observability (f1/free-energy/grad-norm) under steps_per_call>1."""
         opt = self.optimizer
         axes = self._explicit_axes
+
+        if self._hf:
+            hf_one = self._hf_step_fn()
+
+            def hf_multi(params, opt_state, batches, key):
+                n = batches.shape[0]
+                keys = jax.random.split(key, n)
+
+                def body(carry, inp):
+                    p, s = carry
+                    p, s, m = hf_one(p, s, inp[0], inp[1])
+                    return (p, s), m["loss"]
+
+                losses = jnp.zeros((0,))
+                if n > 1:
+                    (params, opt_state), losses = jax.lax.scan(
+                        body, (params, opt_state),
+                        (batches[:-1], keys[:-1]))
+                params, opt_state, metrics = hf_one(
+                    params, opt_state, batches[-1], keys[-1])
+                metrics["loss_mean"] = (jnp.sum(losses)
+                                        + metrics["loss"]) / n
+                return params, opt_state, metrics
+
+            return jax.jit(hf_multi, donate_argnums=(0, 1))
 
         def one_step(p, s, batch, k, detailed):
             (loss, metrics), grads = jax.value_and_grad(

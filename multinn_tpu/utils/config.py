@@ -26,7 +26,11 @@ class TrainConfig:
     lr_min: float = 0.0                # cosine floor
     warmup_steps: int = 0              # linear 0 -> lr over this many steps
     decay_steps: int = 0               # cosine horizon; 0 = epochs * ~steps
-    optimizer: str = "adam"            # adam | sgd
+    optimizer: str = "adam"            # adam | sgd | hf (rnn-nade only —
+    # Hessian-free truncated Newton, training/hf.py; the paper's
+    # RNN-NADE-HF training regime)
+    hf_cg_iters: int = 25              # CG iterations per HF macro-step
+    hf_lambda0: float = 1.0            # initial LM damping
     grad_clip: float = 5.0             # global-norm clip; 0 disables
     weight_decay: float = 0.0
     seed: int = 42

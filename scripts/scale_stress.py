@@ -24,19 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(n_hidden: int, n_rnn: int, batch: int, t_window: int,
-            n_iter: int = 10, mode: str = "feedback") -> dict:
+            n_iter: int = 10, mode: str = "feedback",
+            dtype: str = "f32") -> dict:
     import jax
     import jax.numpy as jnp
     import optax
 
     from multinn_tpu.models import multinn
     from multinn_tpu.models.multinn import MultINNConfig
-    from multinn_tpu.ops import gibbs_pallas
+    from multinn_tpu.ops import gibbs_pallas, precision
     from multinn_tpu.utils import flops as flops_mod
 
     cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode=mode,
                         decoder_type="rnn-rbm", n_hidden=n_hidden,
-                        n_rnn=n_rnn, cd_k=1, gen_k=10)
+                        n_rnn=n_rnn, cd_k=1, gen_k=10, matmul_dtype=dtype)
     params = multinn.init(jax.random.PRNGKey(0), cfg)
     x = jax.random.bernoulli(
         jax.random.PRNGKey(1), 0.06,
@@ -54,9 +55,10 @@ def measure(n_hidden: int, n_rnn: int, batch: int, t_window: int,
     def train_many(p, s, key):
         def body(carry, kk):
             p, s = carry
-            (l, _), g = jax.value_and_grad(
-                lambda q: multinn.loss(q, kk, x, detailed=False),
-                has_aux=True)(p)
+            with precision.matmul_precision(cfg.matmul_dtype):
+                (l, _), g = jax.value_and_grad(
+                    lambda q: multinn.loss(q, kk, x, detailed=False),
+                    has_aux=True)(p)
             u2, s = opt.update(g, s)
             return (optax.apply_updates(p, u2), s), l
         (p, s), ls = jax.lax.scan(body, (p, s),
@@ -80,7 +82,8 @@ def measure(n_hidden: int, n_rnn: int, batch: int, t_window: int,
     fl = flops_mod.train_step_flops(cfg, batch, t_window)
     return {
         "config": {"H": n_hidden, "U": n_rnn, "B": batch, "T": t_window,
-                   "K": 5, "D": 84, "mode": mode, "cd_k": 1},
+                   "K": 5, "D": 84, "mode": mode, "cd_k": 1,
+                   "matmul_dtype": dtype},
         "step_ms": round(step_s * 1e3, 2),
         "frames_per_sec_per_chip": round(frames / step_s, 0),
         "model_gflops_per_step": round(fl / 1e9, 1),
@@ -98,12 +101,15 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--t", type=int, default=64)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="matmul-feed precision (ops/precision.py)")
     args = p.parse_args(argv)
     from multinn_tpu.utils.platform import (apply_platform_env,
                                             enable_compilation_cache)
     apply_platform_env()
     enable_compilation_cache()
-    res = measure(args.h, args.u, args.batch, args.t, n_iter=args.iters)
+    res = measure(args.h, args.u, args.batch, args.t, n_iter=args.iters,
+                  dtype=args.dtype)
     print(json.dumps(res))
     return 0
 
