@@ -117,6 +117,23 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
     return nll, metrics
 
 
+def conditional_logits(params: Params, x: jax.Array,
+                       ctx: Optional[jax.Array] = None,
+                       seq=None) -> jax.Array:
+    """Teacher-forced per-dim conditional logits, time-major (T, B, F).
+
+    This is the Gauss-Newton linearization point for the Hessian-free
+    optimizer (training/hf.py): the exact NLL equals the Bernoulli
+    cross-entropy of these logits against the (teacher-forced) features,
+    so GGN·v = Jᵀ diag(σ'(l)) J v with J = ∂logits/∂params."""
+    x_tm = jnp.swapaxes(x, 0, 1)
+    ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
+    state = init_state(params, x.shape[:1])
+    _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm), seq)
+    bv_t, bh_t = _biases(params, u_prev)
+    return nade_nn.conditionals_logits(x_tm, params.w, params.v, bv_t, bh_t)
+
+
 def log_likelihood(params: Params, key: jax.Array, x: jax.Array,
                    ctx: Optional[jax.Array] = None,
                    frame_mask: Optional[jax.Array] = None,

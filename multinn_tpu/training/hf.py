@@ -1,0 +1,173 @@
+"""Hessian-free (truncated-Newton) optimizer for RNN-NADE training.
+
+Closes the blueprint's strongest quality anchor: the paper's best numbers
+are RNN-NADE-**HF** (Boulanger-Lewandowski et al. 2012 Table 1, SURVEY §6
+— JSB ≈ −5.56, Nottingham ≈ −2.31), trained with Martens-style
+Hessian-free optimization (Martens 2010; Martens & Sutskever 2011). The
+reference repo itself shipped only first-order training (VERDICT r2
+missing #5); this module goes beyond it.
+
+Algorithm (one macro-step):
+  1. g = ∇L(θ) on the batch (exact NLL gradient).
+  2. Solve (G + λI) δ = −g by ``cg_iters`` conjugate-gradient iterations,
+     where G is the **Gauss-Newton** matrix of the NLL through the
+     conditional-logit map l(θ) (multinn.conditional_logits):
+         G·v = Jᵀ diag(w · σ(l)(1−σ(l))) J v,   J = ∂l/∂θ,
+     with w the trainer's frame-mask/normalization weights. G is PSD, so
+     CG is well-posed (the full Hessian is not — that is why HF uses GGN).
+     CG warm-starts from the previous δ scaled by ``cg_warm`` (Martens'
+     information-sharing trick).
+  3. Levenberg-Marquardt damping: ρ = (L(θ+δ) − L(θ)) / q(δ) with
+     q(δ) = gᵀδ + ½ δᵀ(G+λI)δ the quadratic-model decrease;
+     λ ← λ·⅔ if ρ > ¾, λ ← λ·³⁄₂ if ρ < ¼.
+  4. Accept θ+δ iff the true loss decreased, else keep θ (δ still seeds
+     the next warm start either way).
+
+TPU-first: the whole macro-step (CG loop included) is ONE jitted program —
+``lax.fori_loop`` over CG iterations, each iteration a jvp+vjp pair
+through the same XLA graph as the loss (no per-iteration dispatches). The
+GGN ignores curvature through DBN-encoder targets (only the logit path is
+linearized); the gradient g is exact regardless.
+
+Scope: rnn-nade decoders (any mode). CD-trained RBMs have no objective to
+second-order optimize (the CD update is not a gradient field).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from flax import struct
+
+from multinn_tpu.models import multinn
+
+
+@struct.dataclass
+class HFState:
+    """Optimizer state: LM damping + the previous CG solution (warm start).
+    Lives where optax state lives — checkpointed with the run."""
+    lam: jax.Array
+    delta: object           # params-like pytree
+    accepted: jax.Array     # diagnostics: running count of accepted steps
+
+
+def init_state(params, lam0: float = 1.0) -> HFState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return HFState(lam=jnp.asarray(lam0, jnp.float32), delta=zeros,
+                   accepted=jnp.zeros((), jnp.int32))
+
+
+# -- pytree linear algebra ---------------------------------------------------
+
+def _dot(a, b):
+    leaves = jax.tree.leaves(jax.tree.map(
+        lambda x, y: jnp.vdot(x, y), a, b))
+    return jnp.sum(jnp.stack([jnp.asarray(v, jnp.float32) for v in leaves]))
+
+
+def _axpy(alpha, x, y):
+    """alpha * x + y."""
+    return jax.tree.map(lambda a, b: alpha * a + b, x, y)
+
+
+def _scale(alpha, x):
+    return jax.tree.map(lambda a: alpha * a, x)
+
+
+# -- the masked-CE loss the GGN linearizes -----------------------------------
+
+def _ce_weights(cfg, x_shape, frame_mask: Optional[jax.Array]):
+    """Per-(T, B) weights reproducing the trainer's loss normalization:
+    multinn.loss = mean over K tracks of (−Σ ll·m / Σ m); as a single sum
+    over (K, T, B, F) CE terms the weight is m_{t,b} / (K · Σm)."""
+    b, t = x_shape[0], x_shape[1]
+    k = cfg.n_tracks if cfg.mode != "joint" else 1
+    if frame_mask is None:
+        m_tb = jnp.ones((t, b), jnp.float32)
+    else:
+        m_tb = jnp.swapaxes(frame_mask, 0, 1).astype(jnp.float32)
+    return m_tb / (k * jnp.maximum(jnp.sum(m_tb), 1.0))
+
+
+def _ce_loss(logits, targets, w_tb):
+    """Masked Bernoulli cross-entropy under the trainer's normalization;
+    equals multinn.loss for rnn-nade (equality-tested in tests/test_hf.py).
+    logits/targets: (K, T, B, F); w_tb: (T, B)."""
+    ce = (targets * jax.nn.log_sigmoid(logits)
+          + (1.0 - targets) * jax.nn.log_sigmoid(-logits))
+    return -jnp.sum(ce * w_tb[None, :, :, None])
+
+
+# -- one HF macro-step -------------------------------------------------------
+
+def hf_step(params, state: HFState, x: jax.Array, key: jax.Array,
+            frame_mask: Optional[jax.Array] = None, seq=None, *,
+            cg_iters: int = 25, cg_warm: float = 0.95,
+            lam_min: float = 1e-4, lam_max: float = 1e4):
+    """One Hessian-free macro-step (see module docstring). Pure function of
+    (params, state, batch) — the Trainer jits/scans it like any step.
+    Returns (new_params, new_state, metrics)."""
+    cfg = params.cfg
+    w_tb = _ce_weights(cfg, x.shape, frame_mask)
+
+    def logits_fn(p):
+        return multinn.conditional_logits(p, x, seq=seq)[0]
+
+    def loss_fn(p):
+        logits, targets = multinn.conditional_logits(p, x, seq=seq)
+        return _ce_loss(logits, jax.lax.stop_gradient(targets), w_tb)
+
+    loss0, g = jax.value_and_grad(loss_fn)(params)
+    logits0, vjp_fn = jax.vjp(logits_fn, params)
+    p0 = jax.nn.sigmoid(logits0)
+    h_diag = p0 * (1.0 - p0) * w_tb[None, :, :, None]   # PSD CE curvature
+    lam = state.lam
+
+    def gnvp(v):
+        _, jv = jax.jvp(logits_fn, (params,), (v,))
+        (gv,) = vjp_fn(h_diag * jv)
+        return _axpy(lam, v, gv)                        # (G + λI) v
+
+    # CG on (G+λI)δ = −g, warm-started from the previous solution
+    b_rhs = _scale(-1.0, g)
+    x0 = _scale(cg_warm, state.delta)
+    r0 = jax.tree.map(lambda bb, av: bb - av, b_rhs, gnvp(x0))
+
+    def cg_body(_, carry):
+        xk, rk, pk, rs = carry
+        ap = gnvp(pk)
+        alpha = rs / jnp.maximum(_dot(pk, ap), 1e-30)
+        xk = _axpy(alpha, pk, xk)
+        rk = _axpy(-alpha, ap, rk)
+        rs_new = _dot(rk, rk)
+        pk = _axpy(rs_new / jnp.maximum(rs, 1e-30), pk, rk)
+        return xk, rk, pk, rs_new
+
+    rs0 = _dot(r0, r0)
+    delta, _, _, rs_f = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                          (x0, r0, r0, rs0))
+
+    # quadratic-model decrease q(δ) = gᵀδ + ½ δᵀ(G+λI)δ  (< 0 when useful)
+    q = _dot(g, delta) + 0.5 * _dot(delta, gnvp(delta))
+    new_params = jax.tree.map(jnp.add, params, delta)
+    loss1 = loss_fn(new_params)
+    rho = (loss1 - loss0) / jnp.minimum(q, -1e-30)
+    lam_new = jnp.clip(jnp.where(rho > 0.75, lam * (2.0 / 3.0),
+                                 jnp.where(rho < 0.25, lam * 1.5, lam)),
+                       lam_min, lam_max)
+    accept = loss1 < loss0
+    out_params = jax.tree.map(
+        lambda new, old: jnp.where(accept, new, old), new_params, params)
+    metrics = {
+        "loss": jnp.where(accept, loss1, loss0),
+        "hf_rho": rho, "hf_lambda": lam_new,
+        "hf_q": q, "hf_cg_residual": rs_f,
+        "hf_accepted": accept.astype(jnp.float32),
+        "grad_norm": jnp.sqrt(_dot(g, g)),
+    }
+    new_state = HFState(lam=lam_new, delta=delta,
+                        accepted=state.accepted + accept.astype(jnp.int32))
+    return out_params, new_state, metrics
