@@ -25,6 +25,7 @@ def pattern_batch(key, b=B, t=T, d=D):
 
 
 @pytest.mark.parametrize("name", list(DECODERS))
+@pytest.mark.slow
 def test_loss_and_grads_finite(name):
     dec = DECODERS[name]
     params = dec.init(jax.random.PRNGKey(0), CFG)
@@ -54,6 +55,7 @@ def test_ctx_conditioning(name):
     assert float(val) != float(val2)
 
 
+@pytest.mark.slow
 def test_rnn_nade_training_reduces_nll():
     dec = rnn_nade
     params = dec.init(jax.random.PRNGKey(0), CFG)
@@ -77,6 +79,7 @@ def test_rnn_nade_training_reduces_nll():
     assert float(v) < 0.5 * first, (first, float(v))
 
 
+@pytest.mark.slow
 def test_rnn_rbm_training_improves_reconstruction():
     dec = rnn_rbm
     params = dec.init(jax.random.PRNGKey(0), CFG)

@@ -7,8 +7,6 @@ a batch and adapts damping sanely; (d) the Trainer surface trains e2e with
 optimizer='hf' incl. checkpoint roundtrip of HFState; (e) error contracts.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +44,7 @@ def test_ce_objective_equals_exact_nll(mode, mask):
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gnvp_is_psd():
     cfg, params, x, _ = _setup("feedback")
     state = hf.init_state(params, lam0=0.0)
@@ -90,6 +89,7 @@ def test_hf_step_decreases_loss_and_adapts_damping():
     assert 1e-4 <= float(state.lam) <= 1e4
 
 
+@pytest.mark.slow
 def test_hf_beats_same_budget_adam_on_fixed_batch():
     """Second-order credentials on the deterministic objective: 8 HF
     macro-steps beat 8 Adam steps from the same init on the same batch."""
@@ -119,6 +119,7 @@ def test_hf_beats_same_budget_adam_on_fixed_batch():
     assert l_hf < l_ad, (l_hf, l_ad)
 
 
+@pytest.mark.slow
 def test_trainer_hf_end_to_end(tmp_path):
     from multinn_tpu.data.datasets import DataConfig
     from multinn_tpu.training.trainer import Trainer

@@ -43,6 +43,7 @@ def test_stacked_step_matches_scan():
 
 
 @pytest.mark.parametrize("dec", [rnn_rbm, rnn_nade])
+@pytest.mark.slow
 def test_multilayer_decoder_trains_and_generates(dec):
     cfg = DecoderConfig(n_visible=D, n_hidden=16, n_rnn=10, rnn_layers=3,
                         gen_k=2)
@@ -63,6 +64,7 @@ def test_multilayer_decoder_trains_and_generates(dec):
 
 
 @pytest.mark.parametrize("dec", [rnn_rbm, rnn_nade])
+@pytest.mark.slow
 def test_remat_matches_norematerialization(dec):
     """jax.checkpoint must not change loss values or gradients."""
     x = jax.random.bernoulli(

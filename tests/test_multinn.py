@@ -84,6 +84,7 @@ def test_per_track_independence():
         float(m2["loss_per_track"][0]), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_dbn_encoder_stack():
     cfg = make_cfg("per-track", "rnn-rbm", enc_hidden=(10, 8))
     assert cfg.feature_dim() == 8
@@ -107,6 +108,7 @@ def test_log_likelihood_shapes():
         assert np.all(np.asarray(ll) <= 0) or dec == "rnn-rbm"
 
 
+@pytest.mark.slow
 def test_vanilla_cell_multinn():
     """The paper's original vanilla-RNN conditioning (C7 math) end-to-end."""
     cfg = MultINNConfig(n_tracks=2, n_pitches=12, mode="per-track",

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier: multi-device equality / interpret-mode kernels
+
 from multinn_tpu.data.datasets import DataConfig
 from multinn_tpu.models.multinn import MultINNConfig
 from multinn_tpu.parallel import mesh as mesh_mod

@@ -99,6 +99,7 @@ def test_bf16_train_grads_track_f32(dec):
     assert float(cos) > 0.99
 
 
+@pytest.mark.slow
 def test_trainer_wires_matmul_dtype(tmp_path):
     """The config knob must reach the jitted step body (trainer enters the
     precision context inside step_fn) and training must stay finite and

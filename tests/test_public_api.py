@@ -3,6 +3,7 @@ re-exports resolve and a user can drive the whole flow through them."""
 
 import jax
 import numpy as np
+import pytest
 
 
 def test_top_level_exports():
@@ -14,6 +15,7 @@ def test_top_level_exports():
     assert "Trainer" in dir(mt)
 
 
+@pytest.mark.slow
 def test_api_flow(tmp_path):
     import multinn_tpu as mt
 

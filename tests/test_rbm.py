@@ -143,6 +143,7 @@ def test_cd_training_reduces_free_energy_of_data():
     assert float(f_data) < float(f_rand) - 0.5, (float(f_data), float(f_rand))
 
 
+@pytest.mark.slow
 def test_per_sample_biases_broadcast(small_rbm):
     """Time-conditioned biases (B, T, D)/(B, T, H) must broadcast through all
     RBM ops — this is the RNN-RBM contract."""

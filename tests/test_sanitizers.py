@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier: multi-device equality / interpret-mode kernels
+
 from multinn_tpu.models import multinn
 from multinn_tpu.models.multinn import MultINNConfig
 

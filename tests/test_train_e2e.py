@@ -61,6 +61,7 @@ def test_train_loss_decreases_and_ckpt_roundtrip(tmp_path):
     t2.close()
 
 
+@pytest.mark.slow
 def test_fault_injection_and_resume(tmp_path):
     cfg = tiny_cfg(tmp_path, name="fault", ckpt_every_steps=2,
                    fault_inject_step=3)
@@ -110,6 +111,7 @@ def test_checkpoint_retention_last_n_plus_best(tmp_path):
     ckpt.close()
 
 
+@pytest.mark.slow
 def test_epoch_end_metric_save_wins_over_periodic(tmp_path):
     """When ckpt_every_steps aligns with the epoch's final step, the metric-
     carrying epoch-end save must land (a periodic metric-less save at the
@@ -143,6 +145,7 @@ def test_generator_writes_valid_midi(tmp_path):
     trainer.close()
 
 
+@pytest.mark.slow
 def test_cli_train_and_generate(tmp_path):
     """Drive the actual CLI mains (C21) with dot-path overrides."""
     import train as train_cli
@@ -174,6 +177,7 @@ def test_cli_train_and_generate(tmp_path):
     assert os.path.exists(os.path.join(out, "pianorolls.npz"))
 
 
+@pytest.mark.slow
 def test_real_data_readiness_jsb_pickle_drill(tmp_path):
     """SURVEY §6 readiness drill: a corpus-format-faithful synthetic JSB
     pickle (tuples-of-active-pitches, own train/valid/test split) flows
@@ -230,6 +234,7 @@ def test_unknown_config_key_rejected():
         cfg_mod.from_dict(cfg_mod.TrainConfig, {"typo_key": 1})
 
 
+@pytest.mark.slow
 def test_profile_steps_writes_trace(tmp_path):
     """§5.1: the device-trace capture path produces a TensorBoard/Perfetto
     trace directory."""
@@ -241,6 +246,7 @@ def test_profile_steps_writes_trace(tmp_path):
     trainer.close()
 
 
+@pytest.mark.slow
 def test_early_stopping(tmp_path):
     """Early stop fires after `patience` non-improving validation epochs."""
     cfg = tiny_cfg(tmp_path, name="es", epochs=50, early_stop_patience=2,
@@ -252,6 +258,7 @@ def test_early_stopping(tmp_path):
     trainer.close()
 
 
+@pytest.mark.slow
 def test_steps_per_call_multi_step_training(tmp_path):
     """Fused multi-step programs (steps_per_call>1) must train equivalently:
     same number of optimizer steps per epoch, loss decreases, and metrics
@@ -281,6 +288,7 @@ def test_steps_per_call_multi_step_training(tmp_path):
     t4.close()
 
 
+@pytest.mark.slow
 def test_steps_per_call_with_mesh(tmp_path):
     """Multi-step fused program under a GSPMD data-parallel mesh."""
     from multinn_tpu.parallel.mesh import MeshConfig
@@ -302,6 +310,7 @@ def test_steps_per_call_with_mesh(tmp_path):
     t.close()
 
 
+@pytest.mark.slow
 def test_steps_per_call_with_shard_map(tmp_path):
     """The explicit shard_map path supports fused multi-step programs at
     parity with gspmd (round-1 VERDICT item 6: no second-class mode)."""
@@ -328,6 +337,7 @@ def test_steps_per_call_with_shard_map(tmp_path):
     t.close()
 
 
+@pytest.mark.slow
 def test_lr_schedules(tmp_path):
     """Warmup + cosine LR schedules: schedule math and an e2e run. The
     schedule lives inside the jitted optax update (step count in opt_state),
