@@ -372,9 +372,10 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
     context and LSTM advance in one kernel, state resident in VMEM; both
     kernels are batched — the roll streams to HBM per step).
     None = auto: fused on TPU when the config qualifies (pass encoder,
-    1-layer LSTM; rnn-rbm any batch the VMEM gate admits, rnn-nade batch 1
-    or a multiple of 8). Both paths sample the same distribution; RNG
-    streams differ (ops/sampling.py contract)."""
+    LSTM cells of any stack depth, any inter-track mode — joint enters as
+    one track of width K*D; rnn-rbm any batch the VMEM gate admits,
+    rnn-nade batch 1 or a multiple of 8). Both paths sample the same
+    distribution; RNG streams differ (ops/sampling.py contract)."""
     cfg = params.cfg
     batch = (state.decoder.v_prev.shape[1] if cfg.mode != "joint"
              else state.decoder.v_prev.shape[0])
@@ -406,19 +407,39 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
     from multinn_tpu.nn import rnn as rnn_nn
     from multinn_tpu.ops import gen_fused
     cfg = params.cfg
-    cell0 = state.decoder.cell[0]                        # stacked LSTMState
+    joint = cfg.mode == "joint"
+    # joint mode: ONE decoder over the concatenated tracks — enters the
+    # kernels as a 1-track stack of width K*D (gen_fused._eff_dims)
+    dec_params = (gen_fused._stack_joint(params.decoder) if joint
+                  else params.decoder)
+    dec_state = (gen_fused._stack_joint(state.decoder) if joint
+                 else state.decoder)
+    # LSTM states stacked over layers: (L, Keff, B, U)
+    h0 = jnp.stack([st.h for st in dec_state.cell])
+    c0 = jnp.stack([st.c for st in dec_state.cell])
     if cfg.decoder_type == "rnn-nade":
         roll, h_f, c_f = gen_fused.generate_nade(
-            key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
-            n_steps, interpret=interpret)                # roll (B, T, K, D)
+            key, dec_params, h0, c0, dec_state.v_prev,
+            n_steps, interpret=interpret)          # roll (B, T, Keff, Deff)
         state_cls = rnn_nade.State
     else:
         roll, h_f, c_f = gen_fused.generate_rbm(
-            key, params.decoder, cell0.h, cell0.c, state.decoder.v_prev,
+            key, dec_params, h0, c0, dec_state.v_prev,
             n_steps, cfg.gen_k if k is None else k, interpret=interpret)
-        state_cls = rnn_rbm.State                        # roll (B, T, K, D)
-    v_last = jnp.moveaxis(roll[:, -1], 0, 1)             # (K, B, D)
+        state_cls = rnn_rbm.State                  # roll (B, T, Keff, Deff)
+    v_last = jnp.moveaxis(roll[:, -1], 0, 1)             # (Keff, B, Deff)
+    n_layers = len(dec_state.cell)
+    if joint:
+        b = roll.shape[0]
+        new_dec = state_cls(
+            cell=tuple(rnn_nn.LSTMState(h=h_f[l, 0], c=c_f[l, 0])
+                       for l in range(n_layers)),
+            v_prev=v_last[0])
+        roll = roll.reshape(b, n_steps, cfg.n_tracks, cfg.n_pitches)
+        return MultINNState(decoder=new_dec, ctx=None), roll
     new_dec = state_cls(
-        cell=(rnn_nn.LSTMState(h=h_f, c=c_f),), v_prev=v_last)
+        cell=tuple(rnn_nn.LSTMState(h=h_f[l], c=c_f[l])
+                   for l in range(n_layers)),
+        v_prev=v_last)
     ctx = (_flatten_latents(v_last) if cfg.mode == "feedback" else None)
     return MultINNState(decoder=new_dec, ctx=ctx), roll

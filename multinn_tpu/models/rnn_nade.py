@@ -109,7 +109,8 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
         return nll, {"loss": nll}
     # teacher-forced conditional probabilities for frame metrics
     logits = jax.lax.stop_gradient(nade_nn.conditionals_logits(
-        x_tm, params.w, params.v, bv_t, bh_t))
+        x_tm, params.w, params.v, bv_t, bh_t,
+        form=nade_ops.default_ll_form()))
     probs = jax.nn.sigmoid(logits)
     metrics = frame_metrics(probs, x_tm, mask=m_tm)
     metrics["nll"] = nll
@@ -131,7 +132,8 @@ def conditional_logits(params: Params, x: jax.Array,
     state = init_state(params, x.shape[:1])
     _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm), seq)
     bv_t, bh_t = _biases(params, u_prev)
-    return nade_nn.conditionals_logits(x_tm, params.w, params.v, bv_t, bh_t)
+    return nade_nn.conditionals_logits(x_tm, params.w, params.v, bv_t, bh_t,
+                                       form=nade_ops.default_ll_form())
 
 
 def log_likelihood(params: Params, key: jax.Array, x: jax.Array,

@@ -61,26 +61,44 @@ def init(key: jax.Array, n_visible: int, n_hidden: int,
     )
 
 
-def conditionals_logits(x: jax.Array, w, v, bv, bh) -> jax.Array:
-    """All D conditional logits for observed x, in parallel (cumsum form).
+def _a_excl(contrib: jax.Array, form: str) -> jax.Array:
+    """Exclusive cumulative sum of per-dim contributions over the dim axis.
+
+    form='cumsum': XLA cumulative sum — log-depth shifted adds, each pass
+    touching the full (..., D, H) tensor (bandwidth ~ log2(D) x tensor).
+    form='tri': ONE strictly-lower-triangular (D, D) matmul — touches the
+    tensor once and puts the work on the MXU instead (D x the FLOPs, which
+    is the right trade once the tensor spills past VMEM). A/B-measured on
+    v5e in BASELINE.md; ops/nade_ops.py picks the default per backend.
+    Both are exact (f32 accumulation; summation order differs in the last
+    ulp only)."""
+    if form == "tri":
+        d = contrib.shape[-2]
+        lstrict = jnp.tril(jnp.ones((d, d), contrib.dtype), k=-1)
+        return jnp.einsum("ij,...jh->...ih", lstrict, contrib)
+    csum = jnp.cumsum(contrib, axis=-2)
+    return jnp.concatenate(
+        [jnp.zeros_like(csum[..., :1, :]), csum[..., :-1, :]], axis=-2)
+
+
+def conditionals_logits(x: jax.Array, w, v, bv, bh,
+                        form: str = "cumsum") -> jax.Array:
+    """All D conditional logits for observed x, in parallel.
 
     x: (..., D); w, v: (D, H); bv: (..., D) or (D,); bh: (..., H) or (H,).
     Returns logits (..., D) with logits_i = bv_i + V_i · σ(a_i).
+    ``form`` selects the exclusive-cumsum evaluation (see _a_excl).
     """
     # contrib[..., j, :] = x_j * W_j   -> (..., D, H)
     contrib = x[..., :, None] * w
-    # exclusive cumulative sum over the dim axis: a_i = bh + Σ_{j<i} contrib_j
-    csum = jnp.cumsum(contrib, axis=-2)
-    a_excl = jnp.concatenate(
-        [jnp.zeros_like(csum[..., :1, :]), csum[..., :-1, :]], axis=-2)
-    a = a_excl + bh[..., None, :]
+    a = _a_excl(contrib, form) + bh[..., None, :]
     h = jax.nn.sigmoid(a)                      # (..., D, H)
     return bv + jnp.einsum("...dh,dh->...d", h, v)
 
 
-def log_prob(x: jax.Array, w, v, bv, bh) -> jax.Array:
+def log_prob(x: jax.Array, w, v, bv, bh, form: str = "cumsum") -> jax.Array:
     """Exact log p(x) = Σ_i log p(x_i | x_<i). Returns (...,)."""
-    logits = conditionals_logits(x, w, v, bv, bh)
+    logits = conditionals_logits(x, w, v, bv, bh, form=form)
     # log Bernoulli: x*logσ(l) + (1-x)*logσ(-l)
     ll = x * jax.nn.log_sigmoid(logits) + (1 - x) * jax.nn.log_sigmoid(-logits)
     return jnp.sum(ll, axis=-1)

@@ -32,10 +32,12 @@ Measured on v5e (spec=4): 17.7 µs/step = 18.2 ms per 64-bar song at B=1
 2.36 ms/song.
 
 Scope (auto-dispatch gate in models/multinn.py): pass-through encoder,
-single-layer LSTM, per-track or feedback mode; rnn-rbm any batch that fits
-VMEM (gate measures exactly), rnn-nade batch 1. Everything else falls back
-to the scan path — same distribution, different RNG stream
-(ops/sampling.py contract; full 64-bit keying via key_to_seeds).
+LSTM cells of ANY stack depth (layer-major state rows; layer l consumes
+layer l-1's fresh h in-kernel), ANY inter-track mode (joint enters as one
+track of width K·D — see _eff_dims); rnn-rbm any batch that fits VMEM
+(gate measures exactly), rnn-nade batch 1 or a multiple of 8. Everything
+else falls back to the scan path — same distribution, different RNG
+stream (ops/sampling.py contract; full 64-bit keying via key_to_seeds).
 
 VMEM gates: ``supported*()`` compute byte counts by ``jax.eval_shape`` over
 the SAME ``_rbm_args``/``_nade_args`` builders the dispatch uses, plus the
@@ -59,8 +61,13 @@ from multinn_tpu.ops.sampling import key_to_seeds
 
 def _decoder_param_shapes(cfg, decoder_mod):
     """Track-stacked decoder Params as a ShapeDtypeStruct pytree — lets the
-    VMEM gates run the real arg builders without materializing arrays."""
+    VMEM gates run the real arg builders without materializing arrays.
+    ``joint`` mode's single decoder is stacked as one track (see _eff_dims)."""
     dcfg = cfg.decoder_config()
+    if cfg.mode == "joint":
+        return jax.eval_shape(
+            lambda k: _stack_joint(decoder_mod.init(k, dcfg)),
+            jax.random.PRNGKey(0))
     keys = jax.random.split(jax.random.PRNGKey(0), cfg.n_tracks)
     return jax.eval_shape(
         lambda ks: jax.vmap(lambda k: decoder_mod.init(k, dcfg))(ks), keys)
@@ -68,8 +75,22 @@ def _decoder_param_shapes(cfg, decoder_mod):
 
 def _common_gate(cfg, decoder_type: str) -> bool:
     return (cfg.decoder_type == decoder_type and not cfg.encoder_hidden
-            and cfg.cell == "lstm" and cfg.rnn_layers == 1
-            and cfg.mode != "joint")
+            and cfg.cell == "lstm")
+
+
+def _eff_dims(cfg):
+    """(K, D) as the KERNELS see them. ``joint`` mode is a single decoder
+    over the concatenated tracks — it enters the kernels as ONE track of
+    width K·D (the block layouts collapse to plain dense matrices), so the
+    whole-generation kernels cover every inter-track architecture."""
+    if cfg.mode == "joint":
+        return 1, cfg.n_tracks * cfg.n_pitches
+    return cfg.n_tracks, cfg.n_pitches
+
+
+def _stack_joint(tree):
+    """Single-decoder params/state -> 1-track stacked (leading axis)."""
+    return jax.tree.map(lambda a: a[None], tree)
 
 
 # ===========================================================================
@@ -79,24 +100,29 @@ def _common_gate(cfg, decoder_type: str) -> bool:
 def _rbm_args(dec_params, h0, c0, v0):
     """Kernel inputs from track-STACKED rnn_rbm.Params + state.
 
-    h0/c0: (K, B, U); v0: (K, B, D). Every per-track stack is flattened to a
-    2D block layout so per-track slices are static sublane ranges and the
-    Gibbs sweep is block-diagonal matmuls:
+    h0/c0: (L, K, B, U) stacked over the LSTM layers; v0: (K, B, D). Every
+    per-track stack is flattened to a 2D block layout so per-track slices
+    are static sublane ranges and the Gibbs sweep is block-diagonal
+    matmuls:
 
-        wb   (K*D, K*H)   block-diag RBM weights      wbt  (K*H, K*D)
-        wuvb (K*U, K*D)   bias conditioning           wuhb (K*U, K*H)
-        wx_v (K*D, 4U)    compact per-track LSTM input projection
-        wh   (K*U, 4U)    compact per-track recurrent weights
-        wctx (K*D, K*4U)  feedback-context projection (zeros when unused)
+        wb     (K*D, K*H)       block-diag RBM weights    wbt (K*H, K*D)
+        wuvb   (K*U, K*D)       bias conditioning         wuhb (K*U, K*H)
+        wx_v   (K*D, 4U)        compact per-track layer-0 input projection
+        wx_r   ((L-1)*K*U, 4U)  layers>=1 input projections (prev layer h)
+        wh     (L*K*U, 4U)      compact per-track recurrent weights
+        wctx   (K*D, K*4U)      feedback-context projection (zeros if unused)
+        b      (L, K*4U)        per-layer gate biases
 
-    State rows are (B, K*X) with per-track lane blocks.
+    State rows are (B, L*K*X) with layer-major, then per-track lane blocks.
     """
-    lstm = dec_params.cell[0]
+    cells = dec_params.cell
+    n_layers = len(cells)
+    lstm = cells[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
-    b = h0.shape[1]
+    b = h0.shape[2]
     idx = jnp.arange(k)
 
     def block_diag(mat_kxy):
@@ -117,27 +143,35 @@ def _rbm_args(dec_params, h0, c0, v0):
         wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(k * d, k * four_u)
     else:
         wctx = jnp.zeros((k * d, k * four_u), lstm.wx.dtype)
+    wh_all = jnp.concatenate(
+        [c.wh.reshape(k * u, four_u) for c in cells], axis=0)
+    b_all = jnp.stack([c.b.reshape(k * four_u) for c in cells])  # (L, K*4U)
 
-    def rows(x_kbx):                       # (K, B, X) -> (B, K*X)
-        return jnp.moveaxis(x_kbx, 0, 1).reshape(b, -1)
+    def rows(x_lkbx):                      # (L, K, B, X) -> (B, L*K*X)
+        return jnp.moveaxis(x_lkbx, 2, 0).reshape(b, -1)
 
-    return (
+    args = [
         wb, wbt, wuvb, wuhb,
         dec_params.bv.reshape(1, k * d),
         dec_params.bh.reshape(1, k * hid),
         wx_v,
-        lstm.wh.reshape(k * u, four_u),
+        wh_all,
         wctx,
-        lstm.b.reshape(1, k * four_u),
-        rows(h0), rows(c0), rows(v0),
-    )
+        b_all,
+        rows(h0), rows(c0),
+        jnp.moveaxis(v0, 1, 0).reshape(b, k * d),
+    ]
+    if n_layers > 1:
+        args.append(jnp.concatenate(
+            [c.wx.reshape(k * u, four_u) for c in cells[1:]], axis=0))
+    return tuple(args)
 
 
-def _rbm_scratch(batch: int, k: int, d: int, u: int):
-    return [pltpu.VMEM((batch, k * u), jnp.float32),      # h
-            pltpu.VMEM((batch, k * u), jnp.float32),      # c
-            pltpu.VMEM((batch, k * d), jnp.float32),      # v
-            pltpu.VMEM((batch, k * 4 * u), jnp.float32)]  # z
+def _rbm_scratch(batch: int, k: int, d: int, u: int, n_layers: int = 1):
+    return [pltpu.VMEM((batch, n_layers * k * u), jnp.float32),   # h
+            pltpu.VMEM((batch, n_layers * k * u), jnp.float32),   # c
+            pltpu.VMEM((batch, k * d), jnp.float32),              # v
+            pltpu.VMEM((batch, k * 4 * u), jnp.float32)]          # z
 
 
 def supported(cfg, batch: int, n_steps: int = 2048,
@@ -150,51 +184,60 @@ def supported(cfg, batch: int, n_steps: int = 2048,
     if not _common_gate(cfg, "rnn-rbm") or batch < 1:
         return False
     from multinn_tpu.models import rnn_rbm
-    k, d, u = cfg.n_tracks, cfg.n_pitches, cfg.n_rnn
-    hid = cfg.n_hidden
+    (k, d), u = _eff_dims(cfg), cfg.n_rnn
+    hid, nl = cfg.n_hidden, cfg.rnn_layers
     params = _decoder_param_shapes(cfg, rnn_rbm)
-    st = jax.ShapeDtypeStruct((k, batch, u), jnp.float32)
+    st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
     v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
     need = vmem.eval_shape_bytes(_rbm_args, params, st, st, v0)
-    need += vmem.scratch_bytes(_rbm_scratch(batch, k, d, u))
+    need += vmem.scratch_bytes(_rbm_scratch(batch, k, d, u, nl))
     need += 2 * 4 * batch * k * d            # roll block, double-buffered
-    need += 2 * 4 * batch * k * u            # hout/cout blocks
+    need += 2 * 4 * batch * nl * k * u       # hout/cout blocks
     need += 2 * 4 * batch * k * (hid + d)    # per-sweep uniform temporaries
     return need <= vmem.VMEM_BUDGET_BYTES
 
 
-def _rbm_kernel(seed_ref, wb_ref, wbt_ref, wuvb_ref, wuhb_ref,
-                bv_ref, bh_ref, wxv_ref, wh_ref, wctx_ref, b_ref,
-                h0_ref, c0_ref, v0_ref,
-                roll_ref, hout_ref, cout_ref,
-                h_s, c_s, v_s, z_s, *,
+def _rbm_kernel(seed_ref, *refs,
                 n_tracks: int, d: int, hid: int, u: int,
-                ctx_dim: int, gen_k: int):
+                ctx_dim: int, gen_k: int, n_layers: int = 1):
     """One GRID ITERATION = one generation step for all tracks and all B
     samples. Scratch (h/c/v rows) carries the state across iterations; the
     sampled frame is written to this iteration's roll block (Pallas streams
     it to HBM while the next step computes). Every per-track quantity is a
     (B, K*X) row, so each Gibbs sweep is TWO block-diagonal matmuls
-    ((B,K*D)@(K*D,K*H) and its transpose) for all tracks at once."""
+    ((B,K*D)@(K*D,K*H) and its transpose) for all tracks at once. Stacked
+    LSTMs (n_layers > 1) keep layer-major state rows (B, L*K*U): layer l's
+    input is layer l-1's fresh h; bias conditioning reads the TOP layer's
+    previous h (scan-path parity: u(t-1) = top-layer state)."""
+    if n_layers > 1:
+        (wb_ref, wbt_ref, wuvb_ref, wuhb_ref, bv_ref, bh_ref, wxv_ref,
+         wh_ref, wctx_ref, b_ref, h0_ref, c0_ref, v0_ref, wxr_ref,
+         roll_ref, hout_ref, cout_ref, h_s, c_s, v_s, z_s) = refs
+    else:
+        (wb_ref, wbt_ref, wuvb_ref, wuhb_ref, bv_ref, bh_ref, wxv_ref,
+         wh_ref, wctx_ref, b_ref, h0_ref, c0_ref, v0_ref,
+         roll_ref, hout_ref, cout_ref, h_s, c_s, v_s, z_s) = refs
     t = pl.program_id(0)
     kseed = seed_ref[0]
     kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
     kk = n_tracks
+    lku = kk * u
+    top = (n_layers - 1) * lku
 
     @pl.when(t == 0)
     def _():
-        h_s[:] = h0_ref[:]                # (B, K*U)
+        h_s[:] = h0_ref[:]                # (B, L*K*U)
         c_s[:] = c0_ref[:]
         v_s[:] = v0_ref[:]                # (B, K*D)
 
-    h_row = h_s[:]
+    h_top = h_s[:, top:top + lku]         # u(t-1): TOP layer previous h
     v_prev = v_s[:]                       # ctx(t) = latents(t-1) [training
     #                                       parity; at t=0 the primed v_prev]
 
     # conditioned biases for all tracks: two block-diagonal matmuls
-    bv_row = bv_ref[:] + jnp.dot(h_row, wuvb_ref[:],
+    bv_row = bv_ref[:] + jnp.dot(h_top, wuvb_ref[:],
                                  preferred_element_type=jnp.float32)
-    bh_row = bh_ref[:] + jnp.dot(h_row, wuhb_ref[:],
+    bh_row = bh_ref[:] + jnp.dot(h_top, wuhb_ref[:],
                                  preferred_element_type=jnp.float32)
 
     salt0 = kseed1 + t * (2 * gen_k)
@@ -213,30 +256,44 @@ def _rbm_kernel(seed_ref, wb_ref, wbt_ref, wuvb_ref, wuhb_ref,
     v_s[:] = v_new
     roll_ref[0] = v_new                   # -> HBM via the output pipeline
 
-    # LSTM advance: own-sample projection per track (compact wx_v) into the
-    # z scratch, feedback ctx from the PREVIOUS frame in one dense matmul,
-    # recurrent term per track (compact wh).
-    for k in range(kk):
-        z_s[:, k * 4 * u:(k + 1) * 4 * u] = (
-            jnp.dot(v_new[:, k * d:(k + 1) * d],
-                    wxv_ref[k * d:(k + 1) * d, :],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(h_row[:, k * u:(k + 1) * u],
-                      wh_ref[k * u:(k + 1) * u, :],
-                      preferred_element_type=jnp.float32))
-    z = z_s[:] + b_ref[:]
-    if ctx_dim:
-        z = z + jnp.dot(v_prev, wctx_ref[:],
-                        preferred_element_type=jnp.float32)
-    for k in range(kk):
-        zk = z[:, k * 4 * u:(k + 1) * 4 * u]
-        i_g = jax.nn.sigmoid(zk[:, :u])
-        f_g = jax.nn.sigmoid(zk[:, u:2 * u])
-        g_g = jnp.tanh(zk[:, 2 * u:3 * u])
-        o_g = jax.nn.sigmoid(zk[:, 3 * u:])
-        c_new = f_g * c_s[:, k * u:(k + 1) * u] + i_g * g_g
-        c_s[:, k * u:(k + 1) * u] = c_new
-        h_s[:, k * u:(k + 1) * u] = o_g * jnp.tanh(c_new)
+    # LSTM advance, layer by layer: layer 0's input is the fresh sample
+    # (compact wx_v per track) + the feedback ctx from the PREVIOUS frame;
+    # layer l>=1's input is layer l-1's FRESH h (compact wx_r per track).
+    # Reading h_s/c_s at offset l before writing it keeps each layer's own
+    # recurrent input at t-1.
+    for layer in range(n_layers):
+        off = layer * lku
+        h_l = h_s[:, off:off + lku]
+        for k in range(kk):
+            if layer == 0:
+                zin = jnp.dot(v_new[:, k * d:(k + 1) * d],
+                              wxv_ref[k * d:(k + 1) * d, :],
+                              preferred_element_type=jnp.float32)
+            else:
+                base = ((layer - 1) * kk + k) * u
+                zin = jnp.dot(inp[:, k * u:(k + 1) * u],
+                              wxr_ref[base:base + u, :],
+                              preferred_element_type=jnp.float32)
+            z_s[:, k * 4 * u:(k + 1) * 4 * u] = (
+                zin + jnp.dot(h_l[:, k * u:(k + 1) * u],
+                              wh_ref[(layer * kk + k) * u:
+                                     (layer * kk + k + 1) * u, :],
+                              preferred_element_type=jnp.float32))
+        z = z_s[:] + b_ref[layer:layer + 1, :]
+        if ctx_dim and layer == 0:
+            z = z + jnp.dot(v_prev, wctx_ref[:],
+                            preferred_element_type=jnp.float32)
+        for k in range(kk):
+            zk = z[:, k * 4 * u:(k + 1) * 4 * u]
+            i_g = jax.nn.sigmoid(zk[:, :u])
+            f_g = jax.nn.sigmoid(zk[:, u:2 * u])
+            g_g = jnp.tanh(zk[:, 2 * u:3 * u])
+            o_g = jax.nn.sigmoid(zk[:, 3 * u:])
+            col = off + k * u
+            c_new = f_g * c_s[:, col:col + u] + i_g * g_g
+            c_s[:, col:col + u] = c_new
+            h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
+        inp = h_s[:, off:off + lku]       # fresh h -> next layer's input
     hout_ref[:] = h_s[:]
     cout_ref[:] = c_s[:]
 
@@ -248,16 +305,22 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the fused whole-generation kernel (see _rbm_kernel).
 
-    dec_params: track-STACKED rnn_rbm.Params (leading axis K, single-layer
-    LSTM cell). h0/c0: (K, B, U); v0: (K, B, D) — any batch B the VMEM gate
-    admits. Returns (roll (B, n_steps, K, D), h_final (K, B, U),
-    c_final (K, B, U))."""
-    lstm = dec_params.cell[0]
+    dec_params: track-STACKED rnn_rbm.Params (leading axis K; any LSTM
+    stack depth). h0/c0: (L, K, B, U) stacked over layers ((K, B, U)
+    auto-promotes for single-layer cells); v0: (K, B, D) — any batch B the
+    VMEM gate admits. Returns (roll (B, n_steps, K, D),
+    h_final (L, K, B, U), c_final (L, K, B, U))."""
+    cells = dec_params.cell
+    n_layers = len(cells)
+    if h0.ndim == 3 and n_layers == 1:
+        h0, c0 = h0[None], c0[None]
+    lstm = cells[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
-    b = h0.shape[1]
+    b = h0.shape[2]
+    lku = n_layers * k * u
 
     args = _rbm_args(dec_params, h0, c0, v0)
     seed = key_to_seeds(key)
@@ -269,33 +332,36 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
         out_specs=(
             pl.BlockSpec((1, b, k * d), lambda t, s: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # roll stream
-            pl.BlockSpec((b, k * u), lambda t, s: (0, 0),
+            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),          # h final
-            pl.BlockSpec((b, k * u), lambda t, s: (0, 0),
+            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),          # c final
         ),
-        scratch_shapes=_rbm_scratch(b, k, d, u),
+        scratch_shapes=_rbm_scratch(b, k, d, u, n_layers),
     )
     roll, h_out, c_out = pl.pallas_call(
         functools.partial(_rbm_kernel, n_tracks=k,
-                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, gen_k=gen_k),
+                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, gen_k=gen_k,
+                          n_layers=n_layers),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, b, k * d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, k * u), jnp.float32),
-                   jax.ShapeDtypeStruct((b, k * u), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, lku), jnp.float32),
+                   jax.ShapeDtypeStruct((b, lku), jnp.float32)),
         interpret=(pltpu.InterpretParams() if interpret else False),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_steps * b * k * (
                 2 * gen_k * k * d * hid + u * k * (d + hid)
-                + (xin_dim + u) * four_u),
+                + (xin_dim + n_layers * u) * four_u
+                + (n_layers - 1) * u * four_u),
             bytes_accessed=4 * (n_steps * b * k * d),
-            transcendentals=n_steps * b * k * (gen_k * (d + hid) + 5 * u),
+            transcendentals=n_steps * b * k * (gen_k * (d + hid)
+                                               + 5 * n_layers * u),
         ),
     )(seed, *args)
     roll = jnp.moveaxis(roll.reshape(n_steps, b, k, d), 0, 1)  # (B,T,K,D)
-    return (roll,
-            jnp.moveaxis(h_out.reshape(b, k, u), 0, 1),        # (K,B,U)
-            jnp.moveaxis(c_out.reshape(b, k, u), 0, 1))
+    # (B, L*K*U) layer-major rows -> (L, K, B, U)
+    unrows = lambda r: jnp.moveaxis(r.reshape(b, n_layers, k, u), 0, 2)
+    return roll, unrows(h_out), unrows(c_out)
 
 
 # ===========================================================================
@@ -341,13 +407,17 @@ def _khp(k: int, hid: int) -> int:
 
 def _nade_args(dec_params, h0, c0, v0):
     """Kernel inputs from track-STACKED rnn_nade.Params + state.
-    h0/c0: (K, B, U); v0: (K, B, D). See the section comment for layouts."""
-    lstm = dec_params.cell[0]
+    h0/c0: (L, K, B, U) stacked over LSTM layers; v0: (K, B, D). See the
+    section comment for layouts; stacked cells follow _rbm_args (layer-major
+    state rows, compact per-track wh/wx blocks)."""
+    cells = dec_params.cell
+    n_layers = len(cells)
+    lstm = cells[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
-    b = h0.shape[1]
+    b = h0.shape[2]
     idx = jnp.arange(k)
     kp = _KP
 
@@ -403,25 +473,31 @@ def _nade_args(dec_params, h0, c0, v0):
     bv_dm = bv_full.reshape(d * kp, 1)
     v0_pad = jnp.zeros((kp, b, d), jnp.float32).at[:k].set(v0)
 
-    def rows(x_kbx):                       # (K, B, X) -> (B, K*X)
-        return jnp.moveaxis(x_kbx, 0, 1).reshape(b, -1)
+    def rows(x_lkbx):                      # (L, K, B, X) -> (B, L*K*X)
+        return jnp.moveaxis(x_lkbx, 2, 0).reshape(b, -1)
 
-    return (
+    args = [
         wm_dm, v_dm, wuv_dm,
         dec_params.wuh.reshape(k * u, hid),
-        lstm.wh.reshape(k * u, four_u),
+        jnp.concatenate([c.wh.reshape(k * u, four_u) for c in cells],
+                        axis=0),                       # (L*K*U, 4U)
         wctx,
         bv_dm,
         dec_params.bh,                                 # (K, H)
-        lstm.b.reshape(1, k * four_u),
+        jnp.stack([c.b.reshape(k * four_u) for c in cells]),  # (L, K*4U)
         rows(h0), rows(c0),
         v0_pad,                                        # (KP, B, D)
-    )
+    ]
+    if n_layers > 1:
+        args.append(jnp.concatenate(
+            [c.wx.reshape(k * u, four_u) for c in cells[1:]], axis=0))
+    return tuple(args)
 
 
-def _nade_scratch(batch: int, k: int, d: int, hid: int, u: int):
-    return [pltpu.VMEM((batch, k * u), jnp.float32),    # h
-            pltpu.VMEM((batch, k * u), jnp.float32),    # c
+def _nade_scratch(batch: int, k: int, d: int, hid: int, u: int,
+                  n_layers: int = 1):
+    return [pltpu.VMEM((batch, n_layers * k * u), jnp.float32),  # h
+            pltpu.VMEM((batch, n_layers * k * u), jnp.float32),  # c
             pltpu.VMEM((_KP, batch, d), jnp.float32),   # v
             pltpu.VMEM((batch, k * hid), jnp.float32),  # bh'
             pltpu.VMEM((d * _KP, batch), jnp.float32),  # bv'
@@ -434,18 +510,21 @@ def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
     a multiple of 8 (tile-aligned (KP, B) logit matmuls — see the section
     comment). The roll streams to HBM per grid step, so n_steps does not
     bound VMEM. Byte counts via the real arg builder."""
-    if (not _common_gate(cfg, "rnn-nade") or cfg.n_tracks > 8
-            or batch < 1 or (batch != 1 and batch % 8)):
+    if not _common_gate(cfg, "rnn-nade"):
+        return False
+    k, d = _eff_dims(cfg)
+    if k > 8 or batch < 1 or (batch != 1 and batch % 8):
         return False
     from multinn_tpu.models import rnn_nade
-    k, d, u = cfg.n_tracks, cfg.n_pitches, cfg.n_rnn
+    u, nl = cfg.n_rnn, cfg.rnn_layers
     params = _decoder_param_shapes(cfg, rnn_nade)
-    st = jax.ShapeDtypeStruct((k, batch, u), jnp.float32)
+    st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
     v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
     need = vmem.eval_shape_bytes(_nade_args, params, st, st, v0)
-    need += vmem.scratch_bytes(_nade_scratch(batch, k, d, cfg.n_hidden, u))
+    need += vmem.scratch_bytes(
+        _nade_scratch(batch, k, d, cfg.n_hidden, u, nl))
     need += 2 * 4 * _KP * batch * d          # roll block, double-buffered
-    need += 2 * 4 * batch * k * u            # hout/cout blocks
+    need += 2 * 4 * batch * nl * k * u       # hout/cout blocks
     # speculative-sweep side tables (whichever depth dispatches; budget the
     # larger): spec2 wsum (bf16) / spec4 per-quad w rows (f32)
     need += max(2 * (d // 2) * _KP * _khp(k, cfg.n_hidden),
@@ -455,7 +534,7 @@ def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
 
 def _nade_kernel(seed_ref, *refs,
                  batch: int, n_tracks: int, d: int, hid: int, u: int,
-                 ctx_dim: int, spec: int = 1):
+                 ctx_dim: int, spec: int = 1, n_layers: int = 1):
     """One GRID ITERATION = one generation step (all K tracks and B
     samples advance through the D dims together); scratch carries the
     LSTM/visible state and feedback projection across iterations, and the
@@ -473,20 +552,23 @@ def _nade_kernel(seed_ref, *refs,
     sequential adds exactly — only the cross-quad acc grouping (one 4KP-row
     dot instead of two 2KP-row dots) can differ in the last ulp (same
     distribution; equality still expected and tested at small sizes)."""
+    n_in = 12 + (n_layers > 1) + (spec > 1)
+    (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
+     bh_ref, b_ref, h0_ref, c0_ref, v0_ref) = refs[:12]
+    _extra = 12
+    if n_layers > 1:
+        wxr_ref = refs[_extra]
+        _extra += 1
     if spec > 1:
-        (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
-         bh_ref, b_ref, h0_ref, c0_ref, v0_ref, wspec_ref,
-         roll_ref, hout_ref, cout_ref,
-         h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs
-    else:
-        (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
-         bh_ref, b_ref, h0_ref, c0_ref, v0_ref,
-         roll_ref, hout_ref, cout_ref,
-         h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs
+        wspec_ref = refs[_extra]
+    (roll_ref, hout_ref, cout_ref,
+     h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs[n_in:]
     t = pl.program_id(0)
     kseed = seed_ref[0]
     kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
     kk = n_tracks
+    lku = kk * u
+    top = (n_layers - 1) * lku
 
     def ctx_projection(v_rows):
         """Feedback-context contribution to every track's LSTM gates:
@@ -504,14 +586,14 @@ def _nade_kernel(seed_ref, *refs,
 
     @pl.when(t == 0)
     def _():
-        h_s[:] = h0_ref[:]                # (B, K*U)
+        h_s[:] = h0_ref[:]                # (B, L*K*U)
         c_s[:] = c0_ref[:]
         v_s[:] = v0_ref[:]                # (KP, B, D) (rows >= K padding;
         #                                   carried for the state contract)
         if ctx_dim:
             zctx_s[:] = ctx_projection(v0_ref[:])
 
-    h_row = h_s[:]                    # (B, K*U)
+    h_row = h_s[:, top:top + lku]     # u(t-1): TOP layer previous h
 
     # per-track conditioned biases -> block scratches
     for k in range(kk):
@@ -707,25 +789,39 @@ def _nade_kernel(seed_ref, *refs,
     v_s[:] = v_new
     roll_ref[0] = v_new                   # (KP, B, D) -> HBM pipeline
 
-    # LSTM advance: z = z_acc (own-sample input projection, accumulated
-    # during the sweep) + zctx (previous step's cross-track latents)
-    # + per-track h @ wh + b
+    # LSTM advance, layer by layer (same structure as _rbm_kernel): layer 0
+    # consumes z_acc (own-sample input projection accumulated during the
+    # sweep) + zctx (previous step's cross-track latents); layer l>=1
+    # consumes layer l-1's FRESH h via compact per-track wx_r.
     zctx = zctx_s[:] if ctx_dim else None
-    for k in range(kk):
-        h_k = h_row[:, k * u:(k + 1) * u]
-        z = (z_acc[:, k * 4 * u:(k + 1) * 4 * u]
-             + jnp.dot(h_k, wh_ref[k * u:(k + 1) * u, :],
-                       preferred_element_type=jnp.float32)
-             + b_ref[:, k * 4 * u:(k + 1) * 4 * u])        # (B, 4U)
-        if ctx_dim:
-            z = z + zctx[:, k * 4 * u:(k + 1) * 4 * u]
-        i_g = jax.nn.sigmoid(z[:, :u])
-        f_g = jax.nn.sigmoid(z[:, u:2 * u])
-        g_g = jnp.tanh(z[:, 2 * u:3 * u])
-        o_g = jax.nn.sigmoid(z[:, 3 * u:])
-        c_new = f_g * c_s[:, k * u:(k + 1) * u] + i_g * g_g
-        c_s[:, k * u:(k + 1) * u] = c_new
-        h_s[:, k * u:(k + 1) * u] = o_g * jnp.tanh(c_new)
+    for layer in range(n_layers):
+        off = layer * lku
+        h_l = h_s[:, off:off + lku]
+        for k in range(kk):
+            if layer == 0:
+                zin = z_acc[:, k * 4 * u:(k + 1) * 4 * u]
+                if ctx_dim:
+                    zin = zin + zctx[:, k * 4 * u:(k + 1) * 4 * u]
+            else:
+                base = ((layer - 1) * kk + k) * u
+                zin = jnp.dot(inp[:, k * u:(k + 1) * u],
+                              wxr_ref[base:base + u, :],
+                              preferred_element_type=jnp.float32)
+            z = (zin + jnp.dot(h_l[:, k * u:(k + 1) * u],
+                               wh_ref[(layer * kk + k) * u:
+                                      (layer * kk + k + 1) * u, :],
+                               preferred_element_type=jnp.float32)
+                 + b_ref[layer:layer + 1,
+                         k * 4 * u:(k + 1) * 4 * u])       # (B, 4U)
+            i_g = jax.nn.sigmoid(z[:, :u])
+            f_g = jax.nn.sigmoid(z[:, u:2 * u])
+            g_g = jnp.tanh(z[:, 2 * u:3 * u])
+            o_g = jax.nn.sigmoid(z[:, 3 * u:])
+            col = off + k * u
+            c_new = f_g * c_s[:, col:col + u] + i_g * g_g
+            c_s[:, col:col + u] = c_new
+            h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
+        inp = h_s[:, off:off + lku]       # fresh h -> next layer's input
     if ctx_dim:
         zctx_s[:] = ctx_projection(v_new)
     hout_ref[:] = h_s[:]
@@ -738,21 +834,28 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                   interpret: bool = False, spec: int = None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused whole-generation for track-stacked rnn_nade.Params.
-    h0/c0: (K, B, U); v0: (K, B, D) — B = 1 or a multiple of 8 (the gate
-    enforces this). Returns (roll (B, n_steps, K, D), h_final (K, B, U),
-    c_final (K, B, U)) — same contract as generate_rbm.
+    h0/c0: (L, K, B, U) stacked over LSTM layers ((K, B, U) auto-promotes
+    for single-layer cells); v0: (K, B, D) — B = 1 or a multiple of 8 (the
+    gate enforces this). Returns (roll (B, n_steps, K, D),
+    h_final (L, K, B, U), c_final (L, K, B, U)) — same contract as
+    generate_rbm.
 
     ``spec`` (None = auto: deepest depth in {4, 2, 1} dividing D) is the
     speculative dim-sweep depth — same uniforms as the sequential sweep,
     D/spec serial dependency rounds (equality-tested; A/B measured in
     BASELINE.md). Env knob MULTINN_NADE_SPEC=1|2|4 overrides the auto
     choice (ignored when it does not divide D)."""
-    lstm = dec_params.cell[0]
+    cells = dec_params.cell
+    n_layers = len(cells)
+    if h0.ndim == 3 and n_layers == 1:
+        h0, c0 = h0[None], c0[None]
+    lstm = cells[0]
     k, xin_dim, four_u = lstm.wx.shape
     u = four_u // 4
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
-    b = h0.shape[1]
+    b = h0.shape[2]
+    lku = n_layers * k * u
     if spec is None:
         import os
         env = os.environ.get("MULTINN_NADE_SPEC")
@@ -794,20 +897,21 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
         out_specs=(
             pl.BlockSpec((1, _KP, b, d), lambda t, s: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),          # roll stream
-            pl.BlockSpec((b, k * u), lambda t, s: (0, 0),
+            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),          # h final
-            pl.BlockSpec((b, k * u), lambda t, s: (0, 0),
+            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),          # c final
         ),
-        scratch_shapes=_nade_scratch(b, k, d, hid, u),
+        scratch_shapes=_nade_scratch(b, k, d, hid, u, n_layers),
     )
     roll, h_out, c_out = pl.pallas_call(
         functools.partial(_nade_kernel, batch=b, n_tracks=k,
-                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec=spec),
+                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec=spec,
+                          n_layers=n_layers),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, b, d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, k * u), jnp.float32),
-                   jax.ShapeDtypeStruct((b, k * u), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, lku), jnp.float32),
+                   jax.ShapeDtypeStruct((b, lku), jnp.float32)),
         interpret=(pltpu.InterpretParams() if interpret else False),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_steps * b * (d * k * k * (2 * hid + 4 * u)
@@ -817,6 +921,6 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
         ),
     )(seed, *args)
     roll = jnp.transpose(roll[:, :k], (2, 0, 1, 3))     # (B, T, K, D)
-    return (roll,
-            jnp.moveaxis(h_out.reshape(b, k, u), 0, 1),  # (K, B, U)
-            jnp.moveaxis(c_out.reshape(b, k, u), 0, 1))
+    # (B, L*K*U) layer-major rows -> (L, K, B, U)
+    unrows = lambda r: jnp.moveaxis(r.reshape(b, n_layers, k, u), 0, 2)
+    return roll, unrows(h_out), unrows(c_out)

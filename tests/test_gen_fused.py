@@ -90,8 +90,8 @@ def test_supported_gating():
     assert gen_fused.supported(cfg_for(), 8)          # batched serving shape
     assert not gen_fused.supported(cfg_for(decoder_type="rnn-nade"), 1)
     assert not gen_fused.supported(cfg_for(encoder_hidden=(8,)), 1)
-    assert not gen_fused.supported(cfg_for(rnn_layers=2), 1)
-    assert not gen_fused.supported(cfg_for(mode="joint"), 1)
+    assert gen_fused.supported(cfg_for(rnn_layers=2), 1)  # stacked cells
+    assert gen_fused.supported(cfg_for(mode="joint"), 1)  # 1 track of K*D
     assert not gen_fused.supported(cfg_for(cell="vanilla"), 1)
     # the VMEM gate measures the real arg builders: weights that cannot fit
     # (block-diag (K*D, K*H) alone ~75 MB) must be rejected even at batch 1
@@ -233,7 +233,7 @@ def test_nade_supported_gating():
     assert gen_fused.supported_nade(nade_cfg(), 8)      # batched serving
     assert not gen_fused.supported_nade(nade_cfg(), 2)  # not tile-aligned
     assert not gen_fused.supported_nade(cfg_for(), 1)   # rnn-rbm
-    assert not gen_fused.supported_nade(nade_cfg(rnn_layers=2), 1)
+    assert gen_fused.supported_nade(nade_cfg(rnn_layers=2), 1)  # stacked
     assert not gen_fused.supported_nade(nade_cfg(), 80_000)  # VMEM
 
 
@@ -384,3 +384,128 @@ def test_nade_spec_identical_to_sequential(mode, batch, spec):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
     assert float(r_sp[0].mean()) > 0.05      # non-degenerate sampling
+
+
+@pytest.mark.parametrize("dec_type", ["rnn-rbm", "rnn-nade"])
+def test_joint_mode_fused_matches_scan_distribution(dec_type):
+    """Joint mode enters the kernels as ONE track of width K*D
+    (gen_fused._eff_dims): the fused path must agree with the scan path in
+    distribution, honor the (B, T, K, D) roll contract, and return a
+    joint-shaped (unstacked) state."""
+    cfg = MultINNConfig(n_tracks=3, n_pitches=16, mode="joint",
+                        decoder_type=dec_type, n_hidden=12, n_rnn=10,
+                        cd_k=1, gen_k=3, w_std=0.2)
+    assert (gen_fused.supported(cfg, 1) if dec_type == "rnn-rbm"
+            else gen_fused.supported_nade(cfg, 1))
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    bv = dec.bv + jnp.linspace(-2.0, 2.0, 3 * 16)
+    params = params.replace(decoder=dec.replace(bv=bv))
+
+    # T sized for the tolerance: the time-mean of correlated Gibbs samples
+    # has measured scan-vs-scan noise ~0.10-0.15 at T=48; T=96 halves the
+    # variance (noise floor ~0.09 measured across seeds)
+    T = 96
+    st = multinn.init_state(params, 1)
+    _, scan_roll = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                    fused=False)
+    st2 = multinn.init_state(params, 1)
+    fin, fused_roll = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    assert fused_roll.shape == scan_roll.shape == (1, T, 3, 16)
+    assert set(np.unique(np.asarray(fused_roll))) <= {0.0, 1.0}
+    m_scan = np.asarray(scan_roll.mean(axis=(0, 1, 2)))
+    m_fused = np.asarray(fused_roll.mean(axis=(0, 1, 2)))
+    np.testing.assert_allclose(m_fused, m_scan, atol=0.13)
+    # unstacked state contract: v_prev (B, K*D) equals the last frame
+    assert fin.decoder.v_prev.shape == (1, 3 * 16)
+    np.testing.assert_array_equal(
+        np.asarray(fin.decoder.v_prev[0]),
+        np.asarray(fused_roll[0, -1].reshape(-1)))
+    assert fin.decoder.cell[0].h.shape == (1, 10)
+    assert fin.ctx is None
+    # fused continuation from the returned state must keep working
+    _, roll2 = multinn._generate_fused(params, jax.random.PRNGKey(3), fin, 4,
+                                       interpret=True)
+    assert roll2.shape == (1, 4, 3, 16)
+
+
+@pytest.mark.parametrize("dec_type", ["rnn-rbm", "rnn-nade"])
+def test_multilayer_fused_matches_scan_distribution(dec_type):
+    """Stacked (2-layer) LSTM cells in the whole-generation kernels: layer
+    l consumes layer l-1's fresh h; bias conditioning reads the TOP layer
+    (scan-path parity). Distribution + full stacked-state contract."""
+    cfg = MultINNConfig(n_tracks=3, n_pitches=16, mode="feedback",
+                        decoder_type=dec_type, n_hidden=12, n_rnn=10,
+                        rnn_layers=2, cd_k=1, gen_k=3, w_std=0.2)
+    assert (gen_fused.supported(cfg, 1) if dec_type == "rnn-rbm"
+            else gen_fused.supported_nade(cfg, 1))
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    bv = dec.bv + jnp.linspace(-2.0, 2.0, 16)[None, :]
+    params = params.replace(decoder=dec.replace(bv=bv))
+
+    T = 96
+    st = multinn.init_state(params, 1)
+    _, scan_roll = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                    fused=False)
+    st2 = multinn.init_state(params, 1)
+    fin, fused_roll = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    assert fused_roll.shape == scan_roll.shape == (1, T, 3, 16)
+    m_scan = np.asarray(scan_roll.mean(axis=(0, 1, 2)))
+    m_fused = np.asarray(fused_roll.mean(axis=(0, 1, 2)))
+    np.testing.assert_allclose(m_fused, m_scan, atol=0.13)
+    # stacked-state contract: 2 layers, each (K, B, U); priming then fused
+    # continuation must roundtrip through the scan-path state structure
+    assert len(fin.decoder.cell) == 2
+    for lstate in fin.decoder.cell:
+        assert lstate.h.shape == (3, 1, 10)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(fin.decoder.v_prev, 0, 1)),
+        np.asarray(fused_roll[:, -1]))
+    st3 = multinn.prime(params, multinn.init_state(params, 1),
+                        fused_roll[:, :8])
+    _, roll2 = multinn._generate_fused(params, jax.random.PRNGKey(3), st3,
+                                       4, interpret=True)
+    assert roll2.shape == (1, 4, 3, 16)
+
+
+def test_multilayer_fused_state_equals_scan_trajectory():
+    """Deterministic check that the stacked-layer plumbing is EXACT: with
+    w_std=0 and strong biases the samples are deterministic, so the fused
+    kernel's final 2-layer LSTM states must match the scan path's to float
+    tolerance (wrong layer wiring produces O(1) differences)."""
+    cfg = MultINNConfig(n_tracks=2, n_pitches=8, mode="feedback",
+                        decoder_type="rnn-rbm", n_hidden=6, n_rnn=5,
+                        rnn_layers=2, cd_k=1, gen_k=2, w_std=0.0)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    pattern = jnp.where(jnp.arange(8) % 2 == 0, 10.0, -10.0)
+    params = params.replace(decoder=dec.replace(
+        bv=jnp.tile(pattern[None], (2, 1))))
+    # give the LSTM stack real weights (only the RBM couplings stay zero so
+    # sampling is deterministic)
+    import dataclasses
+    cells = []
+    kk = jax.random.PRNGKey(7)
+    for i, c in enumerate(params.decoder.cell):
+        k1, k2, kk = jax.random.split(kk, 3)
+        cells.append(c.replace(
+            wx=0.4 * jax.random.normal(k1, c.wx.shape),
+            wh=0.4 * jax.random.normal(k2, c.wh.shape)))
+    params = params.replace(decoder=params.decoder.replace(
+        cell=tuple(cells)))
+    T = 6
+    st = multinn.init_state(params, 1)
+    fin_s, roll_s = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                     fused=False)
+    st2 = multinn.init_state(params, 1)
+    fin_f, roll_f = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    np.testing.assert_array_equal(np.asarray(roll_f), np.asarray(roll_s))
+    for ls, lf in zip(fin_s.decoder.cell, fin_f.decoder.cell):
+        np.testing.assert_allclose(np.asarray(lf.h), np.asarray(ls.h),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lf.c), np.asarray(ls.c),
+                                   rtol=1e-5, atol=1e-6)

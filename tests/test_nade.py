@@ -126,3 +126,31 @@ def test_gradients_flow_everywhere(small_nade):
         arr = np.asarray(leaf)
         assert np.all(np.isfinite(arr))
         assert np.abs(arr).max() > 0
+
+
+def test_tri_form_matches_cumsum(small_nade):
+    """The strictly-lower-triangular-matmul evaluation of the exclusive
+    cumsum (nn.nade._a_excl form='tri' — the MXU-friendly variant the TPU
+    dispatch can pick) must agree with the cumsum form to float tolerance,
+    on plain and batched (time-conditioned) biases, and its gradients must
+    match too."""
+    p = small_nade
+    x = jax.random.bernoulli(
+        jax.random.PRNGKey(7), 0.4, (9, 6)).astype(jnp.float32)
+    ll_c = nade.log_prob(x, p.w, p.v, p.bv, p.bh, form="cumsum")
+    ll_t = nade.log_prob(x, p.w, p.v, p.bv, p.bh, form="tri")
+    np.testing.assert_allclose(np.asarray(ll_t), np.asarray(ll_c),
+                               rtol=1e-5, atol=1e-5)
+    bv = jnp.broadcast_to(p.bv, (9, 6)) + 0.3
+    bh = jnp.broadcast_to(p.bh, (9, 4)) - 0.1
+    np.testing.assert_allclose(
+        np.asarray(nade.log_prob(x, p.w, p.v, bv, bh, form="tri")),
+        np.asarray(nade.log_prob(x, p.w, p.v, bv, bh, form="cumsum")),
+        rtol=1e-5, atol=1e-5)
+    g_c = jax.grad(lambda q: -nade.log_prob(
+        x, q.w, q.v, q.bv, q.bh, form="cumsum").mean())(p)
+    g_t = jax.grad(lambda q: -nade.log_prob(
+        x, q.w, q.v, q.bv, q.bh, form="tri").mean())(p)
+    for a, b in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
