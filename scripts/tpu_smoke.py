@@ -4,11 +4,12 @@ a CPU mesh and cannot catch Mosaic-only lowering issues):
 
     python scripts/tpu_smoke.py
 
-Compiles + runs every TPU-only path: both Pallas sampling kernels, both
-whole-generation fused kernels (feedback + per-track), a fused multi-step
-train program, and a single-chip eval step. Prints one PASS/FAIL line per
-item; exits nonzero on any failure. Budget ~5-10 min (first-compile cold
-start; see BASELINE.md notes).
+Compiles + runs every TPU-only path: both Pallas sampling kernels, the
+whole-generation fused kernels across feedback/per-track/joint modes and
+stacked cells, a Hessian-free macro-step, a fused multi-step train
+program, and a single-chip eval step. Prints one PASS/FAIL line per item;
+exits nonzero on any failure. Budget ~5-10 min (first-compile cold start;
+see BASELINE.md notes).
 """
 
 from __future__ import annotations
@@ -97,6 +98,35 @@ def main() -> int:
             assert np.isfinite(ev["loss"])
             t.close()
 
+    def fused_multilayer():
+        # 2-layer stacked cells through the fused NADE kernel (the RBM
+        # 2-layer flagship exceeds the VMEM budget and falls back — the
+        # NADE one exercises the stacked-layer kernel path on hardware)
+        cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
+                            decoder_type="rnn-nade", n_hidden=150,
+                            n_rnn=100, rnn_layers=2)
+        from multinn_tpu.ops import gen_fused
+        assert gen_fused.supported_nade(cfg, 1)
+        params = multinn.init(jax.random.PRNGKey(0), cfg)
+        st = multinn.init_state(params, 1)
+        _, roll = multinn.generate(params, jax.random.PRNGKey(1), st, 64,
+                                   fused=True)
+        jax.block_until_ready(roll)
+        assert roll.shape == (1, 64, 5, 84)
+
+    def hf_step():
+        from multinn_tpu.training import hf
+        cfg = MultINNConfig(n_tracks=3, n_pitches=24, mode="feedback",
+                            decoder_type="rnn-nade", n_hidden=32, n_rnn=16)
+        params = multinn.init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.bernoulli(jax.random.PRNGKey(1), 0.1,
+                                 (4, 16, 3, 24)).astype(jnp.float32)
+        st = hf.init_state(params, 1.0)
+        p, s, m = jax.jit(lambda p_, s_: hf.hf_step(
+            p_, s_, x, jax.random.PRNGKey(2), cg_iters=8))(params, st)
+        jax.block_until_ready(m["loss"])
+        assert bool(jnp.isfinite(m["loss"]))
+
     check("pallas_gibbs_chain", gibbs_kernel)
     check("pallas_nade_sweep", nade_kernel)
     check("fused_gen_rbm_feedback", fused("rnn-rbm", "feedback"))
@@ -105,6 +135,10 @@ def main() -> int:
     check("fused_gen_rbm_batched_b8", fused("rnn-rbm", "feedback", batch=8))
     check("fused_gen_nade_batched_b8", fused("rnn-nade", "feedback",
                                              batch=8))
+    check("fused_gen_rbm_joint", fused("rnn-rbm", "joint"))
+    check("fused_gen_nade_joint", fused("rnn-nade", "joint"))
+    check("fused_gen_nade_2layer", fused_multilayer)
+    check("hessian_free_macro_step", hf_step)
     check("train_multistep_and_masked_eval", train_multi)
 
     if failures:

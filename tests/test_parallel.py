@@ -479,3 +479,39 @@ def test_seqpipe_multilayer_remat_matches_single_device(tmp_path):
                                    rtol=1e-4, atol=1e-6)
     t_single.close()
     t_pipe.close()
+
+
+def test_hf_gspmd_step_matches_single_device(tmp_path):
+    """Hessian-free macro-step under a GSPMD data mesh (the mesh style the
+    Trainer admits for optimizer='hf'): the whole CG solve is one
+    global-view program, so loss/params must match single-device to float
+    tolerance (the NADE objective is key-independent and the CG is
+    deterministic — differences come only from reduction orders)."""
+    def mk(mesh, name):
+        cfg = exp_cfg(tmp_path, mesh, name=name)
+        import dataclasses
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, optimizer="hf",
+                                           hf_cg_iters=8))
+    t_single = Trainer(mk(MeshConfig(use_mesh=False), "hf_s"))
+    t_mesh = Trainer(mk(MeshConfig(use_mesh=True, style="gspmd"), "hf_m"))
+    new_s, met_s = _one_step(t_single)
+    new_m, met_m = _one_step(t_mesh)
+    np.testing.assert_allclose(float(met_s["loss"]), float(met_m["loss"]),
+                               rtol=1e-5)
+    assert float(met_s["hf_accepted"]) == float(met_m["hf_accepted"])
+    for a, b in zip(jax.tree.leaves(new_s), jax.tree.leaves(new_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    t_single.close()
+    t_mesh.close()
+
+
+def test_hf_rejects_explicit_mesh_styles(tmp_path):
+    cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=True, style="shard_map"),
+                  name="hf_bad")
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, optimizer="hf"))
+    with pytest.raises(ValueError, match="GSPMD"):
+        Trainer(cfg)
