@@ -97,7 +97,7 @@ def _stack_joint(tree):
 # RNN-RBM whole-generation fused kernel (batched, roll streamed to HBM)
 # ===========================================================================
 
-def _rbm_args(dec_params, h0, c0, v0):
+def _rbm_args(dec_params, h0, c0, v0, wdtype=jnp.float32):
     """Kernel inputs from track-STACKED rnn_rbm.Params + state.
 
     h0/c0: (L, K, B, U) stacked over the LSTM layers; v0: (K, B, D). Every
@@ -114,6 +114,13 @@ def _rbm_args(dec_params, h0, c0, v0):
         b      (L, K*4U)        per-layer gate biases
 
     State rows are (B, L*K*X) with layer-major, then per-track lane blocks.
+
+    ``wdtype=bfloat16`` stores the five BIG block matrices (wb/wbt/wuvb/
+    wuhb/wctx) bf16 — the capacity mode the gate falls back to when the
+    f32 layout exceeds the VMEM budget (large serving batches, stacked
+    flagship cells). The kernel feeds them to the MXU directly with f32
+    accumulation; weights round to bf16 (~3 decimal digits), the same
+    storage trade the NADE kernel always makes.
     """
     cells = dec_params.cell
     n_layers = len(cells)
@@ -128,8 +135,8 @@ def _rbm_args(dec_params, h0, c0, v0):
     def block_diag(mat_kxy):
         """(K, X, Y) -> (K*X, K*Y) with per-track diagonal blocks."""
         _, x, y = mat_kxy.shape
-        out = jnp.zeros((k, x, k, y), mat_kxy.dtype)
-        out = out.at[idx, :, idx, :].set(mat_kxy)
+        out = jnp.zeros((k, x, k, y), wdtype)
+        out = out.at[idx, :, idx, :].set(mat_kxy.astype(wdtype))
         return out.reshape(k * x, k * y)
 
     wb = block_diag(dec_params.w)                           # (K*D, K*H)
@@ -140,9 +147,10 @@ def _rbm_args(dec_params, h0, c0, v0):
     if ctx_dim:
         # rows [j*D + i]: d z/d v_{j,i}(t-1) for all target tracks' gates
         wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
-        wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(k * d, k * four_u)
+        wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(
+            k * d, k * four_u).astype(wdtype)
     else:
-        wctx = jnp.zeros((k * d, k * four_u), lstm.wx.dtype)
+        wctx = jnp.zeros((k * d, k * four_u), wdtype)
     wh_all = jnp.concatenate(
         [c.wh.reshape(k * u, four_u) for c in cells], axis=0)
     b_all = jnp.stack([c.b.reshape(k * four_u) for c in cells])  # (L, K*4U)
@@ -183,18 +191,38 @@ def supported(cfg, batch: int, n_steps: int = 2048,
     Mosaic compile time."""
     if not _common_gate(cfg, "rnn-rbm") or batch < 1:
         return False
+    return rbm_weight_dtype(cfg, batch) is not None
+
+
+def _rbm_fixed_bytes(batch: int, k: int, d: int, u: int, hid: int,
+                     nl: int) -> int:
+    """Non-weight VMEM bytes of the RBM kernel (shared between the gate and
+    generate_rbm's auto weight-dtype rule — one formula, no drift)."""
+    fixed = vmem.scratch_bytes(_rbm_scratch(batch, k, d, u, nl))
+    fixed += 2 * 4 * batch * k * d           # roll block, double-buffered
+    fixed += 2 * 4 * batch * nl * k * u      # hout/cout blocks
+    fixed += 2 * 4 * batch * k * (hid + d)   # per-sweep uniform temporaries
+    return fixed
+
+
+def rbm_weight_dtype(cfg, batch: int):
+    """The weight-storage dtype the dispatch will use for this config/batch
+    (shared rule between the gate and generate_rbm's auto mode): f32 when
+    the full-precision layout fits the VMEM budget, else bf16 (capacity
+    mode — see _rbm_args), else None (fall back to the scan path)."""
     from multinn_tpu.models import rnn_rbm
     (k, d), u = _eff_dims(cfg), cfg.n_rnn
     hid, nl = cfg.n_hidden, cfg.rnn_layers
     params = _decoder_param_shapes(cfg, rnn_rbm)
     st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
     v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
-    need = vmem.eval_shape_bytes(_rbm_args, params, st, st, v0)
-    need += vmem.scratch_bytes(_rbm_scratch(batch, k, d, u, nl))
-    need += 2 * 4 * batch * k * d            # roll block, double-buffered
-    need += 2 * 4 * batch * nl * k * u       # hout/cout blocks
-    need += 2 * 4 * batch * k * (hid + d)    # per-sweep uniform temporaries
-    return need <= vmem.VMEM_BUDGET_BYTES
+    fixed = _rbm_fixed_bytes(batch, k, d, u, hid, nl)
+    for wdtype in (jnp.float32, jnp.bfloat16):
+        need = fixed + vmem.eval_shape_bytes(
+            functools.partial(_rbm_args, wdtype=wdtype), params, st, st, v0)
+        if need <= vmem.VMEM_BUDGET_BYTES:
+            return wdtype
+    return None
 
 
 def _rbm_kernel(seed_ref, *refs,
@@ -234,21 +262,25 @@ def _rbm_kernel(seed_ref, *refs,
     v_prev = v_s[:]                       # ctx(t) = latents(t-1) [training
     #                                       parity; at t=0 the primed v_prev]
 
+    def wdot(a, w):
+        # capacity mode (bf16-stored block matrices): feed the MXU bf16 on
+        # BOTH sides with f32 accumulation. The Gibbs operands are binary
+        # (exact in bf16); h_top rounds to bf16 in the bias conditioning.
+        if w.dtype == jnp.bfloat16:
+            a = a.astype(jnp.bfloat16)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
     # conditioned biases for all tracks: two block-diagonal matmuls
-    bv_row = bv_ref[:] + jnp.dot(h_top, wuvb_ref[:],
-                                 preferred_element_type=jnp.float32)
-    bh_row = bh_ref[:] + jnp.dot(h_top, wuhb_ref[:],
-                                 preferred_element_type=jnp.float32)
+    bv_row = bv_ref[:] + wdot(h_top, wuvb_ref[:])
+    bh_row = bh_ref[:] + wdot(h_top, wuhb_ref[:])
 
     salt0 = kseed1 + t * (2 * gen_k)
 
     def sweep(s, v):
-        ph = jax.nn.sigmoid(jnp.dot(
-            v, wb_ref[:], preferred_element_type=jnp.float32) + bh_row)
+        ph = jax.nn.sigmoid(wdot(v, wb_ref[:]) + bh_row)
         uh = kernel_prng.random_uniform(ph.shape, kseed, salt0 + 2 * s)
         h = (uh < ph).astype(jnp.float32)
-        pv = jax.nn.sigmoid(jnp.dot(
-            h, wbt_ref[:], preferred_element_type=jnp.float32) + bv_row)
+        pv = jax.nn.sigmoid(wdot(h, wbt_ref[:]) + bv_row)
         uv = kernel_prng.random_uniform(pv.shape, kseed, salt0 + 2 * s + 1)
         return (uv < pv).astype(jnp.float32)
 
@@ -281,8 +313,7 @@ def _rbm_kernel(seed_ref, *refs,
                               preferred_element_type=jnp.float32))
         z = z_s[:] + b_ref[layer:layer + 1, :]
         if ctx_dim and layer == 0:
-            z = z + jnp.dot(v_prev, wctx_ref[:],
-                            preferred_element_type=jnp.float32)
+            z = z + wdot(v_prev, wctx_ref[:])
         for k in range(kk):
             zk = z[:, k * 4 * u:(k + 1) * 4 * u]
             i_g = jax.nn.sigmoid(zk[:, :u])
@@ -299,9 +330,10 @@ def _rbm_kernel(seed_ref, *refs,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_steps", "gen_k", "interpret"))
+                   static_argnames=("n_steps", "gen_k", "interpret",
+                                    "wdtype"))
 def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
-                 gen_k: int, interpret: bool = False
+                 gen_k: int, interpret: bool = False, wdtype=None
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the fused whole-generation kernel (see _rbm_kernel).
 
@@ -321,8 +353,17 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     ctx_dim = xin_dim - d
     b = h0.shape[2]
     lku = n_layers * k * u
+    if wdtype is None:
+        # auto: f32 when it fits, else the bf16 capacity mode (same rule as
+        # rbm_weight_dtype — shared fixed-bytes formula)
+        need32 = (_rbm_fixed_bytes(b, k, d, u, hid, n_layers)
+                  + vmem.eval_shape_bytes(
+                      functools.partial(_rbm_args, wdtype=jnp.float32),
+                      dec_params, h0, c0, v0))
+        wdtype = (jnp.float32 if need32 <= vmem.VMEM_BUDGET_BYTES
+                  else jnp.bfloat16)
 
-    args = _rbm_args(dec_params, h0, c0, v0)
+    args = _rbm_args(dec_params, h0, c0, v0, wdtype=wdtype)
     seed = key_to_seeds(key)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -509,3 +509,61 @@ def test_multilayer_fused_state_equals_scan_trajectory():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(lf.c), np.asarray(ls.c),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_rbm_weight_dtype_capacity_mode():
+    """The RBM gate's weight-storage rule: f32 while it fits, bf16 capacity
+    mode past the f32 VMEM budget (large serving batches / stacked
+    flagship cells), None only when even bf16 cannot fit."""
+    import jax.numpy as jnp
+    flagship = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
+                             decoder_type="rnn-rbm", n_hidden=150,
+                             n_rnn=100, cd_k=1, gen_k=10)
+    assert gen_fused.rbm_weight_dtype(flagship, 8) == jnp.float32
+    big = gen_fused.rbm_weight_dtype(flagship, 32)
+    assert big == jnp.bfloat16          # f32 no longer fits; capacity mode
+    assert gen_fused.supported(flagship, 32)
+    two_layer = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
+                              decoder_type="rnn-rbm", n_hidden=150,
+                              n_rnn=100, rnn_layers=2)
+    assert gen_fused.rbm_weight_dtype(two_layer, 1) == jnp.bfloat16
+    assert gen_fused.rbm_weight_dtype(flagship, 200_000) is None
+
+
+def test_rbm_bf16_capacity_mode_matches_f32_distribution():
+    """Forced bf16 weight storage must sample the same distribution as f32
+    (weights round at ~1e-3 relative — far inside the sampling noise) and
+    reproduce the deterministic-bias pattern EXACTLY (biases stay f32)."""
+    cfg = cfg_for("feedback")
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    bv = dec.bv + jnp.linspace(-2.0, 2.0, D)[None, :]
+    params = params.replace(decoder=dec.replace(bv=bv))
+    T = 96
+    h0 = jnp.zeros((K, 1, U)); c0 = jnp.zeros((K, 1, U))
+    v0 = jnp.zeros((K, 1, D))
+    r32 = gen_fused.generate_rbm(jax.random.PRNGKey(1), params.decoder,
+                                 h0, c0, v0, T, 3, interpret=True,
+                                 wdtype=jnp.float32)
+    r16 = gen_fused.generate_rbm(jax.random.PRNGKey(2), params.decoder,
+                                 h0, c0, v0, T, 3, interpret=True,
+                                 wdtype=jnp.bfloat16)
+    m32 = np.asarray(r32[0].mean(axis=(0, 1, 2)))
+    m16 = np.asarray(r16[0].mean(axis=(0, 1, 2)))
+    np.testing.assert_allclose(m16, m32, atol=0.13)
+    # zero-coupling determinism: bf16 rounding of ZERO weights is exact, so
+    # the strong-bias pattern must be bit-identical between storage modes
+    cfg0 = cfg_for("feedback", w_std=0.0)
+    p0 = multinn.init(jax.random.PRNGKey(0), cfg0)
+    pattern = jnp.where(jnp.arange(D) % 3 == 0, 10.0, -10.0)
+    p0 = p0.replace(decoder=p0.decoder.replace(
+        bv=jnp.tile(pattern[None], (K, 1)), w=jnp.zeros_like(p0.decoder.w),
+        wuv=jnp.zeros_like(p0.decoder.wuv),
+        wuh=jnp.zeros_like(p0.decoder.wuh)))
+    a = gen_fused.generate_rbm(jax.random.PRNGKey(3), p0.decoder, h0, c0,
+                               v0, 4, 2, interpret=True,
+                               wdtype=jnp.float32)
+    b = gen_fused.generate_rbm(jax.random.PRNGKey(3), p0.decoder, h0, c0,
+                               v0, 4, 2, interpret=True,
+                               wdtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
