@@ -231,8 +231,12 @@ class Trainer:
 
         if self._hf:
             # detailed/hot distinction doesn't apply: every HF macro-step
-            # reports its own diagnostics (rho/lambda/q/accept)
-            return jax.jit(self._hf_step_fn(), donate_argnums=(0, 1))
+            # reports its own diagnostics (rho/lambda/q/accept) — build the
+            # jitted step once and share it between both trainer slots
+            if not hasattr(self, "_hf_jitted_step"):
+                self._hf_jitted_step = jax.jit(self._hf_step_fn(),
+                                               donate_argnums=(0, 1))
+            return self._hf_jitted_step
 
         def step_fn(params, opt_state, batch, key):
             with self._sampler_ctx(), profiling.annotate("train_step"):
