@@ -143,6 +143,17 @@ def bench():
     res8 = timeit(gen8, jax.random.PRNGKey(4), iters=5, warmup=1)
     per_song_b8 = res8["min_s"] / 8
 
+    # serving throughput at the gate's max batch (bf16 weight-storage
+    # capacity mode past the f32 budget — BASELINE.md)
+    from multinn_tpu.ops import gen_fused
+    b_serve = max(b for b in (8, 16, 32, 64, 128, 256)
+                  if gen_fused.supported(cfg, b, n_steps))
+    state_s = multinn.init_state(params, b_serve)
+    gen_s = jax.jit(
+        lambda kk: multinn.generate(params, kk, state_s, n_steps)[1])
+    res_s = timeit(gen_s, jax.random.PRNGKey(4), iters=4, warmup=1)
+    songs_per_sec = b_serve / res_s["min_s"]
+
     # RNN-NADE flagship generation (the second decoder family's fused
     # whole-generation kernel; same slope method for device time)
     cfg_n = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
@@ -227,6 +238,8 @@ def bench():
             "gen_device_s_64bar": round(gen_device_latency, 4),
             "gen_device_us_per_step": round(us_per_step, 2),
             "gen_per_song_s_at_batch8": round(per_song_b8, 4),
+            "serving_songs_per_sec": round(songs_per_sec, 1),
+            "serving_batch": b_serve,
             "gen_nade_device_s_64bar": round(nade_device_s, 4),
             "train_pianoroll_steps_per_sec_per_chip":
                 round(train_steps_per_sec, 0),
