@@ -371,11 +371,12 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
     (ops/gen_fused.py: the full T-step loop incl. Gibbs chains, feedback
     context and LSTM advance in one kernel, state resident in VMEM; both
     kernels are batched — the roll streams to HBM per step).
-    None = auto: fused on TPU when the config qualifies (pass encoder,
-    LSTM cells of any stack depth, any inter-track mode — joint enters as
-    one track of width K*D; rnn-rbm any batch the VMEM gate admits,
-    rnn-nade batch 1 or a multiple of 8). Both paths sample the same
-    distribution; RNG streams differ (ops/sampling.py contract)."""
+    None = auto: fused on TPU when the config qualifies (any encoder —
+    DBN latent rolls decode to pianoroll in XLA after the kernel; LSTM
+    cells of any stack depth; any inter-track mode — joint enters as one
+    track of the joint feature width; rnn-rbm any batch the VMEM gate
+    admits, rnn-nade batch 1 or a multiple of 8). Both paths sample the
+    same distribution; RNG streams differ (ops/sampling.py contract)."""
     cfg = params.cfg
     batch = (state.decoder.v_prev.shape[1] if cfg.mode != "joint"
              else state.decoder.v_prev.shape[0])
@@ -429,12 +430,18 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
         state_cls = rnn_rbm.State                  # roll (B, T, Keff, Deff)
     v_last = jnp.moveaxis(roll[:, -1], 0, 1)             # (Keff, B, Deff)
     n_layers = len(dec_state.cell)
+    b = roll.shape[0]
     if joint:
-        b = roll.shape[0]
         new_dec = state_cls(
             cell=tuple(rnn_nn.LSTMState(h=h_f[l, 0], c=c_f[l, 0])
                        for l in range(n_layers)),
             v_prev=v_last[0])
+        if cfg.encoder_hidden:
+            # the kernel generated LATENT frames; decode the whole roll to
+            # pianoroll space in one batched XLA pass (scan-path parity:
+            # sample_step's decode + >=0.5 binarization)
+            roll = (enc_mod.decode(params.encoder, roll[:, :, 0])
+                    >= 0.5).astype(roll.dtype)[:, :, None]
         roll = roll.reshape(b, n_steps, cfg.n_tracks, cfg.n_pitches)
         return MultINNState(decoder=new_dec, ctx=None), roll
     new_dec = state_cls(
@@ -442,4 +449,14 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
                    for l in range(n_layers)),
         v_prev=v_last)
     ctx = (_flatten_latents(v_last) if cfg.mode == "feedback" else None)
+    if cfg.encoder_hidden:
+        # latent roll -> pianoroll: shared encoder decodes all tracks in one
+        # pass (feedback/hybrid); per-track encoders decode under vmap —
+        # exactly sample_step's decode + binarize, amortized over all T
+        lat_k = jnp.moveaxis(roll, 2, 0)                 # (K, B, T, F)
+        if cfg.shared_encoder:
+            probs = enc_mod.decode(params.encoder, lat_k)
+        else:
+            probs = jax.vmap(enc_mod.decode)(params.encoder, lat_k)
+        roll = jnp.moveaxis((probs >= 0.5).astype(roll.dtype), 0, 2)
     return MultINNState(decoder=new_dec, ctx=ctx), roll

@@ -74,18 +74,24 @@ def _decoder_param_shapes(cfg, decoder_mod):
 
 
 def _common_gate(cfg, decoder_type: str) -> bool:
-    return (cfg.decoder_type == decoder_type and not cfg.encoder_hidden
-            and cfg.cell == "lstm")
+    # DBN encoders are FREE for the kernels: the whole generation loop runs
+    # in latent space (decoder dims = feature_dim, feedback ctx = latents),
+    # so the dispatch decodes the latent roll to pianoroll in XLA AFTER the
+    # kernel (models/multinn._generate_fused) — only the cell type gates.
+    return cfg.decoder_type == decoder_type and cfg.cell == "lstm"
 
 
 def _eff_dims(cfg):
-    """(K, D) as the KERNELS see them. ``joint`` mode is a single decoder
-    over the concatenated tracks — it enters the kernels as ONE track of
-    width K·D (the block layouts collapse to plain dense matrices), so the
-    whole-generation kernels cover every inter-track architecture."""
+    """(K, D) as the KERNELS see them: the kernels run in the decoder's
+    FEATURE space (pianoroll pitches for pass-through encoders, the DBN
+    latent width otherwise — the latent roll decodes to pianoroll in XLA
+    after the kernel). ``joint`` mode is a single decoder over the
+    concatenated tracks — ONE track of the joint feature width (the block
+    layouts collapse to plain dense matrices). Together the kernels cover
+    every inter-track architecture and encoder."""
     if cfg.mode == "joint":
-        return 1, cfg.n_tracks * cfg.n_pitches
-    return cfg.n_tracks, cfg.n_pitches
+        return 1, cfg.feature_dim()
+    return cfg.n_tracks, cfg.feature_dim()
 
 
 def _stack_joint(tree):

@@ -89,7 +89,7 @@ def test_supported_gating():
     assert gen_fused.supported(cfg_for(), 1)
     assert gen_fused.supported(cfg_for(), 8)          # batched serving shape
     assert not gen_fused.supported(cfg_for(decoder_type="rnn-nade"), 1)
-    assert not gen_fused.supported(cfg_for(encoder_hidden=(8,)), 1)
+    assert gen_fused.supported(cfg_for(encoder_hidden=(8,)), 1)  # DBN latent space
     assert gen_fused.supported(cfg_for(rnn_layers=2), 1)  # stacked cells
     assert gen_fused.supported(cfg_for(mode="joint"), 1)  # 1 track of K*D
     assert not gen_fused.supported(cfg_for(cell="vanilla"), 1)
@@ -567,3 +567,52 @@ def test_rbm_bf16_capacity_mode_matches_f32_distribution():
                                v0, 4, 2, interpret=True,
                                wdtype=jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+@pytest.mark.parametrize("mode,dec_type", [("feedback", "rnn-rbm"),
+                                           ("per-track", "rnn-nade")])
+def test_dbn_encoder_fused_matches_scan_distribution(mode, dec_type):
+    """DBN encoders run fused too: the kernel generates LATENT frames
+    (decoder dims = feature_dim, feedback ctx = latents) and the dispatch
+    decodes the latent roll to pianoroll in one XLA pass (scan-path
+    sample_step parity: decode + >=0.5 binarize). State stays in latent
+    space — a fused continuation must keep working from it."""
+    cfg = MultINNConfig(n_tracks=K, n_pitches=D, mode=mode,
+                        decoder_type=dec_type, encoder_hidden=(8,),
+                        n_hidden=H, n_rnn=U, cd_k=1, gen_k=3, w_std=0.4)
+    assert (gen_fused.supported(cfg, 1) if dec_type == "rnn-rbm"
+            else gen_fused.supported_nade(cfg, 1))
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    T = 96
+    st = multinn.init_state(params, 1)
+    _, scan_roll = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                    fused=False)
+    st2 = multinn.init_state(params, 1)
+    fin, fused_roll = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    assert fused_roll.shape == scan_roll.shape == (1, T, K, D)
+    assert set(np.unique(np.asarray(fused_roll))) <= {0.0, 1.0}
+    m_scan = np.asarray(scan_roll.mean(axis=(0, 1, 2)))
+    m_fused = np.asarray(fused_roll.mean(axis=(0, 1, 2)))
+    np.testing.assert_allclose(m_fused, m_scan, atol=0.13)
+    # state contract: v_prev lives in LATENT space (feature_dim)
+    assert fin.decoder.v_prev.shape == (K, 1, 8)
+    if mode == "feedback":
+        assert fin.ctx.shape == (1, K * 8)
+    _, roll2 = multinn._generate_fused(params, jax.random.PRNGKey(3), fin,
+                                       4, interpret=True)
+    assert roll2.shape == (1, 4, K, D)
+
+
+def test_dbn_encoder_fused_joint_decodes():
+    cfg = MultINNConfig(n_tracks=K, n_pitches=D, mode="joint",
+                        decoder_type="rnn-rbm", encoder_hidden=(8,),
+                        n_hidden=H, n_rnn=U, cd_k=1, gen_k=2, w_std=0.3)
+    assert gen_fused.supported(cfg, 1)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    st = multinn.init_state(params, 1)
+    fin, roll = multinn._generate_fused(params, jax.random.PRNGKey(1), st,
+                                        8, interpret=True)
+    assert roll.shape == (1, 8, K, D)
+    assert set(np.unique(np.asarray(roll))) <= {0.0, 1.0}
+    assert fin.decoder.v_prev.shape == (1, 8)     # joint latent space
