@@ -415,9 +415,12 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
                   else params.decoder)
     dec_state = (gen_fused._stack_joint(state.decoder) if joint
                  else state.decoder)
-    # LSTM states stacked over layers: (L, Keff, B, U)
+    # cell states stacked over layers: (L, Keff, B, U). Vanilla tanh cells
+    # carry no c — feed zeros (the kernel's c scratch is inert for them)
+    vanilla = cfg.cell == "vanilla"
     h0 = jnp.stack([st.h for st in dec_state.cell])
-    c0 = jnp.stack([st.c for st in dec_state.cell])
+    c0 = (jnp.zeros_like(h0) if vanilla
+          else jnp.stack([st.c for st in dec_state.cell]))
     if cfg.decoder_type == "rnn-nade":
         roll, h_f, c_f = gen_fused.generate_nade(
             key, dec_params, h0, c0, dec_state.v_prev,
@@ -431,9 +434,14 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
     v_last = jnp.moveaxis(roll[:, -1], 0, 1)             # (Keff, B, Deff)
     n_layers = len(dec_state.cell)
     b = roll.shape[0]
+
+    def cell_state(h, c):
+        return (rnn_nn.VanillaRNNState(h=h) if vanilla
+                else rnn_nn.LSTMState(h=h, c=c))
+
     if joint:
         new_dec = state_cls(
-            cell=tuple(rnn_nn.LSTMState(h=h_f[l, 0], c=c_f[l, 0])
+            cell=tuple(cell_state(h_f[l, 0], c_f[l, 0])
                        for l in range(n_layers)),
             v_prev=v_last[0])
         if cfg.encoder_hidden:
@@ -445,7 +453,7 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
         roll = roll.reshape(b, n_steps, cfg.n_tracks, cfg.n_pitches)
         return MultINNState(decoder=new_dec, ctx=None), roll
     new_dec = state_cls(
-        cell=tuple(rnn_nn.LSTMState(h=h_f[l], c=c_f[l])
+        cell=tuple(cell_state(h_f[l], c_f[l])
                    for l in range(n_layers)),
         v_prev=v_last)
     ctx = (_flatten_latents(v_last) if cfg.mode == "feedback" else None)

@@ -31,13 +31,16 @@ Measured on v5e (spec=4): 17.7 µs/step = 18.2 ms per 64-bar song at B=1
 (sequential sweep was 34.5 µs, pairs 21.3); B=8 costs 18.4 µs/step =
 2.36 ms/song.
 
-Scope (auto-dispatch gate in models/multinn.py): pass-through encoder,
-LSTM cells of ANY stack depth (layer-major state rows; layer l consumes
-layer l-1's fresh h in-kernel), ANY inter-track mode (joint enters as one
-track of width K·D — see _eff_dims); rnn-rbm any batch that fits VMEM
-(gate measures exactly), rnn-nade batch 1 or a multiple of 8. Everything
-else falls back to the scan path — same distribution, different RNG
-stream (ops/sampling.py contract; full 64-bit keying via key_to_seeds).
+Scope (auto-dispatch gate in models/multinn.py): EVERY model config —
+any encoder (DBN latent rolls decode to pianoroll in XLA after the
+kernel), LSTM or vanilla cells of any stack depth (layer-major state
+rows; layer l consumes layer l-1's fresh h in-kernel), any inter-track
+mode (joint enters as one track of the joint feature width — see
+_eff_dims); rnn-rbm any batch that fits VMEM (gate measures exactly;
+bf16 weight-storage capacity mode past the f32 budget), rnn-nade batch 1
+or a multiple of 8. Only VMEM overflow falls back to the scan path —
+same distribution, different RNG stream (ops/sampling.py contract; full
+64-bit keying via key_to_seeds).
 
 VMEM gates: ``supported*()`` compute byte counts by ``jax.eval_shape`` over
 the SAME ``_rbm_args``/``_nade_args`` builders the dispatch uses, plus the
@@ -77,8 +80,9 @@ def _common_gate(cfg, decoder_type: str) -> bool:
     # DBN encoders are FREE for the kernels: the whole generation loop runs
     # in latent space (decoder dims = feature_dim, feedback ctx = latents),
     # so the dispatch decodes the latent roll to pianoroll in XLA AFTER the
-    # kernel (models/multinn._generate_fused) — only the cell type gates.
-    return cfg.decoder_type == decoder_type and cfg.cell == "lstm"
+    # kernel (models/multinn._generate_fused). Both cell families (LSTM and
+    # the paper's vanilla tanh RNN) are in-kernel — nothing gates on cell.
+    return cfg.decoder_type == decoder_type
 
 
 def _eff_dims(cfg):
@@ -131,8 +135,10 @@ def _rbm_args(dec_params, h0, c0, v0, wdtype=jnp.float32):
     cells = dec_params.cell
     n_layers = len(cells)
     lstm = cells[0]
+    # four_u is the GATE width g: 4U for LSTM cells, U for vanilla tanh
+    # cells — every layout below is parameterized by it
     k, xin_dim, four_u = lstm.wx.shape
-    u = four_u // 4
+    u = lstm.wh.shape[1]
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
     b = h0.shape[2]
@@ -181,11 +187,13 @@ def _rbm_args(dec_params, h0, c0, v0, wdtype=jnp.float32):
     return tuple(args)
 
 
-def _rbm_scratch(batch: int, k: int, d: int, u: int, n_layers: int = 1):
+def _rbm_scratch(batch: int, k: int, d: int, u: int, n_layers: int = 1,
+                 gate_w: int = None):
+    gate_w = 4 * u if gate_w is None else gate_w
     return [pltpu.VMEM((batch, n_layers * k * u), jnp.float32),   # h
             pltpu.VMEM((batch, n_layers * k * u), jnp.float32),   # c
             pltpu.VMEM((batch, k * d), jnp.float32),              # v
-            pltpu.VMEM((batch, k * 4 * u), jnp.float32)]          # z
+            pltpu.VMEM((batch, k * gate_w), jnp.float32)]         # z
 
 
 def supported(cfg, batch: int, n_steps: int = 2048,
@@ -201,10 +209,10 @@ def supported(cfg, batch: int, n_steps: int = 2048,
 
 
 def _rbm_fixed_bytes(batch: int, k: int, d: int, u: int, hid: int,
-                     nl: int) -> int:
+                     nl: int, gate_w: int = None) -> int:
     """Non-weight VMEM bytes of the RBM kernel (shared between the gate and
     generate_rbm's auto weight-dtype rule — one formula, no drift)."""
-    fixed = vmem.scratch_bytes(_rbm_scratch(batch, k, d, u, nl))
+    fixed = vmem.scratch_bytes(_rbm_scratch(batch, k, d, u, nl, gate_w))
     fixed += 2 * 4 * batch * k * d           # roll block, double-buffered
     fixed += 2 * 4 * batch * nl * k * u      # hout/cout blocks
     fixed += 2 * 4 * batch * k * (hid + d)   # per-sweep uniform temporaries
@@ -222,7 +230,8 @@ def rbm_weight_dtype(cfg, batch: int):
     params = _decoder_param_shapes(cfg, rnn_rbm)
     st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
     v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
-    fixed = _rbm_fixed_bytes(batch, k, d, u, hid, nl)
+    gate_w = 4 * u if cfg.cell == "lstm" else u
+    fixed = _rbm_fixed_bytes(batch, k, d, u, hid, nl, gate_w)
     for wdtype in (jnp.float32, jnp.bfloat16):
         need = fixed + vmem.eval_shape_bytes(
             functools.partial(_rbm_args, wdtype=wdtype), params, st, st, v0)
@@ -233,7 +242,8 @@ def rbm_weight_dtype(cfg, batch: int):
 
 def _rbm_kernel(seed_ref, *refs,
                 n_tracks: int, d: int, hid: int, u: int,
-                ctx_dim: int, gen_k: int, n_layers: int = 1):
+                ctx_dim: int, gen_k: int, n_layers: int = 1,
+                gate_w: int = None, lstm_cell: bool = True):
     """One GRID ITERATION = one generation step for all tracks and all B
     samples. Scratch (h/c/v rows) carries the state across iterations; the
     sampled frame is written to this iteration's roll block (Pallas streams
@@ -255,6 +265,7 @@ def _rbm_kernel(seed_ref, *refs,
     kseed = seed_ref[0]
     kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
     kk = n_tracks
+    gw = 4 * u if gate_w is None else gate_w
     lku = kk * u
     top = (n_layers - 1) * lku
 
@@ -312,7 +323,7 @@ def _rbm_kernel(seed_ref, *refs,
                 zin = jnp.dot(inp[:, k * u:(k + 1) * u],
                               wxr_ref[base:base + u, :],
                               preferred_element_type=jnp.float32)
-            z_s[:, k * 4 * u:(k + 1) * 4 * u] = (
+            z_s[:, k * gw:(k + 1) * gw] = (
                 zin + jnp.dot(h_l[:, k * u:(k + 1) * u],
                               wh_ref[(layer * kk + k) * u:
                                      (layer * kk + k + 1) * u, :],
@@ -321,15 +332,18 @@ def _rbm_kernel(seed_ref, *refs,
         if ctx_dim and layer == 0:
             z = z + wdot(v_prev, wctx_ref[:])
         for k in range(kk):
-            zk = z[:, k * 4 * u:(k + 1) * 4 * u]
-            i_g = jax.nn.sigmoid(zk[:, :u])
-            f_g = jax.nn.sigmoid(zk[:, u:2 * u])
-            g_g = jnp.tanh(zk[:, 2 * u:3 * u])
-            o_g = jax.nn.sigmoid(zk[:, 3 * u:])
+            zk = z[:, k * gw:(k + 1) * gw]
             col = off + k * u
-            c_new = f_g * c_s[:, col:col + u] + i_g * g_g
-            c_s[:, col:col + u] = c_new
-            h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
+            if lstm_cell:
+                i_g = jax.nn.sigmoid(zk[:, :u])
+                f_g = jax.nn.sigmoid(zk[:, u:2 * u])
+                g_g = jnp.tanh(zk[:, 2 * u:3 * u])
+                o_g = jax.nn.sigmoid(zk[:, 3 * u:])
+                c_new = f_g * c_s[:, col:col + u] + i_g * g_g
+                c_s[:, col:col + u] = c_new
+                h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
+            else:                          # vanilla: u(t) = tanh(z)
+                h_s[:, col:col + u] = jnp.tanh(zk)
         inp = h_s[:, off:off + lku]       # fresh h -> next layer's input
     hout_ref[:] = h_s[:]
     cout_ref[:] = c_s[:]
@@ -353,8 +367,9 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     if h0.ndim == 3 and n_layers == 1:
         h0, c0 = h0[None], c0[None]
     lstm = cells[0]
-    k, xin_dim, four_u = lstm.wx.shape
-    u = four_u // 4
+    k, xin_dim, four_u = lstm.wx.shape   # four_u = gate width g (4U | U)
+    u = lstm.wh.shape[1]
+    lstm_cell = four_u == 4 * u
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
     b = h0.shape[2]
@@ -362,7 +377,7 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     if wdtype is None:
         # auto: f32 when it fits, else the bf16 capacity mode (same rule as
         # rbm_weight_dtype — shared fixed-bytes formula)
-        need32 = (_rbm_fixed_bytes(b, k, d, u, hid, n_layers)
+        need32 = (_rbm_fixed_bytes(b, k, d, u, hid, n_layers, four_u)
                   + vmem.eval_shape_bytes(
                       functools.partial(_rbm_args, wdtype=jnp.float32),
                       dec_params, h0, c0, v0))
@@ -384,12 +399,13 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
             pl.BlockSpec((b, lku), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),          # c final
         ),
-        scratch_shapes=_rbm_scratch(b, k, d, u, n_layers),
+        scratch_shapes=_rbm_scratch(b, k, d, u, n_layers, four_u),
     )
     roll, h_out, c_out = pl.pallas_call(
         functools.partial(_rbm_kernel, n_tracks=k,
                           d=d, hid=hid, u=u, ctx_dim=ctx_dim, gen_k=gen_k,
-                          n_layers=n_layers),
+                          n_layers=n_layers, gate_w=four_u,
+                          lstm_cell=lstm_cell),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, b, k * d), jnp.float32),
                    jax.ShapeDtypeStruct((b, lku), jnp.float32),
@@ -460,8 +476,8 @@ def _nade_args(dec_params, h0, c0, v0):
     cells = dec_params.cell
     n_layers = len(cells)
     lstm = cells[0]
-    k, xin_dim, four_u = lstm.wx.shape
-    u = four_u // 4
+    k, xin_dim, four_u = lstm.wx.shape   # four_u = gate width g (4U | U)
+    u = lstm.wh.shape[1]
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
     b = h0.shape[2]
@@ -542,14 +558,15 @@ def _nade_args(dec_params, h0, c0, v0):
 
 
 def _nade_scratch(batch: int, k: int, d: int, hid: int, u: int,
-                  n_layers: int = 1):
+                  n_layers: int = 1, gate_w: int = None):
+    gate_w = 4 * u if gate_w is None else gate_w
     return [pltpu.VMEM((batch, n_layers * k * u), jnp.float32),  # h
             pltpu.VMEM((batch, n_layers * k * u), jnp.float32),  # c
             pltpu.VMEM((_KP, batch, d), jnp.float32),   # v
             pltpu.VMEM((batch, k * hid), jnp.float32),  # bh'
             pltpu.VMEM((d * _KP, batch), jnp.float32),  # bv'
             pltpu.VMEM((d * _KP, batch), jnp.float32),  # uniforms
-            pltpu.VMEM((batch, k * 4 * u), jnp.float32)]  # zctx
+            pltpu.VMEM((batch, k * gate_w), jnp.float32)]  # zctx
 
 
 def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
@@ -581,7 +598,8 @@ def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
 
 def _nade_kernel(seed_ref, *refs,
                  batch: int, n_tracks: int, d: int, hid: int, u: int,
-                 ctx_dim: int, spec: int = 1, n_layers: int = 1):
+                 ctx_dim: int, spec: int = 1, n_layers: int = 1,
+                 gate_w: int = None, lstm_cell: bool = True):
     """One GRID ITERATION = one generation step (all K tracks and B
     samples advance through the D dims together); scratch carries the
     LSTM/visible state and feedback projection across iterations, and the
@@ -614,6 +632,7 @@ def _nade_kernel(seed_ref, *refs,
     kseed = seed_ref[0]
     kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
     kk = n_tracks
+    gw = 4 * u if gate_w is None else gate_w
     lku = kk * u
     top = (n_layers - 1) * lku
 
@@ -846,9 +865,9 @@ def _nade_kernel(seed_ref, *refs,
         h_l = h_s[:, off:off + lku]
         for k in range(kk):
             if layer == 0:
-                zin = z_acc[:, k * 4 * u:(k + 1) * 4 * u]
+                zin = z_acc[:, k * gw:(k + 1) * gw]
                 if ctx_dim:
-                    zin = zin + zctx[:, k * 4 * u:(k + 1) * 4 * u]
+                    zin = zin + zctx[:, k * gw:(k + 1) * gw]
             else:
                 base = ((layer - 1) * kk + k) * u
                 zin = jnp.dot(inp[:, k * u:(k + 1) * u],
@@ -859,15 +878,18 @@ def _nade_kernel(seed_ref, *refs,
                                       (layer * kk + k + 1) * u, :],
                                preferred_element_type=jnp.float32)
                  + b_ref[layer:layer + 1,
-                         k * 4 * u:(k + 1) * 4 * u])       # (B, 4U)
-            i_g = jax.nn.sigmoid(z[:, :u])
-            f_g = jax.nn.sigmoid(z[:, u:2 * u])
-            g_g = jnp.tanh(z[:, 2 * u:3 * u])
-            o_g = jax.nn.sigmoid(z[:, 3 * u:])
+                         k * gw:(k + 1) * gw])             # (B, g)
             col = off + k * u
-            c_new = f_g * c_s[:, col:col + u] + i_g * g_g
-            c_s[:, col:col + u] = c_new
-            h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
+            if lstm_cell:
+                i_g = jax.nn.sigmoid(z[:, :u])
+                f_g = jax.nn.sigmoid(z[:, u:2 * u])
+                g_g = jnp.tanh(z[:, 2 * u:3 * u])
+                o_g = jax.nn.sigmoid(z[:, 3 * u:])
+                c_new = f_g * c_s[:, col:col + u] + i_g * g_g
+                c_s[:, col:col + u] = c_new
+                h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
+            else:                          # vanilla: u(t) = tanh(z)
+                h_s[:, col:col + u] = jnp.tanh(z)
         inp = h_s[:, off:off + lku]       # fresh h -> next layer's input
     if ctx_dim:
         zctx_s[:] = ctx_projection(v_new)
@@ -897,8 +919,9 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     if h0.ndim == 3 and n_layers == 1:
         h0, c0 = h0[None], c0[None]
     lstm = cells[0]
-    k, xin_dim, four_u = lstm.wx.shape
-    u = four_u // 4
+    k, xin_dim, four_u = lstm.wx.shape   # four_u = gate width g (4U | U)
+    u = lstm.wh.shape[1]
+    lstm_cell = four_u == 4 * u
     d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
     ctx_dim = xin_dim - d
     b = h0.shape[2]
@@ -949,12 +972,13 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
             pl.BlockSpec((b, lku), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),          # c final
         ),
-        scratch_shapes=_nade_scratch(b, k, d, hid, u, n_layers),
+        scratch_shapes=_nade_scratch(b, k, d, hid, u, n_layers, four_u),
     )
     roll, h_out, c_out = pl.pallas_call(
         functools.partial(_nade_kernel, batch=b, n_tracks=k,
                           d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec=spec,
-                          n_layers=n_layers),
+                          n_layers=n_layers, gate_w=four_u,
+                          lstm_cell=lstm_cell),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, b, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, lku), jnp.float32),

@@ -92,7 +92,7 @@ def test_supported_gating():
     assert gen_fused.supported(cfg_for(encoder_hidden=(8,)), 1)  # DBN latent space
     assert gen_fused.supported(cfg_for(rnn_layers=2), 1)  # stacked cells
     assert gen_fused.supported(cfg_for(mode="joint"), 1)  # 1 track of K*D
-    assert not gen_fused.supported(cfg_for(cell="vanilla"), 1)
+    assert gen_fused.supported(cfg_for(cell="vanilla"), 1)  # tanh cells in-kernel
     # the VMEM gate measures the real arg builders: weights that cannot fit
     # (block-diag (K*D, K*H) alone ~75 MB) must be rejected even at batch 1
     assert not gen_fused.supported(cfg_for(n_pitches=512, n_hidden=2048), 1)
@@ -616,3 +616,70 @@ def test_dbn_encoder_fused_joint_decodes():
     assert roll.shape == (1, 8, K, D)
     assert set(np.unique(np.asarray(roll))) <= {0.0, 1.0}
     assert fin.decoder.v_prev.shape == (1, 8)     # joint latent space
+
+
+@pytest.mark.parametrize("dec_type", ["rnn-rbm", "rnn-nade"])
+def test_vanilla_cell_fused_matches_scan_distribution(dec_type):
+    """The paper's vanilla tanh RNN runs in-kernel too (gate width g = U,
+    h-only state): fused vs scan distribution parity plus the
+    VanillaRNNState contract (no c leaf) and a working continuation."""
+    cfg = MultINNConfig(n_tracks=K, n_pitches=D, mode="feedback",
+                        decoder_type=dec_type, cell="vanilla",
+                        n_hidden=H, n_rnn=U, cd_k=1, gen_k=3, w_std=0.3)
+    assert (gen_fused.supported(cfg, 1) if dec_type == "rnn-rbm"
+            else gen_fused.supported_nade(cfg, 1))
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    bv = dec.bv + jnp.linspace(-2.0, 2.0, D)[None, :]
+    params = params.replace(decoder=dec.replace(bv=bv))
+    T = 96
+    st = multinn.init_state(params, 1)
+    _, scan_roll = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                    fused=False)
+    st2 = multinn.init_state(params, 1)
+    fin, fused_roll = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    assert fused_roll.shape == scan_roll.shape == (1, T, K, D)
+    m_scan = np.asarray(scan_roll.mean(axis=(0, 1, 2)))
+    m_fused = np.asarray(fused_roll.mean(axis=(0, 1, 2)))
+    np.testing.assert_allclose(m_fused, m_scan, atol=0.13)
+    from multinn_tpu.nn import rnn as rnn_nn
+    assert isinstance(fin.decoder.cell[0], rnn_nn.VanillaRNNState)
+    assert fin.decoder.cell[0].h.shape == (K, 1, U)
+    _, roll2 = multinn._generate_fused(params, jax.random.PRNGKey(3), fin,
+                                       4, interpret=True)
+    assert roll2.shape == (1, 4, K, D)
+
+
+def test_vanilla_cell_fused_state_equals_scan_trajectory():
+    """Deterministic exactness of the vanilla-cell kernel wiring: zero RBM
+    couplings + strong biases make sampling deterministic, so the fused
+    final h trajectory must match the scan path to float tolerance."""
+    cfg = MultINNConfig(n_tracks=2, n_pitches=8, mode="feedback",
+                        decoder_type="rnn-rbm", cell="vanilla",
+                        n_hidden=6, n_rnn=5, cd_k=1, gen_k=2, w_std=0.0)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    dec = params.decoder
+    pattern = jnp.where(jnp.arange(8) % 2 == 0, 10.0, -10.0)
+    params = params.replace(decoder=dec.replace(
+        bv=jnp.tile(pattern[None], (2, 1))))
+    cells = []
+    kk = jax.random.PRNGKey(7)
+    for c in params.decoder.cell:
+        k1, k2, kk = jax.random.split(kk, 3)
+        cells.append(c.replace(
+            wx=0.4 * jax.random.normal(k1, c.wx.shape),
+            wh=0.4 * jax.random.normal(k2, c.wh.shape)))
+    params = params.replace(decoder=params.decoder.replace(
+        cell=tuple(cells)))
+    T = 6
+    st = multinn.init_state(params, 1)
+    fin_s, roll_s = multinn.generate(params, jax.random.PRNGKey(1), st, T,
+                                     fused=False)
+    st2 = multinn.init_state(params, 1)
+    fin_f, roll_f = multinn._generate_fused(
+        params, jax.random.PRNGKey(2), st2, T, interpret=True)
+    np.testing.assert_array_equal(np.asarray(roll_f), np.asarray(roll_s))
+    for ls, lf in zip(fin_s.decoder.cell, fin_f.decoder.cell):
+        np.testing.assert_allclose(np.asarray(lf.h), np.asarray(ls.h),
+                                   rtol=1e-5, atol=1e-6)
