@@ -5,10 +5,11 @@ a CPU mesh and cannot catch Mosaic-only lowering issues):
     python scripts/tpu_smoke.py
 
 Compiles + runs every TPU-only path: both Pallas sampling kernels, the
-whole-generation fused kernels across feedback/per-track/joint modes and
-stacked cells, a Hessian-free macro-step, a fused multi-step train
-program, and a single-chip eval step. Prints one PASS/FAIL line per item;
-exits nonzero on any failure. Budget ~5-10 min (first-compile cold start;
+whole-generation fused kernels across feedback/per-track/joint modes,
+stacked and vanilla cells, DBN encoders and the bf16 capacity batch, a
+Hessian-free macro-step, a fused multi-step train program, and a
+single-chip eval step. Prints one PASS/FAIL line per item; exits nonzero
+on any failure. Budget ~5-10 min warm cache (first-compile cold start:
 see BASELINE.md notes).
 """
 
@@ -61,11 +62,11 @@ def main() -> int:
                                 batch_shape=(8,))
         assert xs.shape == (8, 84)
 
-    def fused(dec, mode, batch=1):
+    def fused(dec, mode, batch=1, **kw):
         def run():
             cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode=mode,
                                 decoder_type=dec, n_hidden=150, n_rnn=100,
-                                cd_k=1, gen_k=10)
+                                cd_k=1, gen_k=10, **kw)
             params = multinn.init(jax.random.PRNGKey(0), cfg)
             st = multinn.init_state(params, batch)
             _, roll = multinn.generate(params, jax.random.PRNGKey(1), st,
@@ -138,6 +139,12 @@ def main() -> int:
     check("fused_gen_rbm_joint", fused("rnn-rbm", "joint"))
     check("fused_gen_nade_joint", fused("rnn-nade", "joint"))
     check("fused_gen_nade_2layer", fused_multilayer)
+    check("fused_gen_rbm_b128_bf16_capacity",
+          fused("rnn-rbm", "feedback", batch=128))
+    check("fused_gen_nade_dbn_encoder",
+          fused("rnn-nade", "feedback", encoder_hidden=(64,)))
+    check("fused_gen_rbm_vanilla_cell",
+          fused("rnn-rbm", "feedback", cell="vanilla"))
     check("hessian_free_macro_step", hf_step)
     check("train_multistep_and_masked_eval", train_multi)
 
