@@ -897,11 +897,35 @@ def _nade_kernel(seed_ref, *refs,
     cout_ref[:] = c_s[:]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_steps", "interpret", "spec"))
+def _resolve_spec(d: int) -> int:
+    """Speculative-sweep depth resolution — OUTSIDE the jitted function, so
+    the MULTINN_NADE_SPEC env knob is honored on every call (a trace-time
+    read with spec=None as the static cache key would pin the first
+    process's choice forever)."""
+    import os
+    env = os.environ.get("MULTINN_NADE_SPEC")
+    if env in ("1", "2", "4") and d % int(env) == 0:
+        return int(env)
+    return 4 if d % 4 == 0 else 2 if d % 2 == 0 else 1
+
+
 def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                   interpret: bool = False, spec: int = None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Public entry — resolves the speculative depth (None = env knob /
+    deepest depth in {4, 2, 1} dividing D) and delegates to the jitted
+    implementation with the resolved STATIC value."""
+    if spec is None:
+        spec = _resolve_spec(dec_params.w.shape[1])
+    return _generate_nade(key, dec_params, h0, c0, v0, n_steps,
+                          interpret=interpret, spec=spec)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "interpret", "spec"))
+def _generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
+                   interpret: bool = False, spec: int = 4
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused whole-generation for track-stacked rnn_nade.Params.
     h0/c0: (L, K, B, U) stacked over LSTM layers ((K, B, U) auto-promotes
     for single-layer cells); v0: (K, B, D) — B = 1 or a multiple of 8 (the
@@ -926,13 +950,6 @@ def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     ctx_dim = xin_dim - d
     b = h0.shape[2]
     lku = n_layers * k * u
-    if spec is None:
-        import os
-        env = os.environ.get("MULTINN_NADE_SPEC")
-        if env in ("1", "2", "4") and d % int(env) == 0:
-            spec = int(env)
-        else:
-            spec = 4 if d % 4 == 0 else 2 if d % 2 == 0 else 1
     if d % spec:
         raise ValueError(f"spec={spec} must divide D={d}")
 

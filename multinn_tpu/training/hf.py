@@ -26,8 +26,11 @@ Algorithm (one macro-step):
 TPU-first: the whole macro-step (CG loop included) is ONE jitted program —
 ``lax.fori_loop`` over CG iterations, each iteration a jvp+vjp pair
 through the same XLA graph as the loss (no per-iteration dispatches). The
-GGN ignores curvature through DBN-encoder targets (only the logit path is
-linearized); the gradient g is exact regardless.
+gradient/losses/acceptance use the TRUE production objective
+(multinn.loss — exact, including the DBN-encoder target path); only the
+CURVATURE is the GGN of the logit map, which ignores curvature through
+DBN-encoder targets (the standard Gauss-Newton approximation). The step
+pins the f32 matmul policy (see hf_step).
 
 Scope: rnn-nade decoders (any mode). CD-trained RBMs have no objective to
 second-order optimize (the CD update is not a gradient field).
@@ -109,16 +112,36 @@ def hf_step(params, state: HFState, x: jax.Array, key: jax.Array,
             lam_min: float = 1e-4, lam_max: float = 1e4):
     """One Hessian-free macro-step (see module docstring). Pure function of
     (params, state, batch) — the Trainer jits/scans it like any step.
-    Returns (new_params, new_state, metrics)."""
+    Returns (new_params, new_state, metrics).
+
+    The gradient g, the losses and the acceptance test all use the TRUE
+    production objective (multinn.loss — for DBN encoders that includes the
+    d(targets)/d(encoder) path); only the CURVATURE matrix is the GGN of
+    the logit map (the standard Gauss-Newton approximation).
+
+    The GGN matvecs run forward-mode (jvp) through the logits, which the
+    bf16 matmul policy's custom_vjp cannot transpose — so the whole step
+    pins the f32 policy (second-order curvature from rounded feeds would
+    be dubious anyway; the policy context is re-entrant, inner wins)."""
+    from multinn_tpu.ops import precision
     cfg = params.cfg
     w_tb = _ce_weights(cfg, x.shape, frame_mask)
+
+    with precision.matmul_precision("f32"):
+        return _hf_step_f32(params, state, x, key, w_tb, frame_mask, seq,
+                            cg_iters, cg_warm, lam_min, lam_max)
+
+
+def _hf_step_f32(params, state, x, key, w_tb, frame_mask, seq,
+                 cg_iters, cg_warm, lam_min, lam_max):
+    cfg = params.cfg
 
     def logits_fn(p):
         return multinn.conditional_logits(p, x, seq=seq)[0]
 
     def loss_fn(p):
-        logits, targets = multinn.conditional_logits(p, x, seq=seq)
-        return _ce_loss(logits, jax.lax.stop_gradient(targets), w_tb)
+        return multinn.loss(p, key, x, detailed=False,
+                            frame_mask=frame_mask, seq=seq)[0]
 
     loss0, g = jax.value_and_grad(loss_fn)(params)
     logits0, vjp_fn = jax.vjp(logits_fn, params)

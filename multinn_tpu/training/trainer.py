@@ -281,41 +281,25 @@ class Trainer:
         axes = self._explicit_axes
 
         if self._hf:
+            # HF macro-steps report their own diagnostics every step; the
+            # detailed/hot distinction is a no-op
             hf_one = self._hf_step_fn()
 
-            def hf_multi(params, opt_state, batches, key):
-                n = batches.shape[0]
-                keys = jax.random.split(key, n)
-
-                def body(carry, inp):
-                    p, s = carry
-                    p, s, m = hf_one(p, s, inp[0], inp[1])
-                    return (p, s), m["loss"]
-
-                losses = jnp.zeros((0,))
-                if n > 1:
-                    (params, opt_state), losses = jax.lax.scan(
-                        body, (params, opt_state),
-                        (batches[:-1], keys[:-1]))
-                params, opt_state, metrics = hf_one(
-                    params, opt_state, batches[-1], keys[-1])
-                metrics["loss_mean"] = (jnp.sum(losses)
-                                        + metrics["loss"]) / n
-                return params, opt_state, metrics
-
-            return jax.jit(hf_multi, donate_argnums=(0, 1))
-
-        def one_step(p, s, batch, k, detailed):
-            (loss, metrics), grads = jax.value_and_grad(
-                lambda q, b, kk: self._loss_fn(q, b, kk, detailed),
-                has_aux=True)(p, batch, k)
-            if axes is not None:
-                grads = jax.lax.pmean(grads, axes)
-                metrics = jax.lax.pmean(metrics, axes)
-            updates, s = opt.update(grads, s, p)
-            if detailed:
-                metrics["grad_norm"] = optax.global_norm(grads)
-            return optax.apply_updates(p, updates), s, metrics
+            def one_step(p, s, batch, k, detailed):
+                del detailed
+                return hf_one(p, s, batch, k)
+        else:
+            def one_step(p, s, batch, k, detailed):
+                (loss, metrics), grads = jax.value_and_grad(
+                    lambda q, b, kk: self._loss_fn(q, b, kk, detailed),
+                    has_aux=True)(p, batch, k)
+                if axes is not None:
+                    grads = jax.lax.pmean(grads, axes)
+                    metrics = jax.lax.pmean(metrics, axes)
+                updates, s = opt.update(grads, s, p)
+                if detailed:
+                    metrics["grad_norm"] = optax.global_norm(grads)
+                return optax.apply_updates(p, updates), s, metrics
 
         def multi_fn(params, opt_state, batches, key):
             with self._sampler_ctx():
@@ -478,7 +462,14 @@ class Trainer:
                 self.log.info("pretrain layer %d epoch %d cd-loss %.4f",
                               layer, ep, np.mean(losses))
         self.params = self.params.replace(encoder=enc_params)
-        self.opt_state = self.optimizer.init(self.params)
+        # the optimizer state must be rebuilt against the pretrained params
+        # (HF keeps its own state object — optimizer is None there)
+        if self._hf:
+            from multinn_tpu.training import hf as hf_mod
+            self.opt_state = hf_mod.init_state(self.params,
+                                               self.cfg.train.hf_lambda0)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
 
     # ------------------------------------------------------------------
     # checkpoint plumbing (§5.4: one artifact, three consumers)

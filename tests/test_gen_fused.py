@@ -85,19 +85,6 @@ def test_fused_priming_carries_state():
     assert not np.array_equal(np.asarray(ra), np.asarray(rb))
 
 
-def test_supported_gating():
-    assert gen_fused.supported(cfg_for(), 1)
-    assert gen_fused.supported(cfg_for(), 8)          # batched serving shape
-    assert not gen_fused.supported(cfg_for(decoder_type="rnn-nade"), 1)
-    assert gen_fused.supported(cfg_for(encoder_hidden=(8,)), 1)  # DBN latent space
-    assert gen_fused.supported(cfg_for(rnn_layers=2), 1)  # stacked cells
-    assert gen_fused.supported(cfg_for(mode="joint"), 1)  # 1 track of K*D
-    assert gen_fused.supported(cfg_for(cell="vanilla"), 1)  # tanh cells in-kernel
-    # the VMEM gate measures the real arg builders: weights that cannot fit
-    # (block-diag (K*D, K*H) alone ~75 MB) must be rejected even at batch 1
-    assert not gen_fused.supported(cfg_for(n_pitches=512, n_hidden=2048), 1)
-    # and a batch large enough to blow the state rows must be rejected
-    assert not gen_fused.supported(cfg_for(), 200_000)
 
 
 @pytest.mark.parametrize("mode", ["feedback", "per-track"])
@@ -228,13 +215,6 @@ def test_nade_fused_feedback_coupling():
     assert set(np.unique(np.asarray(r))) <= {0.0, 1.0}
 
 
-def test_nade_supported_gating():
-    assert gen_fused.supported_nade(nade_cfg(), 1)
-    assert gen_fused.supported_nade(nade_cfg(), 8)      # batched serving
-    assert not gen_fused.supported_nade(nade_cfg(), 2)  # not tile-aligned
-    assert not gen_fused.supported_nade(cfg_for(), 1)   # rnn-rbm
-    assert gen_fused.supported_nade(nade_cfg(rnn_layers=2), 1)  # stacked
-    assert not gen_fused.supported_nade(nade_cfg(), 80_000)  # VMEM
 
 
 def test_nade_fused_batched_matches_scan_distribution():
@@ -511,23 +491,6 @@ def test_multilayer_fused_state_equals_scan_trajectory():
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_rbm_weight_dtype_capacity_mode():
-    """The RBM gate's weight-storage rule: f32 while it fits, bf16 capacity
-    mode past the f32 VMEM budget (large serving batches / stacked
-    flagship cells), None only when even bf16 cannot fit."""
-    import jax.numpy as jnp
-    flagship = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
-                             decoder_type="rnn-rbm", n_hidden=150,
-                             n_rnn=100, cd_k=1, gen_k=10)
-    assert gen_fused.rbm_weight_dtype(flagship, 8) == jnp.float32
-    big = gen_fused.rbm_weight_dtype(flagship, 32)
-    assert big == jnp.bfloat16          # f32 no longer fits; capacity mode
-    assert gen_fused.supported(flagship, 32)
-    two_layer = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
-                              decoder_type="rnn-rbm", n_hidden=150,
-                              n_rnn=100, rnn_layers=2)
-    assert gen_fused.rbm_weight_dtype(two_layer, 1) == jnp.bfloat16
-    assert gen_fused.rbm_weight_dtype(flagship, 200_000) is None
 
 
 def test_rbm_bf16_capacity_mode_matches_f32_distribution():

@@ -171,3 +171,60 @@ def test_hf_error_contracts(tmp_path):
         multinn.conditional_logits(
             multinn.init(jax.random.PRNGKey(0), model),
             jnp.zeros((2, 4, 2, 24)))
+
+
+@pytest.mark.slow
+def test_hf_with_dbn_pretraining_and_bf16_policy(tmp_path):
+    """Regression (round-3 review): (a) pretrain_encoders under
+    optimizer='hf' must rebuild HFState, not call the absent optax
+    optimizer; (b) the HF step pins the f32 matmul policy internally, so
+    matmul_dtype='bf16' + optimizer='hf' must train (jvp cannot pass
+    through the bf16 custom_vjp); (c) with a DBN encoder the HF gradient
+    is the TRUE loss gradient (targets not stopped)."""
+    from multinn_tpu.data.datasets import DataConfig
+    from multinn_tpu.training.trainer import Trainer
+    from multinn_tpu.utils import config as cfg_mod
+    data = DataConfig.from_preset("synthetic", n_tracks=2, pitch_min=40,
+                                  pitch_max=63, window=16, batch_size=4,
+                                  synthetic_songs=8, synthetic_steps=64)
+    model = multinn.MultINNConfig(n_tracks=2, n_pitches=24, mode="feedback",
+                                  decoder_type="rnn-nade",
+                                  encoder_hidden=(10,), n_hidden=16,
+                                  n_rnn=12, matmul_dtype="bf16")
+    train = cfg_mod.TrainConfig(epochs=2, optimizer="hf", hf_cg_iters=8,
+                                pretrain_encoder_epochs=1,
+                                ckpt_every_steps=0,
+                                run_dir=str(tmp_path / "hfdbn"))
+    cfg = cfg_mod.ExperimentConfig(name="hfdbn", data=data, model=model,
+                                   train=train).validate()
+    tr = Trainer(cfg)
+    tr.pretrain_encoders()          # must not crash, must rebuild HFState
+    assert isinstance(tr.opt_state, hf.HFState)
+    ev0 = tr.evaluate("valid")
+    tr.train()
+    ev1 = tr.evaluate("valid")
+    tr.close()
+    assert np.isfinite(ev1["loss"]) and ev1["loss"] < ev0["loss"]
+
+
+def test_hf_gradient_is_true_loss_gradient_with_dbn_encoder():
+    """The HF right-hand side must equal grad of the production loss —
+    including the encoder-target path a stop_gradient would drop."""
+    cfg = multinn.MultINNConfig(n_tracks=2, n_pitches=10, mode="per-track",
+                                decoder_type="rnn-nade",
+                                encoder_hidden=(6,), n_hidden=8, n_rnn=6,
+                                w_std=0.3)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.bernoulli(jax.random.PRNGKey(1), 0.3,
+                             (3, 5, 2, 10)).astype(jnp.float32)
+    key = jax.random.PRNGKey(2)
+    g_true = jax.grad(
+        lambda p: multinn.loss(p, key, x, detailed=False)[0])(params)
+    # one zero-CG-iteration macro-step: delta = cg_warm * 0 = 0 start, 0
+    # iterations -> delta stays 0, so metrics["grad_norm"] is the norm of
+    # the step's internal g — compare against the true gradient's norm
+    st = hf.init_state(params, 1.0)
+    _, _, m = hf.hf_step(params, st, x, key, cg_iters=0)
+    true_norm = float(jnp.sqrt(hf._dot(g_true, g_true)))
+    np.testing.assert_allclose(float(m["grad_norm"]), true_norm,
+                               rtol=1e-5)
