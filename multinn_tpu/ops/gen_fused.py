@@ -899,9 +899,13 @@ def _nade_kernel(seed_ref, *refs,
 
 def _resolve_spec(d: int) -> int:
     """Speculative-sweep depth resolution — OUTSIDE the jitted function, so
-    the MULTINN_NADE_SPEC env knob is honored on every call (a trace-time
-    read with spec=None as the static cache key would pin the first
-    process's choice forever)."""
+    the MULTINN_NADE_SPEC env knob is honored on every DIRECT call (a
+    trace-time read with spec=None as the static cache key would pin the
+    first process's choice forever). Callers that wrap generation in their
+    OWN jit (e.g. training/generator.Generator) still bake the resolution
+    into their cached program — ordinary jit semantics; A/B through such a
+    wrapper by rebuilding it (or call gen_fused.generate_nade directly,
+    as the benchmarks do)."""
     import os
     env = os.environ.get("MULTINN_NADE_SPEC")
     if env in ("1", "2", "4") and d % int(env) == 0:

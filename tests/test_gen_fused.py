@@ -85,8 +85,6 @@ def test_fused_priming_carries_state():
     assert not np.array_equal(np.asarray(ra), np.asarray(rb))
 
 
-
-
 @pytest.mark.parametrize("mode", ["feedback", "per-track"])
 def test_fused_batched_matches_scan_distribution(mode):
     """Batched fused generation (B=4): same distribution as the scan path,
@@ -213,8 +211,6 @@ def test_nade_fused_feedback_coupling():
     _, r = multinn._generate_fused(params, jax.random.PRNGKey(5), st, 6,
                                    interpret=True)
     assert set(np.unique(np.asarray(r))) <= {0.0, 1.0}
-
-
 
 
 def test_nade_fused_batched_matches_scan_distribution():
@@ -489,8 +485,6 @@ def test_multilayer_fused_state_equals_scan_trajectory():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(lf.c), np.asarray(ls.c),
                                    rtol=1e-5, atol=1e-6)
-
-
 
 
 def test_rbm_bf16_capacity_mode_matches_f32_distribution():

@@ -4,9 +4,7 @@ marked interpret-mode module so the fast tier keeps regression coverage of
 the fused-vs-scan dispatch rules, the VMEM gates, and the bf16
 weight-storage capacity rule."""
 
-import jax
 import jax.numpy as jnp
-import pytest
 
 from multinn_tpu.models.multinn import MultINNConfig
 from multinn_tpu.ops import gen_fused
@@ -56,7 +54,6 @@ def test_rbm_weight_dtype_capacity_mode():
     """The RBM gate's weight-storage rule: f32 while it fits, bf16 capacity
     mode past the f32 VMEM budget (large serving batches / stacked
     flagship cells), None only when even bf16 cannot fit."""
-    import jax.numpy as jnp
     flagship = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
                              decoder_type="rnn-rbm", n_hidden=150,
                              n_rnn=100, cd_k=1, gen_k=10)

@@ -198,10 +198,10 @@ def test_hf_with_dbn_pretraining_and_bf16_policy(tmp_path):
     cfg = cfg_mod.ExperimentConfig(name="hfdbn", data=data, model=model,
                                    train=train).validate()
     tr = Trainer(cfg)
-    tr.pretrain_encoders()          # must not crash, must rebuild HFState
-    assert isinstance(tr.opt_state, hf.HFState)
     ev0 = tr.evaluate("valid")
-    tr.train()
+    tr.train()                      # runs pretrain_encoders() itself: must
+    #                                 not crash, must rebuild HFState
+    assert isinstance(tr.opt_state, hf.HFState)
     ev1 = tr.evaluate("valid")
     tr.close()
     assert np.isfinite(ev1["loss"]) and ev1["loss"] < ev0["loss"]
