@@ -146,13 +146,18 @@ def bench():
     # serving throughput at the gate's max batch (bf16 weight-storage
     # capacity mode past the f32 budget — BASELINE.md)
     from multinn_tpu.ops import gen_fused
-    b_serve = max(b for b in (8, 16, 32, 64, 128, 256)
-                  if gen_fused.supported(cfg, b, n_steps))
-    state_s = multinn.init_state(params, b_serve)
-    gen_s = jax.jit(
-        lambda kk: multinn.generate(params, kk, state_s, n_steps)[1])
-    res_s = timeit(gen_s, jax.random.PRNGKey(4), iters=4, warmup=1)
-    songs_per_sec = b_serve / res_s["min_s"]
+    b_serve = max((b for b in (8, 16, 32, 64, 128, 256)
+                   if gen_fused.supported(cfg, b, n_steps)), default=0)
+    if b_serve:
+        state_s = multinn.init_state(params, b_serve)
+        gen_s = jax.jit(
+            lambda kk: multinn.generate(params, kk, state_s, n_steps)[1])
+        res_s = timeit(gen_s, jax.random.PRNGKey(4), iters=4, warmup=1)
+        songs_per_sec = b_serve / res_s["min_s"]
+    else:
+        # no serving batch fits this device's VMEM gate (ADVICE r3): fall
+        # back to the already-measured B=8 scan path rather than crashing
+        songs_per_sec = 1.0 / per_song_b8
 
     # RNN-NADE flagship generation (the second decoder family's fused
     # whole-generation kernel; same slope method for device time)

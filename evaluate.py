@@ -29,8 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--latest", action="store_true")
     p.add_argument("--no-musical", action="store_true",
                    help="skip generation + musical metrics")
-    p.add_argument("--n-gen", type=int, default=4,
-                   help="samples for musical metrics")
+    p.add_argument("--n-gen", type=int, default=32,
+                   help="samples for musical metrics (>=32 keeps the Welch "
+                        "significance block meaningful; generation is "
+                        "batched and costs ms)")
     return p.parse_known_args(argv)
 
 

@@ -31,18 +31,30 @@ V5E_HBM_BYTES_PER_S = 819e9
 
 
 def _dims(cfg):
-    k, d = cfg.n_tracks, cfg.n_pitches
+    """(K, D, H, U, ctx) as the compute paths see them: ``joint`` mode is ONE
+    decoder over the concatenated tracks (matching gen_fused._eff_dims), and
+    D is the decoder FEATURE width (DBN-encoder latent, not raw pitches)."""
+    k = 1 if cfg.mode == "joint" else cfg.n_tracks
+    d = cfg.feature_dim()
     h, u = cfg.n_hidden, cfg.n_rnn
-    ctx = k * d if cfg.mode == "feedback" else 0
-    return k, d, h, u, ctx
+    return k, d, h, u, cfg.ctx_dim()
 
 
-def lstm_frame_flops(xin: int, u: int, layers: int = 1) -> int:
-    """One LSTM step, one batch row: z = x@wx + h@wh (+ gates ~12U)."""
+def _gate_mult(cfg) -> int:
+    """Recurrent gate width multiple: LSTM computes 4U gate pre-activations
+    per step, a vanilla tanh cell computes U."""
+    return 4 if cfg.cell == "lstm" else 1
+
+
+def lstm_frame_flops(xin: int, u: int, layers: int = 1,
+                     gate_mult: int = 4) -> int:
+    """One recurrent-cell step, one batch row: z = x@wx + h@wh, gate width
+    ``gate_mult``*U (4 for LSTM + ~12U elementwise, 1 for vanilla tanh)."""
+    elementwise = 12 * u if gate_mult == 4 else u
     total = 0
     for layer in range(layers):
         inp = xin if layer == 0 else u
-        total += 2 * (inp + u) * 4 * u + 12 * u
+        total += 2 * (inp + u) * gate_mult * u + elementwise
     return total
 
 
@@ -52,7 +64,7 @@ def train_step_flops(cfg, batch: int, t: int) -> int:
     2x the differentiable forward; CD's Gibbs chain is under stop_gradient
     so it is forward-only (SURVEY hard part #2)."""
     k, d, h, u, ctx = _dims(cfg)
-    lstm = lstm_frame_flops(d + ctx, u, cfg.rnn_layers)
+    lstm = lstm_frame_flops(d + ctx, u, cfg.rnn_layers, _gate_mult(cfg))
     biases = 2 * u * (d + h)
     if cfg.decoder_type == "rnn-rbm":
         fe2 = 2 * (2 * d * h)                  # free energy at v0 and vk
@@ -70,18 +82,20 @@ def gen_step_flops_rbm(cfg, batch: int, gen_k: int = None) -> dict:
     Returns {"model": ..., "executed": ...} — executed counts the dense
     block-diagonal matmuls (K x model on the Gibbs/bias/ctx terms)."""
     k, d, h, u, ctx = _dims(cfg)
+    gm = _gate_mult(cfg)
     gk = cfg.gen_k if gen_k is None else gen_k
     gibbs = 4 * d * h * gk                     # per track
     biases = 2 * u * (d + h)
-    lstm = lstm_frame_flops(d + ctx, u, 1)
+    lstm = lstm_frame_flops(d + ctx, u, cfg.rnn_layers, gm)
     model = batch * k * (gibbs + biases + lstm)
     # executed: the Gibbs/bias matmuls run dense over (KD x KH) block-diag
     # layouts (K x model work); the own-v LSTM projection is compact (no
-    # padding); the feedback ctx projection (KD -> K*4U) is genuinely dense
+    # padding); the feedback ctx projection (KD -> K*gmU) is genuinely dense
     # in the model itself, so executed = model for it.
-    ctx_dense = 2 * ctx * k * 4 * u
+    ctx_dense = 2 * ctx * k * gm * u
     executed = batch * (k * k * (gibbs + biases)
-                        + k * lstm_frame_flops(d, u, 1) + ctx_dense)
+                        + k * lstm_frame_flops(d, u, cfg.rnn_layers, gm)
+                        + ctx_dense)
     return {"model": model, "executed": executed}
 
 
@@ -94,16 +108,17 @@ def gen_step_flops_nade(cfg, batch: int, spec: int = None) -> dict:
     deliberately trading idle MXU/VPU width for a shorter serial chain; the
     MODEL count is unchanged."""
     k, d, h, u, ctx = _dims(cfg)
+    gm = _gate_mult(cfg)
     kp, khp = 8, ((k * h + 127) // 128) * 128
     if spec is None:
         spec = 4 if d % 4 == 0 else 2 if d % 2 == 0 else 1
     branches = 2 ** (spec - 1)                       # branch sets per round
-    lstm = lstm_frame_flops(d + ctx, u, 1)
-    model = batch * k * (6 * d * h + 2 * d * 4 * u + lstm)
+    lstm = lstm_frame_flops(d + ctx, u, cfg.rnn_layers, gm)
+    model = batch * k * (6 * d * h + 2 * d * gm * u + lstm)
     executed = batch * (d * (2 * kp * khp * branches  # speculative logit dots
-                             + 2 * kp * (khp + k * 4 * u)  # fused acc dots
+                             + 2 * kp * (khp + k * gm * u)  # fused acc dots
                              + khp * branches // spec)  # branch sigmoid grids
-                        + k * lstm + 2 * k * d * k * 4 * u)  # ctx proj
+                        + k * lstm + 2 * k * d * k * gm * u)  # ctx proj
     return {"model": model, "executed": executed}
 
 
