@@ -2,8 +2,8 @@
 
 Every jitted step returns a metrics pytree; the host side writes it to (a) a
 JSONL ledger in the run dir (the machine-readable record), (b) python logging
-to console, and (c) TensorBoard scalars when a writer backend is importable
-(guarded — not installed on this image).
+to console, and (c) TensorBoard scalar event files via the first-party
+writer in utils/tb.py (no external dependency; round-trip tested).
 """
 
 from __future__ import annotations
@@ -46,18 +46,21 @@ def _scalarize(v: Any):
 
 
 class MetricsLogger:
-    """JSONL ledger + optional TensorBoard scalars."""
+    """JSONL ledger + TensorBoard scalar events (utils/tb.py).
 
-    def __init__(self, run_dir: str, filename: str = "metrics.jsonl"):
+    tensorboard=True (default) writes ``<run_dir>/tb/events.out.tfevents.*``
+    with the first-party scalars-only writer; JSONL stays the complete
+    machine-readable record (vector metrics are JSONL-only)."""
+
+    def __init__(self, run_dir: str, filename: str = "metrics.jsonl",
+                 tensorboard: bool = True):
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, filename)
         self._file = open(self.path, "a", buffering=1)
         self._tb = None
-        try:                                  # pragma: no cover - optional dep
-            from tensorboardX import SummaryWriter
-            self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
-        except Exception:
-            pass
+        if tensorboard:
+            from multinn_tpu.utils.tb import EventWriter
+            self._tb = EventWriter(os.path.join(run_dir, "tb"))
 
     def log(self, step: int, metrics: Dict[str, Any],
             prefix: str = "train") -> None:
@@ -65,14 +68,15 @@ class MetricsLogger:
         for k, v in metrics.items():
             record[k] = _scalarize(v)
         self._file.write(json.dumps(record) + "\n")
-        if self._tb is not None:              # pragma: no cover
-            for k, v in record.items():
-                if isinstance(v, float):
-                    self._tb.add_scalar(f"{prefix}/{k}", v, step)
+        if self._tb is not None:
+            scalars = [(f"{prefix}/{k}", v) for k, v in record.items()
+                       if isinstance(v, float) and k != "time"]
+            if scalars:
+                self._tb.add_scalars(scalars, step)
 
     def close(self) -> None:
         self._file.close()
-        if self._tb is not None:              # pragma: no cover
+        if self._tb is not None:
             self._tb.close()
 
 
