@@ -8,38 +8,26 @@ ONE device kernel with every weight and the carried state resident in VMEM.
 Why: generation latency is not FLOP-bound (per-step matmuls are small) — it
 is op-dispatch/HBM-latency bound in the lax.scan formulation (~69 µs/step
 measured on v5e). Fusing the loop removes all per-step dispatch overheads.
-Measured on v5e (flagship 5-track feedback RNN-RBM, gen_k=10): 6.1 µs/step
-device time = 6.3 ms per 64-bar song at B=1, and B=8 runs at the SAME
-µs/step (compute hides under the per-step output pipeline) = 0.78 ms/song.
 
-RBM kernel structure: the T time steps are the PALLAS GRID (sequential on
-TPU; scratch carries the LSTM/visible state across iterations), and each
-step's sampled frame is emitted through a per-iteration output block that
-Pallas pipelines back to HBM. The roll therefore never occupies VMEM, which
-is what makes BATCHED generation (serving shape, B=8) fit: VMEM holds only
-weights + (B, K*X) state rows. Per-track quantities live in (B, K*X) rows
-with per-track lane blocks, so each Gibbs sweep is TWO block-diagonal
-matmuls for ALL tracks and samples at once.
+This module is the STABLE PUBLIC SURFACE; the two kernel families live in
+sibling modules (split at ~1000 LoC per the round-3 review):
 
-NADE kernel: same grid-per-step structure; dims advance for all K tracks
-AND all B samples together in dim-major padded block rows (see the section
-comment below; batch 1 or multiples of 8), and the serial dim sweep runs
-SPECULATIVELY in quads/pairs when the depth divides D (later dims' logits
-computed under every branch of the earlier samples, then selected per
-track row — same uniforms, D/spec dependency rounds; see _nade_kernel).
-Measured on v5e (spec=4): 17.7 µs/step = 18.2 ms per 64-bar song at B=1
-(sequential sweep was 34.5 µs, pairs 21.3); B=8 costs 18.4 µs/step =
-2.36 ms/song.
+  * gen_fused_rbm.py  — k-sweep Gibbs chain kernel; block-diagonal per-track
+    matmul layout; bf16 weight-storage capacity mode (B=128 serving).
+    Measured: 6.1 µs/step at B=1, same µs/step at B=8 (0.78 ms/song).
+  * gen_fused_nade.py — per-dim conditional sweep kernel; dim-major padded
+    block rows; speculative quad/pair sweep (spec=4: 17.7 µs/step at B=1).
+  * gen_common.py     — shared layout/gate helpers (_eff_dims & friends).
 
 Scope (auto-dispatch gate in models/multinn.py): EVERY model config —
 any encoder (DBN latent rolls decode to pianoroll in XLA after the
 kernel), LSTM or vanilla cells of any stack depth (layer-major state
 rows; layer l consumes layer l-1's fresh h in-kernel), any inter-track
 mode (joint enters as one track of the joint feature width — see
-_eff_dims); rnn-rbm any batch that fits VMEM (gate measures exactly;
-bf16 weight-storage capacity mode past the f32 budget), rnn-nade batch 1
-or a multiple of 8. Only VMEM overflow falls back to the scan path —
-same distribution, different RNG stream (ops/sampling.py contract; full
+gen_common._eff_dims); rnn-rbm any batch that fits VMEM (gate measures
+exactly; bf16 weight-storage capacity mode past the f32 budget), rnn-nade
+batch 1 or a multiple of 8. Only VMEM overflow falls back to the scan path
+— same distribution, different RNG stream (ops/sampling.py contract; full
 64-bit keying via key_to_seeds).
 
 VMEM gates: ``supported*()`` compute byte counts by ``jax.eval_shape`` over
@@ -50,969 +38,12 @@ actual scratch lists — the gate cannot drift from the kernel's allocation
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
-import jax
-import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-from multinn_tpu.ops import kernel_prng, vmem
-from multinn_tpu.ops.sampling import key_to_seeds
-
-
-def _decoder_param_shapes(cfg, decoder_mod):
-    """Track-stacked decoder Params as a ShapeDtypeStruct pytree — lets the
-    VMEM gates run the real arg builders without materializing arrays.
-    ``joint`` mode's single decoder is stacked as one track (see _eff_dims)."""
-    dcfg = cfg.decoder_config()
-    if cfg.mode == "joint":
-        return jax.eval_shape(
-            lambda k: _stack_joint(decoder_mod.init(k, dcfg)),
-            jax.random.PRNGKey(0))
-    keys = jax.random.split(jax.random.PRNGKey(0), cfg.n_tracks)
-    return jax.eval_shape(
-        lambda ks: jax.vmap(lambda k: decoder_mod.init(k, dcfg))(ks), keys)
-
-
-def _common_gate(cfg, decoder_type: str) -> bool:
-    # DBN encoders are FREE for the kernels: the whole generation loop runs
-    # in latent space (decoder dims = feature_dim, feedback ctx = latents),
-    # so the dispatch decodes the latent roll to pianoroll in XLA AFTER the
-    # kernel (models/multinn._generate_fused). Both cell families (LSTM and
-    # the paper's vanilla tanh RNN) are in-kernel — nothing gates on cell.
-    return cfg.decoder_type == decoder_type
-
-
-def _eff_dims(cfg):
-    """(K, D) as the KERNELS see them: the kernels run in the decoder's
-    FEATURE space (pianoroll pitches for pass-through encoders, the DBN
-    latent width otherwise — the latent roll decodes to pianoroll in XLA
-    after the kernel). ``joint`` mode is a single decoder over the
-    concatenated tracks — ONE track of the joint feature width (the block
-    layouts collapse to plain dense matrices). Together the kernels cover
-    every inter-track architecture and encoder."""
-    if cfg.mode == "joint":
-        return 1, cfg.feature_dim()
-    return cfg.n_tracks, cfg.feature_dim()
-
-
-def _stack_joint(tree):
-    """Single-decoder params/state -> 1-track stacked (leading axis)."""
-    return jax.tree.map(lambda a: a[None], tree)
-
-
-# ===========================================================================
-# RNN-RBM whole-generation fused kernel (batched, roll streamed to HBM)
-# ===========================================================================
-
-def _rbm_args(dec_params, h0, c0, v0, wdtype=jnp.float32):
-    """Kernel inputs from track-STACKED rnn_rbm.Params + state.
-
-    h0/c0: (L, K, B, U) stacked over the LSTM layers; v0: (K, B, D). Every
-    per-track stack is flattened to a 2D block layout so per-track slices
-    are static sublane ranges and the Gibbs sweep is block-diagonal
-    matmuls:
-
-        wb     (K*D, K*H)       block-diag RBM weights    wbt (K*H, K*D)
-        wuvb   (K*U, K*D)       bias conditioning         wuhb (K*U, K*H)
-        wx_v   (K*D, 4U)        compact per-track layer-0 input projection
-        wx_r   ((L-1)*K*U, 4U)  layers>=1 input projections (prev layer h)
-        wh     (L*K*U, 4U)      compact per-track recurrent weights
-        wctx   (K*D, K*4U)      feedback-context projection (zeros if unused)
-        b      (L, K*4U)        per-layer gate biases
-
-    State rows are (B, L*K*X) with layer-major, then per-track lane blocks.
-
-    ``wdtype=bfloat16`` stores the five BIG block matrices (wb/wbt/wuvb/
-    wuhb/wctx) bf16 — the capacity mode the gate falls back to when the
-    f32 layout exceeds the VMEM budget (large serving batches, stacked
-    flagship cells). The kernel feeds them to the MXU directly with f32
-    accumulation; weights round to bf16 (~3 decimal digits), the same
-    storage trade the NADE kernel always makes.
-    """
-    cells = dec_params.cell
-    n_layers = len(cells)
-    lstm = cells[0]
-    # four_u is the GATE width g: 4U for LSTM cells, U for vanilla tanh
-    # cells — every layout below is parameterized by it
-    k, xin_dim, four_u = lstm.wx.shape
-    u = lstm.wh.shape[1]
-    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
-    ctx_dim = xin_dim - d
-    b = h0.shape[2]
-    idx = jnp.arange(k)
-
-    def block_diag(mat_kxy):
-        """(K, X, Y) -> (K*X, K*Y) with per-track diagonal blocks."""
-        _, x, y = mat_kxy.shape
-        out = jnp.zeros((k, x, k, y), wdtype)
-        out = out.at[idx, :, idx, :].set(mat_kxy.astype(wdtype))
-        return out.reshape(k * x, k * y)
-
-    wb = block_diag(dec_params.w)                           # (K*D, K*H)
-    wbt = block_diag(jnp.transpose(dec_params.w, (0, 2, 1)))  # (K*H, K*D)
-    wuvb = block_diag(dec_params.wuv)                       # (K*U, K*D)
-    wuhb = block_diag(dec_params.wuh)                       # (K*U, K*H)
-    wx_v = lstm.wx[:, :d, :].reshape(k * d, four_u)         # compact per-track
-    if ctx_dim:
-        # rows [j*D + i]: d z/d v_{j,i}(t-1) for all target tracks' gates
-        wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
-        wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(
-            k * d, k * four_u).astype(wdtype)
-    else:
-        wctx = jnp.zeros((k * d, k * four_u), wdtype)
-    wh_all = jnp.concatenate(
-        [c.wh.reshape(k * u, four_u) for c in cells], axis=0)
-    b_all = jnp.stack([c.b.reshape(k * four_u) for c in cells])  # (L, K*4U)
-
-    def rows(x_lkbx):                      # (L, K, B, X) -> (B, L*K*X)
-        return jnp.moveaxis(x_lkbx, 2, 0).reshape(b, -1)
-
-    args = [
-        wb, wbt, wuvb, wuhb,
-        dec_params.bv.reshape(1, k * d),
-        dec_params.bh.reshape(1, k * hid),
-        wx_v,
-        wh_all,
-        wctx,
-        b_all,
-        rows(h0), rows(c0),
-        jnp.moveaxis(v0, 1, 0).reshape(b, k * d),
-    ]
-    if n_layers > 1:
-        args.append(jnp.concatenate(
-            [c.wx.reshape(k * u, four_u) for c in cells[1:]], axis=0))
-    return tuple(args)
-
-
-def _rbm_scratch(batch: int, k: int, d: int, u: int, n_layers: int = 1,
-                 gate_w: int = None):
-    gate_w = 4 * u if gate_w is None else gate_w
-    return [pltpu.VMEM((batch, n_layers * k * u), jnp.float32),   # h
-            pltpu.VMEM((batch, n_layers * k * u), jnp.float32),   # c
-            pltpu.VMEM((batch, k * d), jnp.float32),              # v
-            pltpu.VMEM((batch, k * gate_w), jnp.float32)]         # z
-
-
-def supported(cfg, batch: int, n_steps: int = 2048,
-              gen_k: int = None) -> bool:
-    """Gate for the auto-dispatch. The roll is streamed to HBM per step, so
-    n_steps does not bound VMEM; batch does (state rows + per-sweep RNG all
-    scale with B). Byte counts come from the real builders via eval_shape —
-    over-budget requests fall back to the scan path instead of failing at
-    Mosaic compile time."""
-    if not _common_gate(cfg, "rnn-rbm") or batch < 1:
-        return False
-    return rbm_weight_dtype(cfg, batch) is not None
-
-
-def _rbm_fixed_bytes(batch: int, k: int, d: int, u: int, hid: int,
-                     nl: int, gate_w: int = None) -> int:
-    """Non-weight VMEM bytes of the RBM kernel (shared between the gate and
-    generate_rbm's auto weight-dtype rule — one formula, no drift)."""
-    fixed = vmem.scratch_bytes(_rbm_scratch(batch, k, d, u, nl, gate_w))
-    fixed += 2 * 4 * batch * k * d           # roll block, double-buffered
-    fixed += 2 * 4 * batch * nl * k * u      # hout/cout blocks
-    fixed += 2 * 4 * batch * k * (hid + d)   # per-sweep uniform temporaries
-    return fixed
-
-
-def rbm_weight_dtype(cfg, batch: int):
-    """The weight-storage dtype the dispatch will use for this config/batch
-    (shared rule between the gate and generate_rbm's auto mode): f32 when
-    the full-precision layout fits the VMEM budget, else bf16 (capacity
-    mode — see _rbm_args), else None (fall back to the scan path)."""
-    from multinn_tpu.models import rnn_rbm
-    (k, d), u = _eff_dims(cfg), cfg.n_rnn
-    hid, nl = cfg.n_hidden, cfg.rnn_layers
-    params = _decoder_param_shapes(cfg, rnn_rbm)
-    st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
-    v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
-    gate_w = 4 * u if cfg.cell == "lstm" else u
-    fixed = _rbm_fixed_bytes(batch, k, d, u, hid, nl, gate_w)
-    for wdtype in (jnp.float32, jnp.bfloat16):
-        need = fixed + vmem.eval_shape_bytes(
-            functools.partial(_rbm_args, wdtype=wdtype), params, st, st, v0)
-        if need <= vmem.VMEM_BUDGET_BYTES:
-            return wdtype
-    return None
-
-
-def _rbm_kernel(seed_ref, *refs,
-                n_tracks: int, d: int, hid: int, u: int,
-                ctx_dim: int, gen_k: int, n_layers: int = 1,
-                gate_w: int = None, lstm_cell: bool = True):
-    """One GRID ITERATION = one generation step for all tracks and all B
-    samples. Scratch (h/c/v rows) carries the state across iterations; the
-    sampled frame is written to this iteration's roll block (Pallas streams
-    it to HBM while the next step computes). Every per-track quantity is a
-    (B, K*X) row, so each Gibbs sweep is TWO block-diagonal matmuls
-    ((B,K*D)@(K*D,K*H) and its transpose) for all tracks at once. Stacked
-    LSTMs (n_layers > 1) keep layer-major state rows (B, L*K*U): layer l's
-    input is layer l-1's fresh h; bias conditioning reads the TOP layer's
-    previous h (scan-path parity: u(t-1) = top-layer state)."""
-    if n_layers > 1:
-        (wb_ref, wbt_ref, wuvb_ref, wuhb_ref, bv_ref, bh_ref, wxv_ref,
-         wh_ref, wctx_ref, b_ref, h0_ref, c0_ref, v0_ref, wxr_ref,
-         roll_ref, hout_ref, cout_ref, h_s, c_s, v_s, z_s) = refs
-    else:
-        (wb_ref, wbt_ref, wuvb_ref, wuhb_ref, bv_ref, bh_ref, wxv_ref,
-         wh_ref, wctx_ref, b_ref, h0_ref, c0_ref, v0_ref,
-         roll_ref, hout_ref, cout_ref, h_s, c_s, v_s, z_s) = refs
-    t = pl.program_id(0)
-    kseed = seed_ref[0]
-    kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
-    kk = n_tracks
-    gw = 4 * u if gate_w is None else gate_w
-    lku = kk * u
-    top = (n_layers - 1) * lku
-
-    @pl.when(t == 0)
-    def _():
-        h_s[:] = h0_ref[:]                # (B, L*K*U)
-        c_s[:] = c0_ref[:]
-        v_s[:] = v0_ref[:]                # (B, K*D)
-
-    h_top = h_s[:, top:top + lku]         # u(t-1): TOP layer previous h
-    v_prev = v_s[:]                       # ctx(t) = latents(t-1) [training
-    #                                       parity; at t=0 the primed v_prev]
-
-    def wdot(a, w):
-        # capacity mode (bf16-stored block matrices): feed the MXU bf16 on
-        # BOTH sides with f32 accumulation. The Gibbs operands are binary
-        # (exact in bf16); h_top rounds to bf16 in the bias conditioning.
-        if w.dtype == jnp.bfloat16:
-            a = a.astype(jnp.bfloat16)
-        return jnp.dot(a, w, preferred_element_type=jnp.float32)
-
-    # conditioned biases for all tracks: two block-diagonal matmuls
-    bv_row = bv_ref[:] + wdot(h_top, wuvb_ref[:])
-    bh_row = bh_ref[:] + wdot(h_top, wuhb_ref[:])
-
-    salt0 = kseed1 + t * (2 * gen_k)
-
-    def sweep(s, v):
-        ph = jax.nn.sigmoid(wdot(v, wb_ref[:]) + bh_row)
-        uh = kernel_prng.random_uniform(ph.shape, kseed, salt0 + 2 * s)
-        h = (uh < ph).astype(jnp.float32)
-        pv = jax.nn.sigmoid(wdot(h, wbt_ref[:]) + bv_row)
-        uv = kernel_prng.random_uniform(pv.shape, kseed, salt0 + 2 * s + 1)
-        return (uv < pv).astype(jnp.float32)
-
-    v_new = jax.lax.fori_loop(0, gen_k, sweep, v_prev)
-    v_s[:] = v_new
-    roll_ref[0] = v_new                   # -> HBM via the output pipeline
-
-    # LSTM advance, layer by layer: layer 0's input is the fresh sample
-    # (compact wx_v per track) + the feedback ctx from the PREVIOUS frame;
-    # layer l>=1's input is layer l-1's FRESH h (compact wx_r per track).
-    # Reading h_s/c_s at offset l before writing it keeps each layer's own
-    # recurrent input at t-1.
-    for layer in range(n_layers):
-        off = layer * lku
-        h_l = h_s[:, off:off + lku]
-        for k in range(kk):
-            if layer == 0:
-                zin = jnp.dot(v_new[:, k * d:(k + 1) * d],
-                              wxv_ref[k * d:(k + 1) * d, :],
-                              preferred_element_type=jnp.float32)
-            else:
-                base = ((layer - 1) * kk + k) * u
-                zin = jnp.dot(inp[:, k * u:(k + 1) * u],
-                              wxr_ref[base:base + u, :],
-                              preferred_element_type=jnp.float32)
-            z_s[:, k * gw:(k + 1) * gw] = (
-                zin + jnp.dot(h_l[:, k * u:(k + 1) * u],
-                              wh_ref[(layer * kk + k) * u:
-                                     (layer * kk + k + 1) * u, :],
-                              preferred_element_type=jnp.float32))
-        z = z_s[:] + b_ref[layer:layer + 1, :]
-        if ctx_dim and layer == 0:
-            z = z + wdot(v_prev, wctx_ref[:])
-        for k in range(kk):
-            zk = z[:, k * gw:(k + 1) * gw]
-            col = off + k * u
-            if lstm_cell:
-                i_g = jax.nn.sigmoid(zk[:, :u])
-                f_g = jax.nn.sigmoid(zk[:, u:2 * u])
-                g_g = jnp.tanh(zk[:, 2 * u:3 * u])
-                o_g = jax.nn.sigmoid(zk[:, 3 * u:])
-                c_new = f_g * c_s[:, col:col + u] + i_g * g_g
-                c_s[:, col:col + u] = c_new
-                h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
-            else:                          # vanilla: u(t) = tanh(z)
-                h_s[:, col:col + u] = jnp.tanh(zk)
-        inp = h_s[:, off:off + lku]       # fresh h -> next layer's input
-    hout_ref[:] = h_s[:]
-    cout_ref[:] = c_s[:]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_steps", "gen_k", "interpret",
-                                    "wdtype"))
-def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
-                 gen_k: int, interpret: bool = False, wdtype=None
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Run the fused whole-generation kernel (see _rbm_kernel).
-
-    dec_params: track-STACKED rnn_rbm.Params (leading axis K; any LSTM
-    stack depth). h0/c0: (L, K, B, U) stacked over layers ((K, B, U)
-    auto-promotes for single-layer cells); v0: (K, B, D) — any batch B the
-    VMEM gate admits. Returns (roll (B, n_steps, K, D),
-    h_final (L, K, B, U), c_final (L, K, B, U))."""
-    cells = dec_params.cell
-    n_layers = len(cells)
-    if h0.ndim == 3 and n_layers == 1:
-        h0, c0 = h0[None], c0[None]
-    lstm = cells[0]
-    k, xin_dim, four_u = lstm.wx.shape   # four_u = gate width g (4U | U)
-    u = lstm.wh.shape[1]
-    lstm_cell = four_u == 4 * u
-    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
-    ctx_dim = xin_dim - d
-    b = h0.shape[2]
-    lku = n_layers * k * u
-    if wdtype is None:
-        # auto: f32 when it fits, else the bf16 capacity mode (same rule as
-        # rbm_weight_dtype — shared fixed-bytes formula)
-        need32 = (_rbm_fixed_bytes(b, k, d, u, hid, n_layers, four_u)
-                  + vmem.eval_shape_bytes(
-                      functools.partial(_rbm_args, wdtype=jnp.float32),
-                      dec_params, h0, c0, v0))
-        wdtype = (jnp.float32 if need32 <= vmem.VMEM_BUDGET_BYTES
-                  else jnp.bfloat16)
-
-    args = _rbm_args(dec_params, h0, c0, v0, wdtype=wdtype)
-    seed = key_to_seeds(key)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_steps,),
-        in_specs=[vspec] * len(args),
-        out_specs=(
-            pl.BlockSpec((1, b, k * d), lambda t, s: (t, 0, 0),
-                         memory_space=pltpu.VMEM),          # roll stream
-            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
-                         memory_space=pltpu.VMEM),          # h final
-            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
-                         memory_space=pltpu.VMEM),          # c final
-        ),
-        scratch_shapes=_rbm_scratch(b, k, d, u, n_layers, four_u),
-    )
-    roll, h_out, c_out = pl.pallas_call(
-        functools.partial(_rbm_kernel, n_tracks=k,
-                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, gen_k=gen_k,
-                          n_layers=n_layers, gate_w=four_u,
-                          lstm_cell=lstm_cell),
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_steps, b, k * d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, lku), jnp.float32),
-                   jax.ShapeDtypeStruct((b, lku), jnp.float32)),
-        interpret=(pltpu.InterpretParams() if interpret else False),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_steps * b * k * (
-                2 * gen_k * k * d * hid + u * k * (d + hid)
-                + (xin_dim + n_layers * u) * four_u
-                + (n_layers - 1) * u * four_u),
-            bytes_accessed=4 * (n_steps * b * k * d),
-            transcendentals=n_steps * b * k * (gen_k * (d + hid)
-                                               + 5 * n_layers * u),
-        ),
-    )(seed, *args)
-    roll = jnp.moveaxis(roll.reshape(n_steps, b, k, d), 0, 1)  # (B,T,K,D)
-    # (B, L*K*U) layer-major rows -> (L, K, B, U)
-    unrows = lambda r: jnp.moveaxis(r.reshape(b, n_layers, k, u), 0, 2)
-    return roll, unrows(h_out), unrows(c_out)
-
-
-# ===========================================================================
-# RNN-NADE whole-generation fused kernel
-# ===========================================================================
-#
-# The NADE per-dimension sweep is restructured so ALL K tracks (and all B
-# samples) advance together through the D dims: per-track quantities live in
-# block layouts (running activation a: (B, K*H); per-dim weight rows:
-# (K, K*H) block rows of a dim-major matrix), so each dim costs TWO small
-# dot_generals for all tracks and samples at once and no transposes/
-# shape-casts ever happen in-kernel:
-#
-#   s     = Vrows_i (KP,KHp) · σ(acc[:, :KHp]) (B,KHp)ᵀ -> (KP,B) logits
-#   x_i   = Bernoulli(σ(s + bv_dm rows))                -> (KP,B)
-#   acc  += x_iᵀ · WMrows_i (KP, KHp+K*4U)              -> (B, KHp+K*4U)
-#
-# where acc packs the running activation a (first KHp lanes; K*H padded to
-# a 128-lane boundary so in-kernel slices stay tile-aligned — pad lanes
-# carry zero weights everywhere, so their σ(0)=0.5 never contributes) and
-# the LSTM input projection z (last K*4U lanes, accumulated during the
-# sweep — the feedback context never needs materializing). Fusing the W and
-# M updates into one matmul shortens the per-dim serial chain (ancestral
-# sampling is inherently sequential over D; the chain length is the
-# latency). The fused update is bit-identical to two separate dots — each
-# output lane contracts the same KP products.
-#
-# At B=1 the (KP,B) logit matmul result is unsupported by Mosaic, so a VPU
-# broadcast-multiply + lane reduction replaces it (same algebra); batched
-# calls require B % 8 == 0 so (KP,B) results stay tile-aligned.
-# Block matrices are assembled once per call in XLA (_nade_args).
-
-_KP = 8   # dim-block row stride: Mosaic requires dynamic sublane offsets to
-          # be provably multiples of 8, so each dim's K track-rows are padded
-          # to 8 (pad rows carry -inf visible bias -> always sample 0 -> their
-          # contributions to every accumulation vanish)
-
-
-def _khp(k: int, hid: int) -> int:
-    """Lane-padded width of the running-activation region (128-aligned)."""
-    return ((k * hid + 127) // 128) * 128
-
-
-def _nade_args(dec_params, h0, c0, v0):
-    """Kernel inputs from track-STACKED rnn_nade.Params + state.
-    h0/c0: (L, K, B, U) stacked over LSTM layers; v0: (K, B, D). See the
-    section comment for layouts; stacked cells follow _rbm_args (layer-major
-    state rows, compact per-track wh/wx blocks)."""
-    cells = dec_params.cell
-    n_layers = len(cells)
-    lstm = cells[0]
-    k, xin_dim, four_u = lstm.wx.shape   # four_u = gate width g (4U | U)
-    u = lstm.wh.shape[1]
-    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
-    ctx_dim = xin_dim - d
-    b = h0.shape[2]
-    idx = jnp.arange(k)
-    kp = _KP
-
-    def pad_rows(blocks_dkx):
-        """(D, K, X) per-dim track blocks -> (D*KP, X) stride-8-padded bf16
-        (pad rows zero)."""
-        ddim, _, x = blocks_dkx.shape
-        out = jnp.zeros((ddim, kp, x), jnp.bfloat16)
-        out = out.at[:, :k, :].set(blocks_dkx.astype(jnp.bfloat16))
-        return out.reshape(ddim * kp, x)
-
-    def diag_dm(mat_kdh):
-        """(K, D, X) -> padded dim-major block rows (D*KP, K*X)."""
-        ddim, x = mat_kdh.shape[1], mat_kdh.shape[2]
-        out = jnp.zeros((ddim, k, k, x), mat_kdh.dtype)
-        out = out.at[:, idx, idx, :].set(jnp.transpose(mat_kdh, (1, 0, 2)))
-        return pad_rows(out.reshape(ddim, k, k * x))
-
-    khp = _khp(k, hid)
-    w_dm = diag_dm(dec_params.w)                       # (D*KP, K*H) bf16
-    # v padded to the 128-aligned activation width (pad lanes: zero weights)
-    v_dm = jnp.zeros((d * kp, khp), jnp.bfloat16
-                     ).at[:, :k * hid].set(diag_dm(dec_params.v))
-    # Own-sample LSTM input projection, dim-major (DIAGONAL blocks only —
-    # x(t) = [v_k(t); ctx(t)=latents(t-1)], so only the v_k(t) part can be
-    # accumulated during the sweep; the ctx part is applied from the
-    # previous step's samples via Wctx below).
-    wx_v = lstm.wx[:, :d, :]                           # (K, D, 4U)
-    m4 = jnp.zeros((d, k, k, four_u), lstm.wx.dtype)
-    m4 = m4.at[:, idx, idx, :].add(jnp.transpose(wx_v, (1, 0, 2)))
-    m_dm = pad_rows(m4.reshape(d, k, k * four_u))      # (D*KP, K*4U) bf16
-    # fused accumulation matrix: [W | pad | M] — one matmul per dim updates
-    # both the running activation and the LSTM input projection
-    wm_dm = jnp.zeros((d * kp, khp + k * four_u), jnp.bfloat16)
-    wm_dm = wm_dm.at[:, :k * hid].set(w_dm).at[:, khp:].set(m_dm)
-    # Feedback-context projection: rows [j*D + i] map source sample v_{j,i}
-    # (from step t-1) to all K target tracks' gates.
-    if ctx_dim:
-        wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
-        wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(
-            k * d, k * four_u).astype(jnp.bfloat16)
-    else:
-        wctx = jnp.zeros((k * d, k * four_u), jnp.bfloat16)
-    # visible-bias conditioning, dim-major rows: row (i*KP + j) = wuv_j[:, i]
-    # placed in lane-block j  ->  (D*KP, K*U)
-    wuv4 = jnp.zeros((d, k, k, u), dec_params.wuv.dtype)
-    wuv4 = wuv4.at[:, idx, idx, :].set(
-        jnp.transpose(dec_params.wuv, (2, 0, 1)))      # (D, K, U)
-    wuv_dm = pad_rows(wuv4.reshape(d, k, k * u))
-    # bv dim-major, pad rows at -1e9 so padded tracks always sample 0
-    bv_full = jnp.full((d, kp), -1e9, jnp.float32)
-    bv_full = bv_full.at[:, :k].set(jnp.transpose(dec_params.bv, (1, 0)))
-    bv_dm = bv_full.reshape(d * kp, 1)
-    v0_pad = jnp.zeros((kp, b, d), jnp.float32).at[:k].set(v0)
-
-    def rows(x_lkbx):                      # (L, K, B, X) -> (B, L*K*X)
-        return jnp.moveaxis(x_lkbx, 2, 0).reshape(b, -1)
-
-    args = [
-        wm_dm, v_dm, wuv_dm,
-        dec_params.wuh.reshape(k * u, hid),
-        jnp.concatenate([c.wh.reshape(k * u, four_u) for c in cells],
-                        axis=0),                       # (L*K*U, 4U)
-        wctx,
-        bv_dm,
-        dec_params.bh,                                 # (K, H)
-        jnp.stack([c.b.reshape(k * four_u) for c in cells]),  # (L, K*4U)
-        rows(h0), rows(c0),
-        v0_pad,                                        # (KP, B, D)
-    ]
-    if n_layers > 1:
-        args.append(jnp.concatenate(
-            [c.wx.reshape(k * u, four_u) for c in cells[1:]], axis=0))
-    return tuple(args)
-
-
-def _nade_scratch(batch: int, k: int, d: int, hid: int, u: int,
-                  n_layers: int = 1, gate_w: int = None):
-    gate_w = 4 * u if gate_w is None else gate_w
-    return [pltpu.VMEM((batch, n_layers * k * u), jnp.float32),  # h
-            pltpu.VMEM((batch, n_layers * k * u), jnp.float32),  # c
-            pltpu.VMEM((_KP, batch, d), jnp.float32),   # v
-            pltpu.VMEM((batch, k * hid), jnp.float32),  # bh'
-            pltpu.VMEM((d * _KP, batch), jnp.float32),  # bv'
-            pltpu.VMEM((d * _KP, batch), jnp.float32),  # uniforms
-            pltpu.VMEM((batch, k * gate_w), jnp.float32)]  # zctx
-
-
-def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
-    """NADE fused-generation gate: K <= 8 (stride-8 dim blocks); batch 1 or
-    a multiple of 8 (tile-aligned (KP, B) logit matmuls — see the section
-    comment). The roll streams to HBM per grid step, so n_steps does not
-    bound VMEM. Byte counts via the real arg builder."""
-    if not _common_gate(cfg, "rnn-nade"):
-        return False
-    k, d = _eff_dims(cfg)
-    if k > 8 or batch < 1 or (batch != 1 and batch % 8):
-        return False
-    from multinn_tpu.models import rnn_nade
-    u, nl = cfg.n_rnn, cfg.rnn_layers
-    params = _decoder_param_shapes(cfg, rnn_nade)
-    st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
-    v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
-    need = vmem.eval_shape_bytes(_nade_args, params, st, st, v0)
-    need += vmem.scratch_bytes(
-        _nade_scratch(batch, k, d, cfg.n_hidden, u, nl))
-    need += 2 * 4 * _KP * batch * d          # roll block, double-buffered
-    need += 2 * 4 * batch * nl * k * u       # hout/cout blocks
-    # speculative-sweep side tables (whichever depth dispatches; budget the
-    # larger): spec2 wsum (bf16) / spec4 per-quad w rows (f32)
-    need += max(2 * (d // 2) * _KP * _khp(k, cfg.n_hidden),
-                4 * (d // 4) * _KP * _khp(k, cfg.n_hidden))
-    return need <= vmem.VMEM_BUDGET_BYTES
-
-
-def _nade_kernel(seed_ref, *refs,
-                 batch: int, n_tracks: int, d: int, hid: int, u: int,
-                 ctx_dim: int, spec: int = 1, n_layers: int = 1,
-                 gate_w: int = None, lstm_cell: bool = True):
-    """One GRID ITERATION = one generation step (all K tracks and B
-    samples advance through the D dims together); scratch carries the
-    LSTM/visible state and feedback projection across iterations, and the
-    step's (KP, B, D) frame block streams to HBM (same structure as
-    _rbm_kernel).
-
-    ``spec`` is the SPECULATIVE SWEEP DEPTH (see the section comment): per
-    track the acc update is binary in each x_i, so later dims' logits can
-    be computed under every branch combination while earlier dims sample,
-    then selected per track row — the serial chain shrinks from D to
-    D/spec dependency rounds, consuming the same uniforms as the
-    sequential sweep. spec=2 (pairs) is bit-identical to the sequential
-    sweep; spec=4 (quads) builds each branch activation by adding one w
-    row at a time in dim order, so every REALIZED path reproduces the
-    sequential adds exactly — only the cross-quad acc grouping (one 4KP-row
-    dot instead of two 2KP-row dots) can differ in the last ulp (same
-    distribution; equality still expected and tested at small sizes)."""
-    n_in = 12 + (n_layers > 1) + (spec > 1)
-    (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
-     bh_ref, b_ref, h0_ref, c0_ref, v0_ref) = refs[:12]
-    _extra = 12
-    if n_layers > 1:
-        wxr_ref = refs[_extra]
-        _extra += 1
-    if spec > 1:
-        wspec_ref = refs[_extra]
-    (roll_ref, hout_ref, cout_ref,
-     h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs[n_in:]
-    t = pl.program_id(0)
-    kseed = seed_ref[0]
-    kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
-    kk = n_tracks
-    gw = 4 * u if gate_w is None else gate_w
-    lku = kk * u
-    top = (n_layers - 1) * lku
-
-    def ctx_projection(v_rows):
-        """Feedback-context contribution to every track's LSTM gates:
-        Σ_j v_j @ Wctx[j-block] -> (B, K*4U). ctx(t) = latents(t-1), so this
-        is computed from the PREVIOUS step's samples (training parity with
-        multinn._feedback_ctx's time shift; at t=0 from the primed v_prev).
-        v_rows: (KP, B, D) track-major sample rows."""
-        z = jnp.zeros((batch, b_ref.shape[-1]), jnp.float32)
-        for j in range(kk):
-            z = z + jnp.dot(
-                v_rows[j],
-                wctx_ref[j * d:(j + 1) * d, :].astype(jnp.float32),
-                preferred_element_type=jnp.float32)
-        return z
-
-    @pl.when(t == 0)
-    def _():
-        h_s[:] = h0_ref[:]                # (B, L*K*U)
-        c_s[:] = c0_ref[:]
-        v_s[:] = v0_ref[:]                # (KP, B, D) (rows >= K padding;
-        #                                   carried for the state contract)
-        if ctx_dim:
-            zctx_s[:] = ctx_projection(v0_ref[:])
-
-    h_row = h_s[:, top:top + lku]     # u(t-1): TOP layer previous h
-
-    # per-track conditioned biases -> block scratches
-    for k in range(kk):
-        h_k = h_row[:, k * u:(k + 1) * u]                 # (B, U)
-        bhp_s[:, k * hid:(k + 1) * hid] = (
-            bh_ref[k:k + 1, :] + jnp.dot(
-                h_k, wuh_ref[k * u:(k + 1) * u, :],
-                preferred_element_type=jnp.float32))
-    # visible biases dim-major: (D*KP, B) = bv_dm + Wuv_dm · hᵀ
-    # (pad rows: bv_dm = -1e9, Wuv_dm = 0 -> stay -1e9)
-    bvp_s[:] = bv_ref[:] + jax.lax.dot_general(
-        wuvdm_ref[:].astype(jnp.float32), h_row,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # all of this step's randomness at once
-    u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, kseed1 + t)
-
-    khp = _khp(n_tracks, hid)
-    # acc = [a (K*H) | pad | z (K*4U)] — one fused accumulator (see the
-    # section comment); pad lanes have zero weights everywhere
-    acc0 = jnp.concatenate(
-        [bhp_s[:],
-         jnp.zeros((batch, khp - n_tracks * hid), jnp.float32),
-         jnp.zeros_like(zctx_s[:])], axis=1)           # (B, KHp + K*4U)
-    vacc0 = jnp.zeros_like(v_s[:])    # (KP, B, D)
-
-    def dim_body(i, carry):
-        acc, v_acc = carry
-        base = pl.multiple_of(i * _KP, _KP)
-        h_act = jax.nn.sigmoid(acc[:, :khp])               # (B, KHp)
-        # block matrices are stored bf16 (VMEM budget); compute in f32
-        vrows = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-        if batch == 1:
-            # (KP,1)-shaped matmul results are unsupported by Mosaic;
-            # a VPU broadcast-multiply + lane reduction is equivalent
-            s = jnp.sum(vrows * h_act, axis=1, keepdims=True)  # (KP, 1)
-        else:
-            s = jax.lax.dot_general(
-                vrows, h_act, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (KP, B)
-        p = jax.nn.sigmoid(s + bvp_s[pl.ds(base, _KP), :])
-        x = (u_s[pl.ds(base, _KP), :] < p).astype(jnp.float32)  # (KP, B)
-        # NOTE: feeding the dot bf16 directly (x is exact in bf16) measured
-        # SLOWER — bf16 MXU tiles are (16, 128) and these 8-sublane rows pay
-        # a relayout; the f32 upconversion wins at this shape. Don't retry.
-        wmrows = wmdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            x, wmrows, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (B, KHp + K*4U)
-        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
-        v_acc = v_acc + x[:, :, None] * (col == i).astype(jnp.float32)
-        return (acc, v_acc)
-
-    def pair_body(i2, carry):
-        """Dims (i, i+1) in ONE dependency round. Exactness: per track r
-        the acc update from dim i touches only r's lane block and is
-        x_i[r] * wm row — so sigmoid(acc + wsum_i) holds every track's
-        x_i=1 branch (wsum_i = the KP rows summed; blocks are disjoint, the
-        sum is a gather) and v_{i+1} row r reads only r's block. Selecting
-        per row on x_i reproduces the sequential sweep bit-for-bit (same
-        uniforms)."""
-        acc, v_acc = carry
-        i = 2 * i2
-        base = pl.multiple_of(i * _KP, _KP)
-        a_hid = acc[:, :khp]
-        h0 = jax.nn.sigmoid(a_hid)                         # x_i = 0 branch
-        # wsum lives in row 0 of an 8-row block per pair (Mosaic dynamic
-        # sublane offsets must be multiples of 8)
-        wsum_i = wspec_ref[pl.ds(pl.multiple_of(i2 * _KP, _KP), 1), :]
-        h1 = jax.nn.sigmoid(a_hid + wsum_i.astype(jnp.float32))
-        vrows_i = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
-        vrows_j = vdm_ref[pl.ds(base + _KP, _KP), :].astype(jnp.float32)
-        if batch == 1:
-            s_i = jnp.sum(vrows_i * h0, axis=1, keepdims=True)   # (KP, 1)
-            s0_j = jnp.sum(vrows_j * h0, axis=1, keepdims=True)
-            s1_j = jnp.sum(vrows_j * h1, axis=1, keepdims=True)
-        else:
-            # one MXU op for all three logit sets: [v_i; v_j] x [h0; h1]
-            v2 = jnp.concatenate([vrows_i, vrows_j], axis=0)   # (2KP, KHp)
-            h2 = jnp.concatenate([h0, h1], axis=0)             # (2B, KHp)
-            s4 = jax.lax.dot_general(
-                v2, h2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (2KP, 2B)
-            s_i = s4[:_KP, :batch]
-            s0_j = s4[_KP:, :batch]
-            s1_j = s4[_KP:, batch:]
-        p_i = jax.nn.sigmoid(s_i + bvp_s[pl.ds(base, _KP), :])
-        x_i = (u_s[pl.ds(base, _KP), :] < p_i).astype(jnp.float32)
-        s_j = x_i * s1_j + (1.0 - x_i) * s0_j          # per-track select
-        p_j = jax.nn.sigmoid(s_j + bvp_s[pl.ds(base + _KP, _KP), :])
-        x_j = (u_s[pl.ds(base + _KP, _KP), :] < p_j).astype(jnp.float32)
-        x2 = jnp.concatenate([x_i, x_j], axis=0)       # (2KP, B)
-        wmrows = wmdm_ref[pl.ds(base, 2 * _KP), :].astype(jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            x2, wmrows, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (B, KHp + K*4U)
-        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
-        v_acc = (v_acc + x_i[:, :, None] * (col == i).astype(jnp.float32)
-                 + x_j[:, :, None] * (col == i + 1).astype(jnp.float32))
-        return (acc, v_acc)
-
-    def quad_body(i4, carry):
-        """Dims (i..i+3) in FOUR sample rounds but ONE logit matmul and ONE
-        acc update. Branch activations for every subset of realized earlier
-        samples are built by adding one w row at a time in dim order
-        (a+w_i, (a+w_i)+w_{i+1}, ...), so each REALIZED path's activation is
-        bit-identical to the sequential sweep's adds. One (4KP, 8B) MXU op
-        yields all dims' logits under all branches; per sample round the
-        surviving branches are narrowed by per-track-row selects (7, then
-        3, then 1 — each level halves the live set for every later dim)."""
-        acc, v_acc = carry
-        i = 4 * i4
-        base = pl.multiple_of(i * _KP, _KP)
-        a = acc[:, :khp]
-        # per-quad single-dim w rows live in rows 0..2 of an 8-row block
-        # (Mosaic dynamic sublane offsets must be multiples of 8; rows are
-        # sliced statically after the load)
-        wq = wspec_ref[pl.ds(pl.multiple_of(i4 * _KP, _KP), _KP), :]
-        w0, w1, w2 = wq[0:1], wq[1:2], wq[2:3]             # (1, khp) f32
-        a001 = a + w0
-        a010 = a + w1
-        a011 = a001 + w1
-        a100 = a + w2
-        a101 = a001 + w2
-        a110 = a010 + w2
-        a111 = a011 + w2
-        # branch index s = x_i + 2*x_{i+1} + 4*x_{i+2}
-        h8 = jax.nn.sigmoid(jnp.concatenate(
-            [a, a001, a010, a011, a100, a101, a110, a111], axis=0))
-        v4 = vdm_ref[pl.ds(base, 4 * _KP), :].astype(jnp.float32)
-        if batch == 1:
-            # (4KP, 8) logits via 8 VPU lane reductions (B=1 matmul results
-            # are unsupported by Mosaic — same workaround as dim_body)
-            s8 = jnp.concatenate(
-                [jnp.sum(v4 * h8[s:s + 1], axis=1, keepdims=True)
-                 for s in range(8)], axis=1)               # (4KP, 8)
-        else:
-            s8 = jax.lax.dot_general(
-                v4, h8, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (4KP, 8B)
-
-        def blk(m, s):
-            """Logits of dim i+m under branch s: (KP, B)."""
-            return s8[m * _KP:(m + 1) * _KP, s * batch:(s + 1) * batch]
-
-        def sample(m, s_m):
-            p = jax.nn.sigmoid(s_m + bvp_s[pl.ds(base + m * _KP, _KP), :])
-            return (u_s[pl.ds(base + m * _KP, _KP), :] < p
-                    ).astype(jnp.float32)
-
-        def sel(x, s1, s0):
-            return x * s1 + (1.0 - x) * s0
-
-        x_i = sample(0, blk(0, 0))
-        # narrow every later dim's live branches on x_i ...
-        s1 = sel(x_i, blk(1, 1), blk(1, 0))
-        s2_0 = sel(x_i, blk(2, 1), blk(2, 0))
-        s2_1 = sel(x_i, blk(2, 3), blk(2, 2))
-        s3_0 = sel(x_i, blk(3, 1), blk(3, 0))
-        s3_1 = sel(x_i, blk(3, 3), blk(3, 2))
-        s3_2 = sel(x_i, blk(3, 5), blk(3, 4))
-        s3_3 = sel(x_i, blk(3, 7), blk(3, 6))
-        x_j = sample(1, s1)
-        # ... then on x_{i+1} ...
-        s2 = sel(x_j, s2_1, s2_0)
-        s3_a = sel(x_j, s3_1, s3_0)
-        s3_b = sel(x_j, s3_3, s3_2)
-        x_k = sample(2, s2)
-        # ... then on x_{i+2}
-        x_l = sample(3, sel(x_k, s3_b, s3_a))
-        x4 = jnp.concatenate([x_i, x_j, x_k, x_l], axis=0)  # (4KP, B)
-        wmrows = wmdm_ref[pl.ds(base, 4 * _KP), :].astype(jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            x4, wmrows, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
-        v_acc = (v_acc + x_i[:, :, None] * (col == i).astype(jnp.float32)
-                 + x_j[:, :, None] * (col == i + 1).astype(jnp.float32)
-                 + x_k[:, :, None] * (col == i + 2).astype(jnp.float32)
-                 + x_l[:, :, None] * (col == i + 3).astype(jnp.float32))
-        return (acc, v_acc)
-
-    if spec == 4:
-        acc_f, v_new = jax.lax.fori_loop(0, d // 4, quad_body,
-                                         (acc0, vacc0))
-    elif spec == 2:
-        acc_f, v_new = jax.lax.fori_loop(0, d // 2, pair_body,
-                                         (acc0, vacc0))
-    else:
-        acc_f, v_new = jax.lax.fori_loop(0, d, dim_body, (acc0, vacc0))
-    z_acc = acc_f[:, khp:]                             # (B, K*4U)
-
-    v_s[:] = v_new
-    roll_ref[0] = v_new                   # (KP, B, D) -> HBM pipeline
-
-    # LSTM advance, layer by layer (same structure as _rbm_kernel): layer 0
-    # consumes z_acc (own-sample input projection accumulated during the
-    # sweep) + zctx (previous step's cross-track latents); layer l>=1
-    # consumes layer l-1's FRESH h via compact per-track wx_r.
-    zctx = zctx_s[:] if ctx_dim else None
-    for layer in range(n_layers):
-        off = layer * lku
-        h_l = h_s[:, off:off + lku]
-        for k in range(kk):
-            if layer == 0:
-                zin = z_acc[:, k * gw:(k + 1) * gw]
-                if ctx_dim:
-                    zin = zin + zctx[:, k * gw:(k + 1) * gw]
-            else:
-                base = ((layer - 1) * kk + k) * u
-                zin = jnp.dot(inp[:, k * u:(k + 1) * u],
-                              wxr_ref[base:base + u, :],
-                              preferred_element_type=jnp.float32)
-            z = (zin + jnp.dot(h_l[:, k * u:(k + 1) * u],
-                               wh_ref[(layer * kk + k) * u:
-                                      (layer * kk + k + 1) * u, :],
-                               preferred_element_type=jnp.float32)
-                 + b_ref[layer:layer + 1,
-                         k * gw:(k + 1) * gw])             # (B, g)
-            col = off + k * u
-            if lstm_cell:
-                i_g = jax.nn.sigmoid(z[:, :u])
-                f_g = jax.nn.sigmoid(z[:, u:2 * u])
-                g_g = jnp.tanh(z[:, 2 * u:3 * u])
-                o_g = jax.nn.sigmoid(z[:, 3 * u:])
-                c_new = f_g * c_s[:, col:col + u] + i_g * g_g
-                c_s[:, col:col + u] = c_new
-                h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
-            else:                          # vanilla: u(t) = tanh(z)
-                h_s[:, col:col + u] = jnp.tanh(z)
-        inp = h_s[:, off:off + lku]       # fresh h -> next layer's input
-    if ctx_dim:
-        zctx_s[:] = ctx_projection(v_new)
-    hout_ref[:] = h_s[:]
-    cout_ref[:] = c_s[:]
-
-
-def _resolve_spec(d: int) -> int:
-    """Speculative-sweep depth resolution — OUTSIDE the jitted function, so
-    the MULTINN_NADE_SPEC env knob is honored on every DIRECT call (a
-    trace-time read with spec=None as the static cache key would pin the
-    first process's choice forever). Callers that wrap generation in their
-    OWN jit (e.g. training/generator.Generator) still bake the resolution
-    into their cached program — ordinary jit semantics; A/B through such a
-    wrapper by rebuilding it (or call gen_fused.generate_nade directly,
-    as the benchmarks do)."""
-    import os
-    env = os.environ.get("MULTINN_NADE_SPEC")
-    if env in ("1", "2", "4") and d % int(env) == 0:
-        return int(env)
-    return 4 if d % 4 == 0 else 2 if d % 2 == 0 else 1
-
-
-def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
-                  interpret: bool = False, spec: int = None
-                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Public entry — resolves the speculative depth (None = env knob /
-    deepest depth in {4, 2, 1} dividing D) and delegates to the jitted
-    implementation with the resolved STATIC value."""
-    if spec is None:
-        spec = _resolve_spec(dec_params.w.shape[1])
-    return _generate_nade(key, dec_params, h0, c0, v0, n_steps,
-                          interpret=interpret, spec=spec)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_steps", "interpret", "spec"))
-def _generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
-                   interpret: bool = False, spec: int = 4
-                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fused whole-generation for track-stacked rnn_nade.Params.
-    h0/c0: (L, K, B, U) stacked over LSTM layers ((K, B, U) auto-promotes
-    for single-layer cells); v0: (K, B, D) — B = 1 or a multiple of 8 (the
-    gate enforces this). Returns (roll (B, n_steps, K, D),
-    h_final (L, K, B, U), c_final (L, K, B, U)) — same contract as
-    generate_rbm.
-
-    ``spec`` (None = auto: deepest depth in {4, 2, 1} dividing D) is the
-    speculative dim-sweep depth — same uniforms as the sequential sweep,
-    D/spec serial dependency rounds (equality-tested; A/B measured in
-    BASELINE.md). Env knob MULTINN_NADE_SPEC=1|2|4 overrides the auto
-    choice (ignored when it does not divide D)."""
-    cells = dec_params.cell
-    n_layers = len(cells)
-    if h0.ndim == 3 and n_layers == 1:
-        h0, c0 = h0[None], c0[None]
-    lstm = cells[0]
-    k, xin_dim, four_u = lstm.wx.shape   # four_u = gate width g (4U | U)
-    u = lstm.wh.shape[1]
-    lstm_cell = four_u == 4 * u
-    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
-    ctx_dim = xin_dim - d
-    b = h0.shape[2]
-    lku = n_layers * k * u
-    if d % spec:
-        raise ValueError(f"spec={spec} must divide D={d}")
-
-    args = list(_nade_args(dec_params, h0, c0, v0))
-    khp = _khp(k, hid)
-    wm_dm = args[0]
-    # single-dim w rows: the KP track rows of each dim summed — the
-    # per-track lane blocks are disjoint, so the bf16 "sum" is an exact
-    # gather (f32-exact after the cast)
-    if spec > 1:
-        wrow = wm_dm.reshape(d, _KP, -1)[:, :, :khp].sum(axis=1)  # (D, KHp)
-    if spec == 2:
-        # per-pair x_i=1 branch offset in row 0 of an 8-row block per pair
-        args.append(jnp.zeros((d // 2, _KP, khp), jnp.bfloat16)
-                    .at[:, 0, :].set(wrow[0::2])
-                    .reshape(d // 2 * _KP, khp))
-    elif spec == 4:
-        # per-quad single-dim w rows (f32 — the kernel builds every branch
-        # activation by realized-path-order adds from these) in rows 0..2
-        # of an 8-row block per quad
-        args.append(jnp.zeros((d // 4, _KP, khp), jnp.float32)
-                    .at[:, 0, :].set(wrow[0::4].astype(jnp.float32))
-                    .at[:, 1, :].set(wrow[1::4].astype(jnp.float32))
-                    .at[:, 2, :].set(wrow[2::4].astype(jnp.float32))
-                    .reshape(d // 4 * _KP, khp))
-    seed = key_to_seeds(key)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_steps,),
-        in_specs=[vspec] * len(args),
-        out_specs=(
-            pl.BlockSpec((1, _KP, b, d), lambda t, s: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),          # roll stream
-            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
-                         memory_space=pltpu.VMEM),          # h final
-            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
-                         memory_space=pltpu.VMEM),          # c final
-        ),
-        scratch_shapes=_nade_scratch(b, k, d, hid, u, n_layers, four_u),
-    )
-    roll, h_out, c_out = pl.pallas_call(
-        functools.partial(_nade_kernel, batch=b, n_tracks=k,
-                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec=spec,
-                          n_layers=n_layers, gate_w=four_u,
-                          lstm_cell=lstm_cell),
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, b, d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, lku), jnp.float32),
-                   jax.ShapeDtypeStruct((b, lku), jnp.float32)),
-        interpret=(pltpu.InterpretParams() if interpret else False),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_steps * b * (d * k * k * (2 * hid + 4 * u)
-                                     + k * u * (hid + 4 * u)),
-            bytes_accessed=4 * n_steps * (d * k * k * (2 * hid + 4 * u)),
-            transcendentals=n_steps * b * (d * (k * hid + k) + 5 * k * u),
-        ),
-    )(seed, *args)
-    roll = jnp.transpose(roll[:, :k], (2, 0, 1, 3))     # (B, T, K, D)
-    # (B, L*K*U) layer-major rows -> (L, K, B, U)
-    unrows = lambda r: jnp.moveaxis(r.reshape(b, n_layers, k, u), 0, 2)
-    return roll, unrows(h_out), unrows(c_out)
+from multinn_tpu.ops.gen_common import (_decoder_param_shapes, _eff_dims,
+                                        _stack_joint)
+from multinn_tpu.ops.gen_fused_nade import (_resolve_spec, generate_nade,
+                                            supported_nade)
+from multinn_tpu.ops.gen_fused_rbm import (generate_rbm, rbm_weight_dtype,
+                                           supported)
+
+__all__ = ["supported", "rbm_weight_dtype", "generate_rbm",
+           "supported_nade", "generate_nade"]

@@ -1,0 +1,663 @@
+"""RNN-NADE whole-generation fused Pallas kernel (see gen_fused.py for the
+family-level design notes; SURVEY hard parts #1/#4).
+
+Same grid-per-step structure as gen_fused_rbm.py: dims advance for all K
+tracks AND all B samples together in dim-major padded block rows (batch 1
+or multiples of 8), and the serial dim sweep runs SPECULATIVELY in
+quads/pairs when the depth divides D — later dims' logits computed under
+every branch of the earlier samples, then selected per track row (same
+uniforms, D/spec dependency rounds; see _nade_kernel). Measured on v5e
+(spec=4): 17.7 µs/step = 18.2 ms per 64-bar song at B=1 (sequential sweep
+was 34.5 µs, pairs 21.3); B=8 costs 18.4 µs/step = 2.36 ms/song.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multinn_tpu.ops import kernel_prng, vmem
+from multinn_tpu.ops.gen_common import (_common_gate, _decoder_param_shapes,
+                                        _eff_dims, _stack_joint)
+from multinn_tpu.ops.sampling import key_to_seeds
+
+# The NADE per-dimension sweep is restructured so ALL K tracks (and all B
+# samples) advance together through the D dims: per-track quantities live in
+# block layouts (running activation a: (B, K*H); per-dim weight rows:
+# (K, K*H) block rows of a dim-major matrix), so each dim costs TWO small
+# dot_generals for all tracks and samples at once and no transposes/
+# shape-casts ever happen in-kernel:
+#
+#   s     = Vrows_i (KP,KHp) · σ(acc[:, :KHp]) (B,KHp)ᵀ -> (KP,B) logits
+#   x_i   = Bernoulli(σ(s + bv_dm rows))                -> (KP,B)
+#   acc  += x_iᵀ · WMrows_i (KP, KHp+K*4U)              -> (B, KHp+K*4U)
+#
+# where acc packs the running activation a (first KHp lanes; K*H padded to
+# a 128-lane boundary so in-kernel slices stay tile-aligned — pad lanes
+# carry zero weights everywhere, so their σ(0)=0.5 never contributes) and
+# the LSTM input projection z (last K*4U lanes, accumulated during the
+# sweep — the feedback context never needs materializing). Fusing the W and
+# M updates into one matmul shortens the per-dim serial chain (ancestral
+# sampling is inherently sequential over D; the chain length is the
+# latency). The fused update is bit-identical to two separate dots — each
+# output lane contracts the same KP products.
+#
+# At B=1 the (KP,B) logit matmul result is unsupported by Mosaic, so a VPU
+# broadcast-multiply + lane reduction replaces it (same algebra); batched
+# calls require B % 8 == 0 so (KP,B) results stay tile-aligned.
+# Block matrices are assembled once per call in XLA (_nade_args).
+
+_KP = 8   # dim-block row stride: Mosaic requires dynamic sublane offsets to
+          # be provably multiples of 8, so each dim's K track-rows are padded
+          # to 8 (pad rows carry -inf visible bias -> always sample 0 -> their
+          # contributions to every accumulation vanish)
+
+
+def _khp(k: int, hid: int) -> int:
+    """Lane-padded width of the running-activation region (128-aligned)."""
+    return ((k * hid + 127) // 128) * 128
+
+
+def _nade_args(dec_params, h0, c0, v0, aux_dtype=jnp.float32):
+    """Kernel inputs from track-STACKED rnn_nade.Params + state.
+    h0/c0: (L, K, B, U) stacked over LSTM layers; v0: (K, B, D). See the
+    section comment for layouts; stacked cells follow _rbm_args (layer-major
+    state rows, compact per-track wh/wx blocks).
+
+    The dim-major block matrices are ALWAYS bf16 (dominant bytes; measured
+    layout). ``aux_dtype`` is the storage dtype of the remaining dense
+    matrices (wuh bias conditioning, wh recurrent, stacked-layer wx) —
+    bf16 is the capacity mode that admits larger serving batches (the
+    kernel upcasts at the use site; f32 accumulation throughout)."""
+    cells = dec_params.cell
+    n_layers = len(cells)
+    lstm = cells[0]
+    k, xin_dim, four_u = lstm.wx.shape   # four_u = gate width g (4U | U)
+    u = lstm.wh.shape[1]
+    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
+    ctx_dim = xin_dim - d
+    b = h0.shape[2]
+    idx = jnp.arange(k)
+    kp = _KP
+
+    def pad_rows(blocks_dkx):
+        """(D, K, X) per-dim track blocks -> (D*KP, X) stride-8-padded bf16
+        (pad rows zero)."""
+        ddim, _, x = blocks_dkx.shape
+        out = jnp.zeros((ddim, kp, x), jnp.bfloat16)
+        out = out.at[:, :k, :].set(blocks_dkx.astype(jnp.bfloat16))
+        return out.reshape(ddim * kp, x)
+
+    def diag_dm(mat_kdh):
+        """(K, D, X) -> padded dim-major block rows (D*KP, K*X)."""
+        ddim, x = mat_kdh.shape[1], mat_kdh.shape[2]
+        out = jnp.zeros((ddim, k, k, x), mat_kdh.dtype)
+        out = out.at[:, idx, idx, :].set(jnp.transpose(mat_kdh, (1, 0, 2)))
+        return pad_rows(out.reshape(ddim, k, k * x))
+
+    khp = _khp(k, hid)
+    w_dm = diag_dm(dec_params.w)                       # (D*KP, K*H) bf16
+    # v padded to the 128-aligned activation width (pad lanes: zero weights)
+    v_dm = jnp.zeros((d * kp, khp), jnp.bfloat16
+                     ).at[:, :k * hid].set(diag_dm(dec_params.v))
+    # Own-sample LSTM input projection, dim-major (DIAGONAL blocks only —
+    # x(t) = [v_k(t); ctx(t)=latents(t-1)], so only the v_k(t) part can be
+    # accumulated during the sweep; the ctx part is applied from the
+    # previous step's samples via Wctx below).
+    wx_v = lstm.wx[:, :d, :]                           # (K, D, 4U)
+    m4 = jnp.zeros((d, k, k, four_u), lstm.wx.dtype)
+    m4 = m4.at[:, idx, idx, :].add(jnp.transpose(wx_v, (1, 0, 2)))
+    m_dm = pad_rows(m4.reshape(d, k, k * four_u))      # (D*KP, K*4U) bf16
+    # fused accumulation matrix: [W | pad | M] — one matmul per dim updates
+    # both the running activation and the LSTM input projection
+    wm_dm = jnp.zeros((d * kp, khp + k * four_u), jnp.bfloat16)
+    wm_dm = wm_dm.at[:, :k * hid].set(w_dm).at[:, khp:].set(m_dm)
+    # Feedback-context projection: rows [j*D + i] map source sample v_{j,i}
+    # (from step t-1) to all K target tracks' gates.
+    if ctx_dim:
+        wx_ctx = lstm.wx[:, d:, :].reshape(k, k, d, four_u)   # [k][j][i]
+        wctx = jnp.transpose(wx_ctx, (1, 2, 0, 3)).reshape(
+            k * d, k * four_u).astype(jnp.bfloat16)
+    else:
+        wctx = jnp.zeros((k * d, k * four_u), jnp.bfloat16)
+    # visible-bias conditioning, dim-major rows: row (i*KP + j) = wuv_j[:, i]
+    # placed in lane-block j  ->  (D*KP, K*U)
+    wuv4 = jnp.zeros((d, k, k, u), dec_params.wuv.dtype)
+    wuv4 = wuv4.at[:, idx, idx, :].set(
+        jnp.transpose(dec_params.wuv, (2, 0, 1)))      # (D, K, U)
+    wuv_dm = pad_rows(wuv4.reshape(d, k, k * u))
+    # bv dim-major, pad rows at -1e9 so padded tracks always sample 0
+    bv_full = jnp.full((d, kp), -1e9, jnp.float32)
+    bv_full = bv_full.at[:, :k].set(jnp.transpose(dec_params.bv, (1, 0)))
+    bv_dm = bv_full.reshape(d * kp, 1)
+    v0_pad = jnp.zeros((kp, b, d), jnp.float32).at[:k].set(v0)
+
+    def rows(x_lkbx):                      # (L, K, B, X) -> (B, L*K*X)
+        return jnp.moveaxis(x_lkbx, 2, 0).reshape(b, -1)
+
+    args = [
+        wm_dm, v_dm, wuv_dm,
+        dec_params.wuh.reshape(k * u, hid).astype(aux_dtype),
+        jnp.concatenate([c.wh.reshape(k * u, four_u) for c in cells],
+                        axis=0).astype(aux_dtype),     # (L*K*U, 4U)
+        wctx,
+        bv_dm,
+        dec_params.bh,                                 # (K, H)
+        jnp.stack([c.b.reshape(k * four_u) for c in cells]),  # (L, K*4U)
+        rows(h0), rows(c0),
+        v0_pad,                                        # (KP, B, D)
+    ]
+    if n_layers > 1:
+        args.append(jnp.concatenate(
+            [c.wx.reshape(k * u, four_u) for c in cells[1:]],
+            axis=0).astype(aux_dtype))
+    return tuple(args)
+
+
+def _nade_scratch(batch: int, k: int, d: int, hid: int, u: int,
+                  n_layers: int = 1, gate_w: int = None):
+    gate_w = 4 * u if gate_w is None else gate_w
+    return [pltpu.VMEM((batch, n_layers * k * u), jnp.float32),  # h
+            pltpu.VMEM((batch, n_layers * k * u), jnp.float32),  # c
+            pltpu.VMEM((_KP, batch, d), jnp.float32),   # v
+            pltpu.VMEM((batch, k * hid), jnp.float32),  # bh'
+            pltpu.VMEM((d * _KP, batch), jnp.float32),  # bv'
+            pltpu.VMEM((d * _KP, batch), jnp.float32),  # uniforms
+            pltpu.VMEM((batch, k * gate_w), jnp.float32)]  # zctx
+
+
+def _nade_fixed_bytes(batch: int, k: int, d: int, hid: int, u: int,
+                      nl: int, gate_w: int = None) -> int:
+    """Non-arg VMEM bytes of the NADE kernel (shared between the gate and
+    generate_nade's auto aux-dtype rule — one formula, no drift)."""
+    fixed = vmem.scratch_bytes(_nade_scratch(batch, k, d, hid, u, nl,
+                                             gate_w))
+    fixed += 2 * 4 * _KP * batch * d         # roll block, double-buffered
+    fixed += 2 * 4 * batch * nl * k * u      # hout/cout blocks
+    # speculative-sweep side table (always bf16) for the depth that will
+    # actually dispatch (_resolve_spec); odd D resolves spec=1 with no
+    # table (ADVICE r3: charging the table unconditionally made the gate
+    # over-conservative near budget)
+    spec = _resolve_spec(d)
+    if spec > 1:
+        fixed += 2 * (d // spec) * _KP * _khp(k, hid)
+    return fixed
+
+
+def nade_aux_dtype(cfg, batch: int):
+    """The aux-matrix storage dtype the dispatch will use for this
+    config/batch (shared rule between the gate and generate_nade): f32 when
+    the full-precision layout fits the VMEM budget, else bf16 (capacity
+    mode — see _nade_args), else None (fall back to the scan path)."""
+    if not _common_gate(cfg, "rnn-nade"):
+        return None
+    k, d = _eff_dims(cfg)
+    if k > 8 or batch < 1 or (batch != 1 and batch % 8):
+        return None
+    from multinn_tpu.models import rnn_nade
+    u, nl = cfg.n_rnn, cfg.rnn_layers
+    params = _decoder_param_shapes(cfg, rnn_nade)
+    st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
+    v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
+    fixed = _nade_fixed_bytes(batch, k, d, cfg.n_hidden, u, nl)
+    for aux in (jnp.float32, jnp.bfloat16):
+        need = fixed + vmem.eval_shape_bytes(
+            functools.partial(_nade_args, aux_dtype=aux), params, st, st, v0)
+        if need <= vmem.VMEM_BUDGET_BYTES:
+            return aux
+    return None
+
+
+def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
+    """NADE fused-generation gate: K <= 8 (stride-8 dim blocks); batch 1 or
+    a multiple of 8 (tile-aligned (KP, B) logit matmuls — see the section
+    comment). The roll streams to HBM per grid step, so n_steps does not
+    bound VMEM. Byte counts via the real arg builder; past the f32 budget
+    the bf16 aux-storage capacity mode extends the admissible batch."""
+    return nade_aux_dtype(cfg, batch) is not None
+
+
+def _nade_kernel(seed_ref, *refs,
+                 batch: int, n_tracks: int, d: int, hid: int, u: int,
+                 ctx_dim: int, spec: int = 1, n_layers: int = 1,
+                 gate_w: int = None, lstm_cell: bool = True):
+    """One GRID ITERATION = one generation step (all K tracks and B
+    samples advance through the D dims together); scratch carries the
+    LSTM/visible state and feedback projection across iterations, and the
+    step's (KP, B, D) frame block streams to HBM (same structure as
+    _rbm_kernel).
+
+    ``spec`` is the SPECULATIVE SWEEP DEPTH (see the section comment): per
+    track the acc update is binary in each x_i, so later dims' logits can
+    be computed under every branch combination while earlier dims sample,
+    then selected per track row — the serial chain shrinks from D to
+    D/spec dependency rounds, consuming the same uniforms as the
+    sequential sweep. spec=2 (pairs) is bit-identical to the sequential
+    sweep; spec=4 (quads) builds each branch activation by adding one w
+    row at a time in dim order, so every REALIZED path reproduces the
+    sequential adds exactly — only the cross-quad acc grouping (one 4KP-row
+    dot instead of two 2KP-row dots) can differ in the last ulp (same
+    distribution; equality still expected and tested at small sizes)."""
+    n_in = 12 + (n_layers > 1) + (spec > 1)
+    (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
+     bh_ref, b_ref, h0_ref, c0_ref, v0_ref) = refs[:12]
+    _extra = 12
+    if n_layers > 1:
+        wxr_ref = refs[_extra]
+        _extra += 1
+    if spec > 1:
+        wspec_ref = refs[_extra]
+    (roll_ref, hout_ref, cout_ref,
+     h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs[n_in:]
+    t = pl.program_id(0)
+    kseed = seed_ref[0]
+    kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
+    kk = n_tracks
+    gw = 4 * u if gate_w is None else gate_w
+    lku = kk * u
+    top = (n_layers - 1) * lku
+
+    def ctx_projection(v_rows):
+        """Feedback-context contribution to every track's LSTM gates:
+        Σ_j v_j @ Wctx[j-block] -> (B, K*4U). ctx(t) = latents(t-1), so this
+        is computed from the PREVIOUS step's samples (training parity with
+        multinn._feedback_ctx's time shift; at t=0 from the primed v_prev).
+        v_rows: (KP, B, D) track-major sample rows."""
+        z = jnp.zeros((batch, b_ref.shape[-1]), jnp.float32)
+        for j in range(kk):
+            z = z + jnp.dot(
+                v_rows[j],
+                wctx_ref[j * d:(j + 1) * d, :].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+        return z
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]                # (B, L*K*U)
+        c_s[:] = c0_ref[:]
+        v_s[:] = v0_ref[:]                # (KP, B, D) (rows >= K padding;
+        #                                   carried for the state contract)
+        if ctx_dim:
+            zctx_s[:] = ctx_projection(v0_ref[:])
+
+    h_row = h_s[:, top:top + lku]     # u(t-1): TOP layer previous h
+
+    # per-track conditioned biases -> block scratches
+    for k in range(kk):
+        h_k = h_row[:, k * u:(k + 1) * u]                 # (B, U)
+        bhp_s[:, k * hid:(k + 1) * hid] = (
+            bh_ref[k:k + 1, :] + jnp.dot(
+                h_k, wuh_ref[k * u:(k + 1) * u, :].astype(jnp.float32),
+                preferred_element_type=jnp.float32))
+    # visible biases dim-major: (D*KP, B) = bv_dm + Wuv_dm · hᵀ
+    # (pad rows: bv_dm = -1e9, Wuv_dm = 0 -> stay -1e9)
+    bvp_s[:] = bv_ref[:] + jax.lax.dot_general(
+        wuvdm_ref[:].astype(jnp.float32), h_row,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # all of this step's randomness at once
+    u_s[:] = kernel_prng.random_uniform(u_s.shape, kseed, kseed1 + t)
+
+    khp = _khp(n_tracks, hid)
+    # acc = [a (K*H) | pad | z (K*4U)] — one fused accumulator (see the
+    # section comment); pad lanes have zero weights everywhere
+    acc0 = jnp.concatenate(
+        [bhp_s[:],
+         jnp.zeros((batch, khp - n_tracks * hid), jnp.float32),
+         jnp.zeros_like(zctx_s[:])], axis=1)           # (B, KHp + K*4U)
+    vacc0 = jnp.zeros_like(v_s[:])    # (KP, B, D)
+
+    def dim_body(i, carry):
+        acc, v_acc = carry
+        base = pl.multiple_of(i * _KP, _KP)
+        h_act = jax.nn.sigmoid(acc[:, :khp])               # (B, KHp)
+        # block matrices are stored bf16 (VMEM budget); compute in f32
+        vrows = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+        if batch == 1:
+            # (KP,1)-shaped matmul results are unsupported by Mosaic;
+            # a VPU broadcast-multiply + lane reduction is equivalent
+            s = jnp.sum(vrows * h_act, axis=1, keepdims=True)  # (KP, 1)
+        else:
+            s = jax.lax.dot_general(
+                vrows, h_act, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (KP, B)
+        p = jax.nn.sigmoid(s + bvp_s[pl.ds(base, _KP), :])
+        x = (u_s[pl.ds(base, _KP), :] < p).astype(jnp.float32)  # (KP, B)
+        # NOTE: feeding the dot bf16 directly (x is exact in bf16) measured
+        # SLOWER — bf16 MXU tiles are (16, 128) and these 8-sublane rows pay
+        # a relayout; the f32 upconversion wins at this shape. Don't retry.
+        wmrows = wmdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x, wmrows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, KHp + K*4U)
+        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
+        v_acc = v_acc + x[:, :, None] * (col == i).astype(jnp.float32)
+        return (acc, v_acc)
+
+    def pair_body(i2, carry):
+        """Dims (i, i+1) in ONE dependency round. Exactness: per track r
+        the acc update from dim i touches only r's lane block and is
+        x_i[r] * wm row — so sigmoid(acc + wsum_i) holds every track's
+        x_i=1 branch (wsum_i = the KP rows summed; blocks are disjoint, the
+        sum is a gather) and v_{i+1} row r reads only r's block. Selecting
+        per row on x_i reproduces the sequential sweep bit-for-bit (same
+        uniforms)."""
+        acc, v_acc = carry
+        i = 2 * i2
+        base = pl.multiple_of(i * _KP, _KP)
+        a_hid = acc[:, :khp]
+        h0 = jax.nn.sigmoid(a_hid)                         # x_i = 0 branch
+        # wsum lives in row 0 of an 8-row block per pair (Mosaic dynamic
+        # sublane offsets must be multiples of 8)
+        wsum_i = wspec_ref[pl.ds(pl.multiple_of(i2 * _KP, _KP), 1), :]
+        h1 = jax.nn.sigmoid(a_hid + wsum_i.astype(jnp.float32))
+        vrows_i = vdm_ref[pl.ds(base, _KP), :].astype(jnp.float32)
+        vrows_j = vdm_ref[pl.ds(base + _KP, _KP), :].astype(jnp.float32)
+        if batch == 1:
+            s_i = jnp.sum(vrows_i * h0, axis=1, keepdims=True)   # (KP, 1)
+            s0_j = jnp.sum(vrows_j * h0, axis=1, keepdims=True)
+            s1_j = jnp.sum(vrows_j * h1, axis=1, keepdims=True)
+        else:
+            # one MXU op for all three logit sets: [v_i; v_j] x [h0; h1]
+            v2 = jnp.concatenate([vrows_i, vrows_j], axis=0)   # (2KP, KHp)
+            h2 = jnp.concatenate([h0, h1], axis=0)             # (2B, KHp)
+            s4 = jax.lax.dot_general(
+                v2, h2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (2KP, 2B)
+            s_i = s4[:_KP, :batch]
+            s0_j = s4[_KP:, :batch]
+            s1_j = s4[_KP:, batch:]
+        p_i = jax.nn.sigmoid(s_i + bvp_s[pl.ds(base, _KP), :])
+        x_i = (u_s[pl.ds(base, _KP), :] < p_i).astype(jnp.float32)
+        s_j = x_i * s1_j + (1.0 - x_i) * s0_j          # per-track select
+        p_j = jax.nn.sigmoid(s_j + bvp_s[pl.ds(base + _KP, _KP), :])
+        x_j = (u_s[pl.ds(base + _KP, _KP), :] < p_j).astype(jnp.float32)
+        x2 = jnp.concatenate([x_i, x_j], axis=0)       # (2KP, B)
+        wmrows = wmdm_ref[pl.ds(base, 2 * _KP), :].astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x2, wmrows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, KHp + K*4U)
+        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
+        v_acc = (v_acc + x_i[:, :, None] * (col == i).astype(jnp.float32)
+                 + x_j[:, :, None] * (col == i + 1).astype(jnp.float32))
+        return (acc, v_acc)
+
+    def quad_body(i4, carry):
+        """Dims (i..i+3) in FOUR sample rounds but ONE logit matmul and ONE
+        acc update. Branch activations for every subset of realized earlier
+        samples are built by adding one w row at a time in dim order
+        (a+w_i, (a+w_i)+w_{i+1}, ...), so each REALIZED path's activation is
+        bit-identical to the sequential sweep's adds. One (4KP, 8B) MXU op
+        yields all dims' logits under all branches; per sample round the
+        surviving branches are narrowed by per-track-row selects (7, then
+        3, then 1 — each level halves the live set for every later dim)."""
+        acc, v_acc = carry
+        i = 4 * i4
+        base = pl.multiple_of(i * _KP, _KP)
+        a = acc[:, :khp]
+        # per-quad single-dim w rows live in rows 0..2 of an 8-row block
+        # (Mosaic dynamic sublane offsets must be provably multiples of 8;
+        # rows are sliced statically after the load). The table stores the
+        # bf16 wm_dm row values, so the upcast is exact — branch adds match
+        # the sequential sweep's f32 adds bit-for-bit.
+        wq = wspec_ref[pl.ds(pl.multiple_of(i4 * _KP, _KP), _KP),
+                       :].astype(jnp.float32)
+        w0, w1, w2 = wq[0:1], wq[1:2], wq[2:3]             # (1, khp)
+        a001 = a + w0
+        a010 = a + w1
+        a011 = a001 + w1
+        a100 = a + w2
+        a101 = a001 + w2
+        a110 = a010 + w2
+        a111 = a011 + w2
+        # branch index s = x_i + 2*x_{i+1} + 4*x_{i+2}
+        h8 = jax.nn.sigmoid(jnp.concatenate(
+            [a, a001, a010, a011, a100, a101, a110, a111], axis=0))
+        v4 = vdm_ref[pl.ds(base, 4 * _KP), :].astype(jnp.float32)
+        if batch == 1:
+            # (4KP, 8) logits via 8 VPU lane reductions (B=1 matmul results
+            # are unsupported by Mosaic — same workaround as dim_body)
+            s8 = jnp.concatenate(
+                [jnp.sum(v4 * h8[s:s + 1], axis=1, keepdims=True)
+                 for s in range(8)], axis=1)               # (4KP, 8)
+        else:
+            s8 = jax.lax.dot_general(
+                v4, h8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (4KP, 8B)
+
+        def blk(m, s):
+            """Logits of dim i+m under branch s: (KP, B)."""
+            return s8[m * _KP:(m + 1) * _KP, s * batch:(s + 1) * batch]
+
+        def sample(m, s_m):
+            p = jax.nn.sigmoid(s_m + bvp_s[pl.ds(base + m * _KP, _KP), :])
+            return (u_s[pl.ds(base + m * _KP, _KP), :] < p
+                    ).astype(jnp.float32)
+
+        def sel(x, s1, s0):
+            return x * s1 + (1.0 - x) * s0
+
+        x_i = sample(0, blk(0, 0))
+        # narrow every later dim's live branches on x_i ...
+        s1 = sel(x_i, blk(1, 1), blk(1, 0))
+        s2_0 = sel(x_i, blk(2, 1), blk(2, 0))
+        s2_1 = sel(x_i, blk(2, 3), blk(2, 2))
+        s3_0 = sel(x_i, blk(3, 1), blk(3, 0))
+        s3_1 = sel(x_i, blk(3, 3), blk(3, 2))
+        s3_2 = sel(x_i, blk(3, 5), blk(3, 4))
+        s3_3 = sel(x_i, blk(3, 7), blk(3, 6))
+        x_j = sample(1, s1)
+        # ... then on x_{i+1} ...
+        s2 = sel(x_j, s2_1, s2_0)
+        s3_a = sel(x_j, s3_1, s3_0)
+        s3_b = sel(x_j, s3_3, s3_2)
+        x_k = sample(2, s2)
+        # ... then on x_{i+2}
+        x_l = sample(3, sel(x_k, s3_b, s3_a))
+        x4 = jnp.concatenate([x_i, x_j, x_k, x_l], axis=0)  # (4KP, B)
+        wmrows = wmdm_ref[pl.ds(base, 4 * _KP), :].astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x4, wmrows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, v_acc.shape, 2)
+        v_acc = (v_acc + x_i[:, :, None] * (col == i).astype(jnp.float32)
+                 + x_j[:, :, None] * (col == i + 1).astype(jnp.float32)
+                 + x_k[:, :, None] * (col == i + 2).astype(jnp.float32)
+                 + x_l[:, :, None] * (col == i + 3).astype(jnp.float32))
+        return (acc, v_acc)
+
+    if spec == 4:
+        acc_f, v_new = jax.lax.fori_loop(0, d // 4, quad_body,
+                                         (acc0, vacc0))
+    elif spec == 2:
+        acc_f, v_new = jax.lax.fori_loop(0, d // 2, pair_body,
+                                         (acc0, vacc0))
+    else:
+        acc_f, v_new = jax.lax.fori_loop(0, d, dim_body, (acc0, vacc0))
+    z_acc = acc_f[:, khp:]                             # (B, K*4U)
+
+    v_s[:] = v_new
+    roll_ref[0] = v_new                   # (KP, B, D) -> HBM pipeline
+
+    # LSTM advance, layer by layer (same structure as _rbm_kernel): layer 0
+    # consumes z_acc (own-sample input projection accumulated during the
+    # sweep) + zctx (previous step's cross-track latents); layer l>=1
+    # consumes layer l-1's FRESH h via compact per-track wx_r.
+    zctx = zctx_s[:] if ctx_dim else None
+    for layer in range(n_layers):
+        off = layer * lku
+        h_l = h_s[:, off:off + lku]
+        for k in range(kk):
+            if layer == 0:
+                zin = z_acc[:, k * gw:(k + 1) * gw]
+                if ctx_dim:
+                    zin = zin + zctx[:, k * gw:(k + 1) * gw]
+            else:
+                base = ((layer - 1) * kk + k) * u
+                zin = jnp.dot(inp[:, k * u:(k + 1) * u],
+                              wxr_ref[base:base + u, :
+                                      ].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            z = (zin + jnp.dot(h_l[:, k * u:(k + 1) * u],
+                               wh_ref[(layer * kk + k) * u:
+                                      (layer * kk + k + 1) * u, :
+                                      ].astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
+                 + b_ref[layer:layer + 1,
+                         k * gw:(k + 1) * gw])             # (B, g)
+            col = off + k * u
+            if lstm_cell:
+                i_g = jax.nn.sigmoid(z[:, :u])
+                f_g = jax.nn.sigmoid(z[:, u:2 * u])
+                g_g = jnp.tanh(z[:, 2 * u:3 * u])
+                o_g = jax.nn.sigmoid(z[:, 3 * u:])
+                c_new = f_g * c_s[:, col:col + u] + i_g * g_g
+                c_s[:, col:col + u] = c_new
+                h_s[:, col:col + u] = o_g * jnp.tanh(c_new)
+            else:                          # vanilla: u(t) = tanh(z)
+                h_s[:, col:col + u] = jnp.tanh(z)
+        inp = h_s[:, off:off + lku]       # fresh h -> next layer's input
+    if ctx_dim:
+        zctx_s[:] = ctx_projection(v_new)
+    hout_ref[:] = h_s[:]
+    cout_ref[:] = c_s[:]
+
+
+def _resolve_spec(d: int) -> int:
+    """Speculative-sweep depth resolution — OUTSIDE the jitted function, so
+    the MULTINN_NADE_SPEC env knob is honored on every DIRECT call (a
+    trace-time read with spec=None as the static cache key would pin the
+    first process's choice forever). Callers that wrap generation in their
+    OWN jit (e.g. training/generator.Generator) still bake the resolution
+    into their cached program — ordinary jit semantics; A/B through such a
+    wrapper by rebuilding it (or call gen_fused.generate_nade directly,
+    as the benchmarks do)."""
+    import os
+    env = os.environ.get("MULTINN_NADE_SPEC")
+    if env in ("1", "2", "4") and d % int(env) == 0:
+        return int(env)
+    return 4 if d % 4 == 0 else 2 if d % 2 == 0 else 1
+
+
+def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
+                  interpret: bool = False, spec: int = None,
+                  aux_dtype=None
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Public entry — resolves the speculative depth (None = env knob /
+    deepest depth in {4, 2, 1} dividing D) and delegates to the jitted
+    implementation with the resolved STATIC value."""
+    if spec is None:
+        spec = _resolve_spec(dec_params.w.shape[1])
+    return _generate_nade(key, dec_params, h0, c0, v0, n_steps,
+                          interpret=interpret, spec=spec,
+                          aux_dtype=aux_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "interpret", "spec",
+                                    "aux_dtype"))
+def _generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
+                   interpret: bool = False, spec: int = 4,
+                   aux_dtype=None
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused whole-generation for track-stacked rnn_nade.Params.
+    h0/c0: (L, K, B, U) stacked over LSTM layers ((K, B, U) auto-promotes
+    for single-layer cells); v0: (K, B, D) — B = 1 or a multiple of 8 (the
+    gate enforces this). Returns (roll (B, n_steps, K, D),
+    h_final (L, K, B, U), c_final (L, K, B, U)) — same contract as
+    generate_rbm.
+
+    ``spec`` (None = auto: deepest depth in {4, 2, 1} dividing D) is the
+    speculative dim-sweep depth — same uniforms as the sequential sweep,
+    D/spec serial dependency rounds (equality-tested; A/B measured in
+    BASELINE.md). Env knob MULTINN_NADE_SPEC=1|2|4 overrides the auto
+    choice (ignored when it does not divide D)."""
+    cells = dec_params.cell
+    n_layers = len(cells)
+    if h0.ndim == 3 and n_layers == 1:
+        h0, c0 = h0[None], c0[None]
+    lstm = cells[0]
+    k, xin_dim, four_u = lstm.wx.shape   # four_u = gate width g (4U | U)
+    u = lstm.wh.shape[1]
+    lstm_cell = four_u == 4 * u
+    d, hid = dec_params.w.shape[1], dec_params.w.shape[2]
+    ctx_dim = xin_dim - d
+    b = h0.shape[2]
+    lku = n_layers * k * u
+    if d % spec:
+        raise ValueError(f"spec={spec} must divide D={d}")
+    if aux_dtype is None:
+        # auto: f32 when it fits, else the bf16 aux-storage capacity mode
+        # (same rule as nade_aux_dtype — shared fixed-bytes formula)
+        need32 = (_nade_fixed_bytes(b, k, d, hid, u, n_layers, four_u)
+                  + vmem.eval_shape_bytes(
+                      functools.partial(_nade_args, aux_dtype=jnp.float32),
+                      dec_params, h0, c0, v0))
+        aux_dtype = (jnp.float32 if need32 <= vmem.VMEM_BUDGET_BYTES
+                     else jnp.bfloat16)
+
+    args = list(_nade_args(dec_params, h0, c0, v0, aux_dtype=aux_dtype))
+    khp = _khp(k, hid)
+    wm_dm = args[0]
+    # single-dim w rows: the KP track rows of each dim summed — the
+    # per-track lane blocks are disjoint, so the bf16 "sum" is an exact
+    # gather (f32-exact after the cast)
+    if spec > 1:
+        wrow = wm_dm.reshape(d, _KP, -1)[:, :, :khp].sum(axis=1)  # (D, KHp)
+    if spec == 2:
+        # per-pair x_i=1 branch offset in row 0 of an 8-row block per pair
+        args.append(jnp.zeros((d // 2, _KP, khp), jnp.bfloat16)
+                    .at[:, 0, :].set(wrow[0::2])
+                    .reshape(d // 2 * _KP, khp))
+    elif spec == 4:
+        # per-quad single-dim w rows in rows 0..2 of an 8-row block per
+        # quad. Stored bf16: the values ARE bf16 (rows of the bf16 wm_dm),
+        # so bf16 storage + in-kernel f32 upcast is bit-identical to the
+        # f32 table while halving its VMEM bytes (capacity headroom)
+        args.append(jnp.zeros((d // 4, _KP, khp), jnp.bfloat16)
+                    .at[:, 0, :].set(wrow[0::4])
+                    .at[:, 1, :].set(wrow[1::4])
+                    .at[:, 2, :].set(wrow[2::4])
+                    .reshape(d // 4 * _KP, khp))
+    seed = key_to_seeds(key)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[vspec] * len(args),
+        out_specs=(
+            pl.BlockSpec((1, _KP, b, d), lambda t, s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),          # roll stream
+            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),          # h final
+            pl.BlockSpec((b, lku), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),          # c final
+        ),
+        scratch_shapes=_nade_scratch(b, k, d, hid, u, n_layers, four_u),
+    )
+    roll, h_out, c_out = pl.pallas_call(
+        functools.partial(_nade_kernel, batch=b, n_tracks=k,
+                          d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec=spec,
+                          n_layers=n_layers, gate_w=four_u,
+                          lstm_cell=lstm_cell),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, b, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, lku), jnp.float32),
+                   jax.ShapeDtypeStruct((b, lku), jnp.float32)),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_steps * b * (d * k * k * (2 * hid + 4 * u)
+                                     + k * u * (hid + 4 * u)),
+            bytes_accessed=4 * n_steps * (d * k * k * (2 * hid + 4 * u)),
+            transcendentals=n_steps * b * (d * (k * hid + k) + 5 * k * u),
+        ),
+    )(seed, *args)
+    roll = jnp.transpose(roll[:, :k], (2, 0, 1, 3))     # (B, T, K, D)
+    # (B, L*K*U) layer-major rows -> (L, K, B, U)
+    unrows = lambda r: jnp.moveaxis(r.reshape(b, n_layers, k, u), 0, 2)
+    return roll, unrows(h_out), unrows(c_out)
