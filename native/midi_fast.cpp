@@ -157,23 +157,34 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
         tc.skip_clamp(mlen);
       } else if (status == 0xF0 || status == 0xF7) {   // sysex
         tc.skip_clamp(tc.varint());
+      } else if ((status & 0xF0) == 0xF0) {
+        // 0xF1-0xF6 / 0xF8-0xFE: system common/realtime bytes never belong
+        // in an SMF track — corruption; reject like the Python layer
+        tc.ok = false;
+        break;
       } else {
         uint8_t kind = status & 0xF0;
         uint8_t ch = status & 0x0F;
         uint8_t d1 = tc.u8();
         uint8_t d2 = 0;
         if (kind != 0xC0 && kind != 0xD0) d2 = tc.u8();
+        if ((d1 | d2) & 0x80) {
+          // a status byte where a data byte belongs: malformed event
+          // (reject like the Python layer — masking fabricates notes)
+          tc.ok = false;
+          break;
+        }
         if (kind == 0xC0) {
-          st.program[ch] = d1 & 0x7F;
+          st.program[ch] = d1;
         } else if (kind == 0x90 && d2 > 0) {
-          st.open[ch][d1 & 0x7F].push_back({tick, d2, st.program[ch]});
+          st.open[ch][d1].push_back({tick, d2, st.program[ch]});
         } else if (kind == 0x80 || (kind == 0x90 && d2 == 0)) {
-          auto& stack = st.open[ch][d1 & 0x7F];
+          auto& stack = st.open[ch][d1];
           if (!stack.empty()) {
             OpenNote on = stack.front();
             stack.erase(stack.begin());
             if (tick > on.start) {
-              notes.push_back({on.start, tick, (uint8_t)(d1 & 0x7F),
+              notes.push_back({on.start, tick, d1,
                                on.velocity, on.program,
                                (uint8_t)(ch == 9 ? 1 : 0)});
             }
