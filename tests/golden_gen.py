@@ -37,6 +37,31 @@ def build():
         tag = dec.replace("-", "_")
         out[f"{tag}_loss"] = np.asarray(loss)
         out[f"{tag}_roll"] = np.asarray(roll).astype(np.uint8)
+
+    # Flagship-surface pins (VERDICT r3 #6):
+    # (a) HF macro-step metrics tuple on the feedback RNN-NADE composition
+    from multinn_tpu.training import hf
+    cfg_hf = MultINNConfig(n_tracks=2, n_pitches=16, mode="feedback",
+                           decoder_type="rnn-nade", n_hidden=8, n_rnn=6,
+                           w_std=0.1)
+    p_hf = multinn.init(jax.random.PRNGKey(1234), cfg_hf)
+    x = jax.random.bernoulli(
+        jax.random.PRNGKey(5678), 0.3, (2, 6, 2, 16)).astype(jnp.float32)
+    _, hst, met = hf.hf_step(p_hf, hf.init_state(p_hf), x,
+                             jax.random.PRNGKey(99), cg_iters=6)
+    out["hf_macro_metrics"] = np.asarray(
+        [met["loss"], met["hf_rho"], met["hf_lambda"], met["hf_q"],
+         met["hf_accepted"], met["grad_norm"]], dtype=np.float64)
+    # (b) DBN-encoder feedback composition (latent-space loss + roll)
+    cfg_dbn = MultINNConfig(n_tracks=2, n_pitches=16, mode="feedback",
+                            decoder_type="rnn-rbm", encoder_hidden=(8,),
+                            n_hidden=8, n_rnn=6, cd_k=1, gen_k=2, w_std=0.1)
+    p_dbn = multinn.init(jax.random.PRNGKey(1234), cfg_dbn)
+    loss_dbn, _ = multinn.loss(p_dbn, jax.random.PRNGKey(99), x)
+    st = multinn.prime(p_dbn, multinn.init_state(p_dbn, 2), x)
+    _, roll_dbn = multinn.generate(p_dbn, jax.random.PRNGKey(777), st, 8)
+    out["dbn_loss"] = np.asarray(loss_dbn)
+    out["dbn_roll"] = np.asarray(roll_dbn).astype(np.uint8)
     return out
 
 

@@ -38,3 +38,22 @@ def test_golden_loss(dec, current, stored):
 def test_golden_generation_bit_exact(dec, current, stored):
     np.testing.assert_array_equal(current[f"{dec}_roll"],
                                   stored[f"{dec}_roll"])
+
+
+def test_golden_hf_macro_step(current, stored):
+    """Flagship-surface pin (VERDICT r3 #6): one Hessian-free macro-step's
+    metrics tuple (loss, rho, lambda, q, accepted, grad_norm) must
+    reproduce across commits — a silent CG/GGN regression moves these."""
+    if "hf_macro_metrics" not in stored:
+        pytest.skip("regenerate golden.npz (tests/golden_gen.py)")
+    np.testing.assert_allclose(current["hf_macro_metrics"],
+                               stored["hf_macro_metrics"],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_golden_dbn_flagship(current, stored):
+    if "dbn_loss" not in stored:
+        pytest.skip("regenerate golden.npz (tests/golden_gen.py)")
+    np.testing.assert_allclose(current["dbn_loss"], stored["dbn_loss"],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(current["dbn_roll"], stored["dbn_roll"])
