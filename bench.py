@@ -47,7 +47,14 @@ def bench():
     from multinn_tpu.utils.profiling import timeit
 
     # persistent compile cache: the first process pays the remote-compile
-    # cold start (1-8 min here); later processes deserialize in seconds
+    # cold start (1-8 min here); later processes deserialize in seconds.
+    # Hit/miss counters come from JAX monitoring events (ground truth —
+    # VERDICT r3 #1; scripts/compile_audit.py is the standalone prover).
+    from collections import Counter
+    cache_events = Counter()
+    jax.monitoring.register_event_listener(
+        lambda name, **kw: cache_events.update([name])
+        if "compilation_cache" in name else None)
     cache_dir = enable_compilation_cache()
     cache_was_warm = bool(cache_dir and os.path.isdir(cache_dir)
                           and len(os.listdir(cache_dir)) > 0)
@@ -173,6 +180,19 @@ def bench():
     rn4 = timeit(gen_n4, jax.random.PRNGKey(4), iters=3, warmup=1)
     nade_device_s = (rn4["min_s"] - rn1["min_s"]) / (3 * n_steps) * n_steps
 
+    # NADE serving at ITS gate max (bf16 aux capacity mode past B=48 — r4)
+    bn_serve = max((b for b in (8, 16, 32, 48, 64)
+                    if gen_fused.supported_nade(cfg_n, b, n_steps)),
+                   default=0)
+    if bn_serve:
+        state_ns = multinn.init_state(params_n, bn_serve)
+        gen_ns = jax.jit(
+            lambda kk: multinn.generate(params_n, kk, state_ns, n_steps)[1])
+        res_ns = timeit(gen_ns, jax.random.PRNGKey(4), iters=4, warmup=1)
+        nade_songs_per_sec = bn_serve / res_ns["min_s"]
+    else:
+        nade_songs_per_sec = 0.0
+
     # ---- 3) Gibbs sweeps/s (in-program amortized: scan of chains) ---------
     D, H, BB, K_SWEEPS = 84, 150, 4096, 25
     w = 0.01 * jax.random.normal(jax.random.PRNGKey(5), (D, H))
@@ -245,6 +265,8 @@ def bench():
             "gen_per_song_s_at_batch8": round(per_song_b8, 4),
             "serving_songs_per_sec": round(songs_per_sec, 1),
             "serving_batch": b_serve,
+            "serving_nade_songs_per_sec": round(nade_songs_per_sec, 1),
+            "serving_nade_batch": bn_serve,
             "gen_nade_device_s_64bar": round(nade_device_s, 4),
             "train_pianoroll_steps_per_sec_per_chip":
                 round(train_steps_per_sec, 0),
@@ -252,7 +274,12 @@ def bench():
             "gibbs_sweeps_per_sec": round(gibbs_sweeps_per_sec, 0),
             "compile_train_s": round(compile_train, 1),
             "compile_gen_s": round(compile_gen, 1),
-            "compile_cache": {"dir": cache_dir, "warm": cache_was_warm},
+            "compile_cache": {
+                "dir": cache_dir, "dir_populated": cache_was_warm,
+                # measured per-process event counts: hits prove the
+                # persistent cache served THIS run's programs
+                **{k.rsplit("/", 1)[-1]: v for k, v in cache_events.items()},
+            },
             "mfu": mfu_report,
             "device": str(jax.devices()[0]),
             "note": ("vs_baseline = north-star 1.0s / measured latency; "
