@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from multinn_tpu.utils import images
 
@@ -57,3 +58,40 @@ def test_prepare_dataset_synth_cache_roundtrip(tmp_path):
     from multinn_tpu.data.datasets import DataConfig, Dataset
     ds = Dataset(DataConfig.from_preset("lpd5", source="npz", path=npz))
     assert len(ds.windows["train"]) == len(data["rolls_train"])
+
+
+@pytest.mark.slow
+def test_ingest_bench_script(tmp_path):
+    """Corpus-scale ingest bench (C1 readiness) runs and reports sane
+    rates at a small file count."""
+    import json
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/ingest_bench.py"),
+         "--files", "64", "--python-files", "16"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["files"] == 64
+    assert out["native_files_per_sec"] > out["python_files_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_compile_audit_script_cpu():
+    """Persistent-cache audit mechanics (VERDICT r3 #1): two fresh child
+    processes; run 2 must HIT the cache run 1 populated. CPU platform +
+    throwaway cache dir — the TPU numbers live in BASELINE/BENCH."""
+    import json
+    import tempfile
+    with tempfile.TemporaryDirectory() as cache:
+        env = dict(os.environ, MULTINN_COMPILE_CACHE=cache)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/compile_audit.py"),
+             "--programs", "train", "--platform", "cpu"],
+            capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["train"]["warm_hit"] is True, out
+    assert out["train"]["compile_s"][1] < out["train"]["compile_s"][0]
+    ev2 = out["train"]["cache_events"][1]
+    assert ev2.get("cache_misses", 0) == 0, out
