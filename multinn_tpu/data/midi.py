@@ -197,15 +197,11 @@ class _EventCollector:
         self.open_notes: Dict[Tuple[int, int],
                               List[Tuple[int, int, Instrument]]] = {}
         self.track_name = ""
-        self.saw_tempo = False
 
     def meta(self, tick: int, meta_type: int, payload: bytes) -> None:
         if meta_type == 0x51 and len(payload) == 3:
             uspq = int.from_bytes(payload, "big")
             self.out.tempo_map.append((tick, uspq))
-            if not self.out._tempo_set:         # headline = FIRST tempo
-                self.out.tempo_us_per_quarter = uspq
-                self.out._tempo_set = True
         elif meta_type == 0x03:
             self.track_name = payload.decode("latin-1", "replace")
 
@@ -254,7 +250,6 @@ def loads(data: bytes) -> MidiFile:
     if division & 0x8000:
         raise MidiParseError("SMPTE time division not supported")
     out = MidiFile(ticks_per_quarter=division or 480)
-    out._tempo_set = False
     instruments: Dict[Tuple[int, int, int], Instrument] = {}
     pos = 8 + header_len
     track_idx = 0
@@ -273,8 +268,12 @@ def loads(data: bytes) -> MidiFile:
     out.instruments = [ins for ins in instruments.values() if ins.notes]
     for ins in out.instruments:
         ins.notes.sort(key=lambda n: (n.start, n.pitch))
-    out.tempo_map.sort(key=lambda e: e[0])   # events may span tracks
-    del out._tempo_set
+    # events may span tracks: sort by tick (stable — ties keep track-parse
+    # order), THEN take the headline tempo from the earliest event so bpm
+    # always agrees with tempo_map[0] / tick_to_seconds at tick 0
+    out.tempo_map.sort(key=lambda e: e[0])
+    if out.tempo_map:
+        out.tempo_us_per_quarter = out.tempo_map[0][1]
     return out
 
 

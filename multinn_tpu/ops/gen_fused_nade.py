@@ -172,18 +172,23 @@ def _nade_scratch(batch: int, k: int, d: int, hid: int, u: int,
 
 
 def _nade_fixed_bytes(batch: int, k: int, d: int, hid: int, u: int,
-                      nl: int, gate_w: int = None) -> int:
+                      nl: int, gate_w: int = None, spec: int = None) -> int:
     """Non-arg VMEM bytes of the NADE kernel (shared between the gate and
-    generate_nade's auto aux-dtype rule — one formula, no drift)."""
+    generate_nade's auto aux-dtype rule — one formula, no drift).
+    ``spec`` is the speculative depth whose side table to charge; None =
+    the depth the default dispatch resolves (_resolve_spec). Callers that
+    force an explicit depth (generate_nade(..., spec=2) A/B runs) must
+    pass it — the spec=2 table is twice the spec=4 table's bytes."""
     fixed = vmem.scratch_bytes(_nade_scratch(batch, k, d, hid, u, nl,
                                              gate_w))
     fixed += 2 * 4 * _KP * batch * d         # roll block, double-buffered
     fixed += 2 * 4 * batch * nl * k * u      # hout/cout blocks
     # speculative-sweep side table (always bf16) for the depth that will
-    # actually dispatch (_resolve_spec); odd D resolves spec=1 with no
-    # table (ADVICE r3: charging the table unconditionally made the gate
-    # over-conservative near budget)
-    spec = _resolve_spec(d)
+    # actually dispatch; odd D resolves spec=1 with no table (ADVICE r3:
+    # charging the table unconditionally made the gate over-conservative
+    # near budget)
+    if spec is None:
+        spec = _resolve_spec(d)
     if spec > 1:
         fixed += 2 * (d // spec) * _KP * _khp(k, hid)
     return fixed
@@ -204,7 +209,8 @@ def nade_aux_dtype(cfg, batch: int):
     params = _decoder_param_shapes(cfg, rnn_nade)
     st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
     v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
-    fixed = _nade_fixed_bytes(batch, k, d, cfg.n_hidden, u, nl)
+    gate_w = 4 * u if cfg.cell == "lstm" else u
+    fixed = _nade_fixed_bytes(batch, k, d, cfg.n_hidden, u, nl, gate_w)
     for aux in (jnp.float32, jnp.bfloat16):
         need = fixed + vmem.eval_shape_bytes(
             functools.partial(_nade_args, aux_dtype=aux), params, st, st, v0)
@@ -594,7 +600,8 @@ def _generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     if aux_dtype is None:
         # auto: f32 when it fits, else the bf16 aux-storage capacity mode
         # (same rule as nade_aux_dtype — shared fixed-bytes formula)
-        need32 = (_nade_fixed_bytes(b, k, d, hid, u, n_layers, four_u)
+        need32 = (_nade_fixed_bytes(b, k, d, hid, u, n_layers, four_u,
+                                    spec=spec)
                   + vmem.eval_shape_bytes(
                       functools.partial(_nade_args, aux_dtype=jnp.float32),
                       dec_params, h0, c0, v0))

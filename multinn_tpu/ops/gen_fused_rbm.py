@@ -16,6 +16,7 @@ B=8; bf16 weight-storage capacity mode reaches B=128 serving.
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

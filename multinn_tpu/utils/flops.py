@@ -111,7 +111,10 @@ def gen_step_flops_nade(cfg, batch: int, spec: int = None) -> dict:
     gm = _gate_mult(cfg)
     kp, khp = 8, ((k * h + 127) // 128) * 128
     if spec is None:
-        spec = 4 if d % 4 == 0 else 2 if d % 2 == 0 else 1
+        # the kernel's own resolution (honors the MULTINN_NADE_SPEC knob —
+        # counted FLOPs must match the program that actually runs)
+        from multinn_tpu.ops.gen_fused_nade import _resolve_spec
+        spec = _resolve_spec(d)
     branches = 2 ** (spec - 1)                       # branch sets per round
     lstm = lstm_frame_flops(d + ctx, u, cfg.rnn_layers, gm)
     model = batch * k * (6 * d * h + 2 * d * gm * u + lstm)

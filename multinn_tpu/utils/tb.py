@@ -152,10 +152,16 @@ def read_events(path: str) -> Iterator[dict]:
         data = f.read()
     pos = 0
     while pos < len(data):
+        # a torn tail (process killed mid-_write) is a ValueError like a
+        # corrupt crc — callers get ONE exception type for "bad file"
+        if pos + 12 > len(data):
+            raise ValueError(f"truncated frame header at byte {pos}")
         (ln,) = struct.unpack_from("<Q", data, pos)
         (lc,) = struct.unpack_from("<I", data, pos + 8)
         if lc != _masked_crc(data[pos:pos + 8]):
             raise ValueError(f"bad length crc at byte {pos}")
+        if pos + 16 + ln > len(data):
+            raise ValueError(f"truncated record at byte {pos}")
         rec = data[pos + 12:pos + 12 + ln]
         (rc,) = struct.unpack_from("<I", data, pos + 12 + ln)
         if rc != _masked_crc(rec):

@@ -114,7 +114,9 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
 
   std::vector<MidiNote> notes;
   notes.reserve(1024);
-  bool tempo_set = false;
+  // headline tempo = the EARLIEST tempo event by tick across all tracks
+  // (ties keep track-parse order) — matches data/midi.py's post-sort rule
+  int32_t tempo_tick = INT32_MAX;
 
   for (int t = 0; t < ntrks && c.p + 8 <= c.end; ) {
     if (std::memcmp(c.p, "MTrk", 4) != 0) {
@@ -149,10 +151,11 @@ int midi_parse(const uint8_t* data, int64_t len, ParseResult* out) {
       if (status == 0xFF) {                       // meta
         uint8_t type = tc.u8();
         uint32_t mlen = tc.varint();
-        if (type == 0x51 && mlen == 3 && tc.p + 3 <= tc.end && !tempo_set) {
+        if (type == 0x51 && mlen == 3 && tc.p + 3 <= tc.end &&
+            tick < tempo_tick) {
           int32_t us = (tc.p[0] << 16) | (tc.p[1] << 8) | tc.p[2];
           out->tempo_us_per_quarter = us;
-          tempo_set = true;
+          tempo_tick = tick;
         }
         tc.skip_clamp(mlen);
       } else if (status == 0xF0 || status == 0xF7) {   // sysex

@@ -64,7 +64,7 @@ def main(argv=None) -> int:
             f.write(blobs[i % len(blobs)])
         paths.append(p)
     write_s = time.perf_counter() - t0
-    total_bytes = sum(len(b) for b in blobs) * (args.files // len(blobs))
+    total_bytes = sum(len(blobs[i % len(blobs)]) for i in range(args.files))
 
     # --- native path: parse + quantize each file ------------------------
     t0 = time.perf_counter()
@@ -81,7 +81,7 @@ def main(argv=None) -> int:
     for p in sub:
         pr.midi_to_roll(midi.load(p), spec)
     py_s = time.perf_counter() - t0
-    py_fps = len(sub) / py_s
+    py_fps = len(sub) / py_s if sub else 0.0
 
     if args.keep_dir is None:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -91,7 +91,7 @@ def main(argv=None) -> int:
         "grid_steps_per_file": args.steps,
         "native_files_per_sec": round(native_fps, 1),
         "python_files_per_sec": round(py_fps, 1),
-        "native_speedup": round(native_fps / py_fps, 1),
+        "native_speedup": round(native_fps / py_fps, 1) if py_fps else None,
         "native_total_s": round(native_s, 2),
         "mb_per_sec_native": round(total_bytes / native_s / 1e6, 1),
         "lakh_100k_files_est_min": round(1e5 / native_fps / 60, 1),

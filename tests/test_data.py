@@ -277,6 +277,22 @@ def test_tempo_map_and_tick_to_seconds():
     assert abs(m2.duration_seconds() - 0.5) < 1e-9
 
 
+def test_headline_tempo_is_earliest_tick_across_tracks():
+    """bpm must agree with tempo_map[0] / tick_to_seconds at tick 0 even
+    when a LATER track carries the tick-0 tempo (format 1: track order is
+    not tick order). Python and native parsers agree on the rule."""
+    t0 = b"\x83\x60\xff\x51\x03" + (1000000).to_bytes(3, "big")  # tick 480
+    t1 = (b"\x00\xff\x51\x03" + (500000).to_bytes(3, "big")      # tick 0
+          + b"\x00\x90\x3c\x40\x60\x80\x3c\x00")
+    m = midi.loads(_smf(2, 96, t0, t1))
+    assert m.tempo_map == [(0, 500000), (480, 1000000)]
+    assert m.tempo_us_per_quarter == 500000
+    from multinn_tpu.data import native
+    if native.available():
+        _, _, tempo = native.parse_bytes(_smf(2, 96, t0, t1))
+        assert tempo == 500000
+
+
 def test_format2_patterns_overlay_at_zero():
     """Documented format-2 decision (module docstring): each MTrk is an
     independent pattern, overlaid at tick 0."""

@@ -45,6 +45,16 @@ def test_event_file_torn_tail_detected(tmp_path):
         raise AssertionError("corruption not detected")
     except ValueError as e:
         assert "crc" in str(e)
+    # a TORN tail (kill mid-_write: trailing bytes shorter than a frame
+    # header) must be the same documented ValueError, not struct.error
+    import pytest
+    w2 = tb.EventWriter(str(tmp_path / "torn"))
+    w2.add_scalar("x", 1.0, 0)
+    w2.close()
+    with open(w2.path, "ab") as f:
+        f.write(b"\x01\x02\x03\x04\x05")
+    with pytest.raises(ValueError, match="truncated"):
+        list(tb.read_events(w2.path))
 
 
 def test_metrics_logger_writes_tb_and_jsonl(tmp_path):
