@@ -109,7 +109,7 @@ def _ce_loss(logits, targets, w_tb):
 def hf_step(params, state: HFState, x: jax.Array, key: jax.Array,
             frame_mask: Optional[jax.Array] = None, seq=None, *,
             cg_iters: int = 25, cg_warm: float = 0.95,
-            lam_min: float = 1e-4, lam_max: float = 1e4):
+            lam_min: float = 1e-4, lam_max: float = 1e4, axes=None):
     """One Hessian-free macro-step (see module docstring). Pure function of
     (params, state, batch) — the Trainer jits/scans it like any step.
     Returns (new_params, new_state, metrics).
@@ -118,6 +118,16 @@ def hf_step(params, state: HFState, x: jax.Array, key: jax.Array,
     production objective (multinn.loss — for DBN encoders that includes the
     d(targets)/d(encoder) path); only the CURVATURE matrix is the GGN of
     the logit map (the standard Gauss-Newton approximation).
+
+    ``axes`` (mesh axis names) makes the step valid INSIDE a shard_map body
+    (the Trainer's explicit-collective styles): the objective becomes the
+    pmean over shards of the per-shard losses — the SAME objective the
+    first-order explicit paths optimize via pmean(grads) — and every global
+    quantity (loss, g, each GGN matvec) is pmean'd, so all shards carry
+    identical replicated CG state and CG solves ONE global system (the
+    per-shard h_diag/J stay local; only their Jᵀ·H·J·v products reduce).
+    Equality with the single-device step on balanced shards is tested
+    (tests/test_parallel.py).
 
     The GGN matvecs run forward-mode (jvp) through the logits, which the
     bf16 matmul policy's custom_vjp cannot transpose — so the whole step
@@ -129,21 +139,27 @@ def hf_step(params, state: HFState, x: jax.Array, key: jax.Array,
 
     with precision.matmul_precision("f32"):
         return _hf_step_f32(params, state, x, key, w_tb, frame_mask, seq,
-                            cg_iters, cg_warm, lam_min, lam_max)
+                            cg_iters, cg_warm, lam_min, lam_max, axes)
 
 
 def _hf_step_f32(params, state, x, key, w_tb, frame_mask, seq,
-                 cg_iters, cg_warm, lam_min, lam_max):
+                 cg_iters, cg_warm, lam_min, lam_max, axes=None):
     cfg = params.cfg
+    gmean = ((lambda v: jax.lax.pmean(v, axes)) if axes is not None
+             else (lambda v: v))
 
     def logits_fn(p):
         return multinn.conditional_logits(p, x, seq=seq)[0]
 
     def loss_fn(p):
+        # LOCAL per-shard loss; global quantities are pmean'd explicitly
+        # below (same structure as the first-order path's pmean(grads) —
+        # no reliance on collective-transpose rules)
         return multinn.loss(p, key, x, detailed=False,
                             frame_mask=frame_mask, seq=seq)[0]
 
     loss0, g = jax.value_and_grad(loss_fn)(params)
+    loss0, g = gmean(loss0), gmean(g)
     logits0, vjp_fn = jax.vjp(logits_fn, params)
     p0 = jax.nn.sigmoid(logits0)
     h_diag = p0 * (1.0 - p0) * w_tb[None, :, :, None]   # PSD CE curvature
@@ -152,7 +168,7 @@ def _hf_step_f32(params, state, x, key, w_tb, frame_mask, seq,
     def gnvp(v):
         _, jv = jax.jvp(logits_fn, (params,), (v,))
         (gv,) = vjp_fn(h_diag * jv)
-        return _axpy(lam, v, gv)                        # (G + λI) v
+        return _axpy(lam, v, gmean(gv))                 # (G + λI) v
 
     # CG on (G+λI)δ = −g, warm-started from the previous solution
     b_rhs = _scale(-1.0, g)
@@ -176,7 +192,7 @@ def _hf_step_f32(params, state, x, key, w_tb, frame_mask, seq,
     # quadratic-model decrease q(δ) = gᵀδ + ½ δᵀ(G+λI)δ  (< 0 when useful)
     q = _dot(g, delta) + 0.5 * _dot(delta, gnvp(delta))
     new_params = jax.tree.map(jnp.add, params, delta)
-    loss1 = loss_fn(new_params)
+    loss1 = gmean(loss_fn(new_params))
     rho = (loss1 - loss0) / jnp.minimum(q, -1e-30)
     lam_new = jnp.clip(jnp.where(rho > 0.75, lam * (2.0 / 3.0),
                                  jnp.where(rho < 0.25, lam * 1.5, lam)),

@@ -118,17 +118,16 @@ class Trainer:
         self._hf = cfg.train.optimizer == "hf"
         if self._hf:
             # Hessian-free truncated Newton (training/hf.py): second-order
-            # macro-steps; needs a differentiable exact objective (NADE) and
-            # a global-view program (CG runs inside one jit; explicit
-            # shard_map styles would solve divergent per-shard systems).
+            # macro-steps; needs a differentiable exact objective (NADE).
+            # Composes with every mesh style: GSPMD runs the global-view
+            # program; shard_map/seqpipe bodies pass _explicit_axes into
+            # hf_step, whose pmean'd loss/grad/GGN-matvecs keep the CG
+            # state replicated (one global system, not per-shard ones).
             from multinn_tpu.training import hf as hf_mod
             if cfg.model.decoder_type != "rnn-nade":
                 raise ValueError("optimizer='hf' requires an rnn-nade "
                                  "decoder (CD has no objective to "
                                  "second-order optimize)")
-            if self._explicit_axes is not None:
-                raise ValueError("optimizer='hf' supports single-device or "
-                                 "GSPMD meshes only (mesh.style='gspmd')")
             self.optimizer = None
             self.opt_state = hf_mod.init_state(self.params,
                                                cfg.train.hf_lambda0)
@@ -221,7 +220,8 @@ class Trainer:
                 x = batch.astype(jnp.float32)
                 return hf_mod.hf_step(params, opt_state, x, key,
                                       seq=self._seq_spec(x),
-                                      cg_iters=cg_iters)
+                                      cg_iters=cg_iters,
+                                      axes=self._explicit_axes)
 
         return step_fn
 
@@ -234,8 +234,21 @@ class Trainer:
             # reports its own diagnostics (rho/lambda/q/accept) — build the
             # jitted step once and share it between both trainer slots
             if not hasattr(self, "_hf_jitted_step"):
-                self._hf_jitted_step = jax.jit(self._hf_step_fn(),
-                                               donate_argnums=(0, 1))
+                hf_body = self._hf_step_fn()
+                if axes is not None:
+                    # explicit-collective styles: per-shard body, batch
+                    # sharded on the mesh axes; hf_step's internal pmeans
+                    # keep params/CG state replicated (out_specs P())
+                    hf_fn = jax.shard_map(
+                        lambda p, s, b, k: hf_body(
+                            p, s, b, self._fold_shard_key(k)),
+                        mesh=self.mesh,
+                        in_specs=(P(), P(), self._batch_spec, P()),
+                        out_specs=(P(), P(), P()),
+                        check_vma=False)
+                else:
+                    hf_fn = hf_body
+                self._hf_jitted_step = jax.jit(hf_fn, donate_argnums=(0, 1))
             return self._hf_jitted_step
 
         def step_fn(params, opt_state, batch, key):

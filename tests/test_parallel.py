@@ -508,14 +508,35 @@ def test_hf_gspmd_step_matches_single_device(tmp_path):
     t_mesh.close()
 
 
-def test_hf_rejects_explicit_mesh_styles(tmp_path):
-    cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=True, style="shard_map"),
-                  name="hf_bad")
-    import dataclasses
-    cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, optimizer="hf"))
-    with pytest.raises(ValueError, match="GSPMD"):
-        Trainer(cfg)
+@pytest.mark.parametrize("style,mesh_kw", [("shard_map", {}),
+                                           ("seqpipe", {"seq": 4})])
+def test_hf_explicit_style_matches_single_device(tmp_path, style, mesh_kw):
+    """HF under the EXPLICIT-collective styles (r3 weak #4): hf_step's
+    pmean'd loss/grad/GGN-matvecs keep the CG state replicated, so the
+    macro-step solves ONE global system — params must match single-device
+    to float tolerance on balanced shards (the NADE objective is
+    key-independent and HF does no sampling, so the per-shard RNG fold
+    cannot diverge the comparison; differences are reduction order only).
+    seqpipe additionally routes the GGN jvp/vjp through the ppermute carry
+    handoffs (linear collectives — jvp is ppermute, transpose reverses)."""
+    def mk(mesh, name):
+        cfg = exp_cfg(tmp_path, mesh, name=name)
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, optimizer="hf",
+                                           hf_cg_iters=8))
+    t_single = Trainer(mk(MeshConfig(use_mesh=False), f"hf_s_{style}"))
+    t_mesh = Trainer(mk(MeshConfig(use_mesh=True, style=style, **mesh_kw),
+                        f"hf_m_{style}"))
+    new_s, met_s = _one_step(t_single)
+    new_m, met_m = _one_step(t_mesh)
+    np.testing.assert_allclose(float(met_s["loss"]), float(met_m["loss"]),
+                               rtol=1e-5)
+    assert float(met_s["hf_accepted"]) == float(met_m["hf_accepted"])
+    for a, b in zip(jax.tree.leaves(new_s), jax.tree.leaves(new_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    t_single.close()
+    t_mesh.close()
 
 
 def test_init_distributed_arg_plumbing(monkeypatch):
