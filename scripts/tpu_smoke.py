@@ -128,6 +128,39 @@ def main() -> int:
         jax.block_until_ready(m["loss"])
         assert bool(jnp.isfinite(m["loss"]))
 
+    def hf_shard_map():
+        # HF under the EXPLICIT shard_map style on the chip (1-device mesh:
+        # exercises the pmean'd-CG lowering + manual-mode Pallas legality on
+        # real hardware; multi-device equality is tested on the CPU mesh)
+        from multinn_tpu.data.datasets import DataConfig
+        from multinn_tpu.parallel.mesh import MeshConfig
+        from multinn_tpu.training.trainer import Trainer
+        from multinn_tpu.utils import config as cfg_mod
+        import numpy as np
+        import tempfile
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = cfg_mod.ExperimentConfig(
+                name="smoke_hf_sm",
+                data=DataConfig.from_preset("synthetic", n_tracks=3,
+                                            pitch_min=40, pitch_max=63,
+                                            synthetic_songs=4,
+                                            synthetic_steps=32, window=16,
+                                            batch_size=4),
+                model=MultINNConfig(n_tracks=3, n_pitches=24,
+                                    mode="feedback",
+                                    decoder_type="rnn-nade",
+                                    n_hidden=32, n_rnn=16),
+                train=cfg_mod.TrainConfig(epochs=1, ckpt_every_steps=0,
+                                          optimizer="hf", hf_cg_iters=6,
+                                          run_dir=tmp),
+                mesh=MeshConfig(use_mesh=True, data=1, style="shard_map"),
+            ).validate()
+            t = Trainer(cfg)
+            t.train_epoch()
+            ev = t.evaluate("valid")
+            assert np.isfinite(ev["loss"])
+            t.close()
+
     check("pallas_gibbs_chain", gibbs_kernel)
     check("pallas_nade_sweep", nade_kernel)
     check("fused_gen_rbm_feedback", fused("rnn-rbm", "feedback"))
@@ -145,7 +178,10 @@ def main() -> int:
           fused("rnn-nade", "feedback", encoder_hidden=(64,)))
     check("fused_gen_rbm_vanilla_cell",
           fused("rnn-rbm", "feedback", cell="vanilla"))
+    check("fused_gen_nade_b64_bf16_capacity",
+          fused("rnn-nade", "feedback", batch=64))
     check("hessian_free_macro_step", hf_step)
+    check("hessian_free_shard_map_style", hf_shard_map)
     check("train_multistep_and_masked_eval", train_multi)
 
     if failures:
