@@ -31,7 +31,8 @@ def _warmup_compile_service():
         c, ys = jax.lax.scan(body, jnp.zeros((1, 8)), jnp.ones((4, 1, 8)))
         return jnp.sum(ys) + jnp.sum(c)
 
-    jax.block_until_ready(jax.jit(jax.grad(tiny))(jnp.eye(8)))
+    from multinn_tpu.utils.profiling import force
+    force(jax.jit(jax.grad(tiny))(jnp.eye(8)))
 
 
 def bench():
@@ -44,7 +45,7 @@ def bench():
     from multinn_tpu.ops import gibbs as gibbs_ops
     from multinn_tpu.utils import flops as flops_mod
     from multinn_tpu.utils.platform import enable_compilation_cache
-    from multinn_tpu.utils.profiling import timeit
+    from multinn_tpu.utils.profiling import force, timeit
 
     # persistent compile cache: the first process pays the remote-compile
     # cold start (1-8 min here); later processes deserialize in seconds.
@@ -69,16 +70,20 @@ def bench():
     # ---- 1) train throughput --------------------------------------------
     import optax
     B, T = 16, 64
-    x = jax.random.bernoulli(jax.random.PRNGKey(1), 0.06,
-                             (B, T, cfg.n_tracks, cfg.n_pitches)
-                             ).astype(jnp.float32)
+    # The batch is a jit ARGUMENT, never a closed-over device constant:
+    # embedding a device array as an MLIR constant makes lowering fetch its
+    # VALUE back through the tunnel (measured: 17 s for this 27.5 MB batch —
+    # the bulk of what BENCH_r01–r03 reported as "compile_train_s")
+    x = jax.device_put(jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.06,
+        (B, T, cfg.n_tracks, cfg.n_pitches)).astype(jnp.float32))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
     @jax.jit
-    def train_step(p, s, k):
+    def train_step(p, s, k, xb):
         (loss, _), g = jax.value_and_grad(
-            lambda q: multinn.loss(q, k, x, detailed=False),
+            lambda q: multinn.loss(q, k, xb, detailed=False),
             has_aux=True)(p)
         u, s = opt.update(g, s)
         return optax.apply_updates(p, u), s, loss
@@ -86,9 +91,9 @@ def bench():
     p, s = params, opt_state
     k = jax.random.PRNGKey(2)
     t0 = time.time()
-    p, s, loss = train_step(p, s, k)
-    jax.block_until_ready(loss)
-    compile_train = time.time() - t0
+    p, s, loss = train_step(p, s, k, x)
+    force(loss)            # value-fetch sync: block_until_ready can return
+    compile_train = time.time() - t0   # before the execute RPC on axon
     # In-program measurement (lax.scan of N optimizer steps — what the
     # Trainer runs with steps_per_call>1): per-EXECUTE host overhead on this
     # tunneled TPU is ~30-70 ms (and varies minute to minute), many times
@@ -98,11 +103,11 @@ def bench():
     n_iter = 50
 
     @jax.jit
-    def train_many(p, s, key):
+    def train_many(p, s, key, xb):
         def body(carry, kk):
             p, s = carry
             (l, _), g = jax.value_and_grad(
-                lambda q: multinn.loss(q, kk, x, detailed=False),
+                lambda q: multinn.loss(q, kk, xb, detailed=False),
                 has_aux=True)(p)
             u2, s = opt.update(g, s)
             return (optax.apply_updates(p, u2), s), l
@@ -114,24 +119,32 @@ def bench():
     # on this backend include one-time program-load overhead (~80 ms/step
     # observed); steady-state is what production training sees.
     for i in range(3):
-        p, s, loss = train_many(p, s, jax.random.fold_in(k, i))
-    jax.block_until_ready(loss)
+        p, s, loss = train_many(p, s, jax.random.fold_in(k, i), x)
+    force(loss)
     times = []
     for i in range(3, 6):
         t0 = time.time()
-        p, s, loss = train_many(p, s, jax.random.fold_in(k, i))
-        jax.block_until_ready(loss)
+        p, s, loss = train_many(p, s, jax.random.fold_in(k, i), x)
+        force(loss)
         times.append(time.time() - t0)
     step_s = min(times) / n_iter
     train_steps_per_sec = (B * T) / step_s          # pianoroll steps/sec/chip
 
     # ---- 2) 64-bar 5-track generation latency ----------------------------
     n_steps = 1024                                   # 64 bars x 16 steps/bar
+
+    def make_gen(pp, ss, n):
+        """Whole-generation program with params/state as jit ARGUMENTS (a
+        closure would embed them as MLIR constants and lowering would fetch
+        their values back through the tunnel — same trap as the batch)."""
+        j = jax.jit(lambda p_, s_, kk: multinn.generate(p_, kk, s_, n)[1])
+        return lambda kk: j(pp, ss, kk)
+
     state = multinn.init_state(params, 1)
-    gen = jax.jit(lambda kk: multinn.generate(params, kk, state, n_steps)[1])
+    gen = make_gen(params, state, n_steps)
     t0 = time.time()
     r = gen(jax.random.PRNGKey(3))
-    jax.block_until_ready(r)
+    force(r)
     compile_gen = time.time() - t0
     res = timeit(gen, jax.random.PRNGKey(4), iters=5, warmup=1)
     gen_latency = res["min_s"]
@@ -139,14 +152,12 @@ def bench():
     # device time via the slope over n_steps (subtracts this environment's
     # ~30 ms/execute tunnel floor), and batched serving throughput: the
     # grid-streamed kernel runs B=8 at the same us/step as B=1.
-    gen_long = jax.jit(
-        lambda kk: multinn.generate(params, kk, state, 8 * n_steps)[1])
+    gen_long = make_gen(params, state, 8 * n_steps)
     res_long = timeit(gen_long, jax.random.PRNGKey(4), iters=3, warmup=1)
     us_per_step = (res_long["min_s"] - gen_latency) / (7 * n_steps) * 1e6
     gen_device_latency = us_per_step * n_steps / 1e6
     state8 = multinn.init_state(params, 8)
-    gen8 = jax.jit(
-        lambda kk: multinn.generate(params, kk, state8, n_steps)[1])
+    gen8 = make_gen(params, state8, n_steps)
     res8 = timeit(gen8, jax.random.PRNGKey(4), iters=5, warmup=1)
     per_song_b8 = res8["min_s"] / 8
 
@@ -157,8 +168,7 @@ def bench():
                    if gen_fused.supported(cfg, b, n_steps)), default=0)
     if b_serve:
         state_s = multinn.init_state(params, b_serve)
-        gen_s = jax.jit(
-            lambda kk: multinn.generate(params, kk, state_s, n_steps)[1])
+        gen_s = make_gen(params, state_s, n_steps)
         res_s = timeit(gen_s, jax.random.PRNGKey(4), iters=4, warmup=1)
         songs_per_sec = b_serve / res_s["min_s"]
     else:
@@ -172,10 +182,8 @@ def bench():
                           decoder_type="rnn-nade", n_hidden=150, n_rnn=100)
     params_n = multinn.init(jax.random.PRNGKey(0), cfg_n)
     state_n = multinn.init_state(params_n, 1)
-    gen_n = jax.jit(
-        lambda kk: multinn.generate(params_n, kk, state_n, n_steps)[1])
-    gen_n4 = jax.jit(
-        lambda kk: multinn.generate(params_n, kk, state_n, 4 * n_steps)[1])
+    gen_n = make_gen(params_n, state_n, n_steps)
+    gen_n4 = make_gen(params_n, state_n, 4 * n_steps)
     rn1 = timeit(gen_n, jax.random.PRNGKey(4), iters=5, warmup=1)
     rn4 = timeit(gen_n4, jax.random.PRNGKey(4), iters=3, warmup=1)
     nade_device_s = (rn4["min_s"] - rn1["min_s"]) / (3 * n_steps) * n_steps
@@ -186,8 +194,7 @@ def bench():
                    default=0)
     if bn_serve:
         state_ns = multinn.init_state(params_n, bn_serve)
-        gen_ns = jax.jit(
-            lambda kk: multinn.generate(params_n, kk, state_ns, n_steps)[1])
+        gen_ns = make_gen(params_n, state_ns, n_steps)
         res_ns = timeit(gen_ns, jax.random.PRNGKey(4), iters=4, warmup=1)
         nade_songs_per_sec = bn_serve / res_ns["min_s"]
     else:
@@ -202,16 +209,17 @@ def bench():
                               ).astype(jnp.float32)
     n_chains = 40
 
-    def many(kk):
+    def many(kk, v0_, w_, bv_, bh_):
         def body(v, k1):
             # the dispatch picks the faster impl per shape (pallas kernel
             # while latency-bound, XLA fusion at large batch)
-            return gibbs_ops.gibbs_chain(k1, v, w, bv, bh,
+            return gibbs_ops.gibbs_chain(k1, v, w_, bv_, bh_,
                                          k=K_SWEEPS), None
-        v, _ = jax.lax.scan(body, v0, jax.random.split(kk, n_chains))
+        v, _ = jax.lax.scan(body, v0_, jax.random.split(kk, n_chains))
         return v
 
-    chain = jax.jit(many)
+    many_jit = jax.jit(many)
+    chain = lambda kk: many_jit(kk, v0, w, bv, bh)
     res_g = timeit(chain, jax.random.PRNGKey(7), iters=5, warmup=2)
     gibbs_sweeps_per_sec = n_chains * K_SWEEPS * BB / res_g["min_s"]
 

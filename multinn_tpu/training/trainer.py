@@ -543,12 +543,12 @@ class Trainer:
         # warm the compile outside the trace
         params, opt_state, m = self._train_step(
             params, opt_state, dev_batch, jax.random.PRNGKey(0))
-        jax.block_until_ready(m["loss"])
+        profiling.force(m["loss"])
         with profiling.device_trace(trace_dir):
             for i in range(n_steps):
                 params, opt_state, m = self._train_step(
                     params, opt_state, dev_batch, jax.random.PRNGKey(i + 1))
-            jax.block_until_ready(m["loss"])
+            profiling.force(m["loss"])
         self.log.info("wrote device trace of %d steps to %s",
                       n_steps, trace_dir)
         # donated buffers: keep the advanced state

@@ -69,33 +69,39 @@ def _child(program: str, platform: str = None) -> dict:
     opt = optax.adam(1e-3)
     key = jax.random.PRNGKey(2)
 
+    # Every jitted program takes its big operands as ARGUMENTS — a
+    # closed-over device array becomes an MLIR constant whose VALUE
+    # lowering fetches back through the tunnel (measured: ~17 s for the
+    # 27.5 MB batch; this, not XLA, dominated BENCH_r01–r03
+    # "compile_train_s"). lower_s below reports that phase separately.
+    t_l0 = time.time()
     if program == "train":
-        def step(p, s, k):
+        def step(p, s, k, xb):
             (loss, _), g = jax.value_and_grad(
-                lambda q: multinn.loss(q, k, x, detailed=False),
+                lambda q: multinn.loss(q, k, xb, detailed=False),
                 has_aux=True)(p)
             u, s = opt.update(g, s)
             return optax.apply_updates(p, u), s, loss
-        lowered = jax.jit(step).lower(params, opt.init(params), key)
+        lowered = jax.jit(step).lower(params, opt.init(params), key, x)
     elif program == "train_multi":
         # the Trainer's production shape: steps_per_call scan of optimizer
         # steps (24 = the shipped configs' value)
-        def many(p, s, k):
+        def many(p, s, k, xb):
             def body(carry, kk):
                 p, s = carry
                 (l, _), g = jax.value_and_grad(
-                    lambda q: multinn.loss(q, kk, x, detailed=False),
+                    lambda q: multinn.loss(q, kk, xb, detailed=False),
                     has_aux=True)(p)
                 u2, s = opt.update(g, s)
                 return (optax.apply_updates(p, u2), s), l
             (p, s), ls = jax.lax.scan(body, (p, s), jax.random.split(k, 24))
             return p, s, ls[-1]
-        lowered = jax.jit(many).lower(params, opt.init(params), key)
+        lowered = jax.jit(many).lower(params, opt.init(params), key, x)
     elif program == "gen_rbm":
         state = multinn.init_state(params, 1)
         lowered = jax.jit(
-            lambda kk: multinn.generate(params, kk, state, 1024)[1]
-        ).lower(key)
+            lambda pp, ss, kk: multinn.generate(pp, kk, ss, 1024)[1]
+        ).lower(params, state, key)
     elif program == "gen_nade":
         cfg_n = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
                               decoder_type="rnn-nade", n_hidden=150,
@@ -103,8 +109,8 @@ def _child(program: str, platform: str = None) -> dict:
         params_n = multinn.init(jax.random.PRNGKey(0), cfg_n)
         state_n = multinn.init_state(params_n, 1)
         lowered = jax.jit(
-            lambda kk: multinn.generate(params_n, kk, state_n, 1024)[1]
-        ).lower(key)
+            lambda pp, ss, kk: multinn.generate(pp, kk, ss, 1024)[1]
+        ).lower(params_n, state_n, key)
     elif program == "hf":
         from multinn_tpu.training import hf
         cfg_n = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
@@ -116,6 +122,7 @@ def _child(program: str, platform: str = None) -> dict:
         ).lower(params_n, hf.init_state(params_n), x, key)
     else:
         raise SystemExit(f"unknown program {program}")
+    lower_s = time.time() - t_l0
 
     t0 = time.time()
     compiled = lowered.compile()
@@ -124,6 +131,7 @@ def _child(program: str, platform: str = None) -> dict:
     cache = {k.rsplit("/", 1)[-1]: v for k, v in events.items()
              if "compilation_cache" in k}
     return {"program": program, "compile_s": round(compile_s, 1),
+            "lower_s": round(lower_s, 1),
             "cache_events": cache,
             "cache_get_s": [round(s, 2) for s in durations.get(
                 "/jax/compilation_cache/cache_retrieval", [])],
@@ -167,10 +175,13 @@ def main(argv=None) -> int:
                  if len(runs) > 1 else 0)
         out[prog] = {
             "compile_s": [r.get("compile_s") for r in runs],
+            "lower_s": [r.get("lower_s") for r in runs],
             "cache_events": [r.get("cache_events") for r in runs],
             "warm_hit": bool(hits2),
+            # warm compiles can round to 0.0 s; clamp the denominator to
+            # the rounding granularity so the ratio stays meaningful
             "speedup": (round(runs[0]["compile_s"]
-                              / max(runs[-1]["compile_s"], 1e-9), 1)
+                              / max(runs[-1]["compile_s"], 0.1), 1)
                         if len(runs) > 1 and "compile_s" in runs[0]
                         and "compile_s" in runs[-1] else None),
         }

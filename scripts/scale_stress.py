@@ -52,12 +52,18 @@ def measure(n_hidden: int, n_rnn: int, batch: int, t_window: int,
     gibbs_impl = ("pallas" if gibbs_pallas.supported(v_probe, w_probe)
                   else "xla")
 
-    def train_many(p, s, key):
+    # the batch is a jit ARGUMENT (a closed-over device array becomes an
+    # MLIR constant whose value lowering fetches back through the tunnel),
+    # and sync is a value FETCH (profiling.force) — bare block_until_ready
+    # can return before the execute RPC is issued on the axon backend
+    from multinn_tpu.utils.profiling import force
+
+    def train_many(p, s, key, xb):
         def body(carry, kk):
             p, s = carry
             with precision.matmul_precision(cfg.matmul_dtype):
                 (l, _), g = jax.value_and_grad(
-                    lambda q: multinn.loss(q, kk, x, detailed=False),
+                    lambda q: multinn.loss(q, kk, xb, detailed=False),
                     has_aux=True)(p)
             u2, s = opt.update(g, s)
             return (optax.apply_updates(p, u2), s), l
@@ -68,14 +74,14 @@ def measure(n_hidden: int, n_rnn: int, batch: int, t_window: int,
     step_fn = jax.jit(train_many, donate_argnums=(0, 1))
     k = jax.random.PRNGKey(2)
     t0 = time.time()
-    params, s, loss = step_fn(params, s, k)
-    jax.block_until_ready(loss)
+    params, s, loss = step_fn(params, s, k, x)
+    force(loss)
     compile_s = time.time() - t0
     times = []
     for i in range(3):
         t0 = time.time()
-        params, s, loss = step_fn(params, s, jax.random.fold_in(k, i))
-        jax.block_until_ready(loss)
+        params, s, loss = step_fn(params, s, jax.random.fold_in(k, i), x)
+        force(loss)
         times.append(time.time() - t0)
     step_s = min(times) / n_iter
     frames = batch * t_window

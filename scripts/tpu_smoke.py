@@ -33,6 +33,7 @@ def main() -> int:
 
     from multinn_tpu.models import multinn
     from multinn_tpu.models.multinn import MultINNConfig
+    from multinn_tpu.utils import profiling
     from multinn_tpu.nn import nade as nade_nn, rbm as rbm_nn
     from multinn_tpu.ops import gibbs_pallas, nade_pallas
 
@@ -71,7 +72,7 @@ def main() -> int:
             st = multinn.init_state(params, batch)
             _, roll = multinn.generate(params, jax.random.PRNGKey(1), st,
                                        128, fused=True)
-            jax.block_until_ready(roll)
+            profiling.force(roll)
             assert roll.shape == (batch, 128, 5, 84)
         return run
 
@@ -112,7 +113,7 @@ def main() -> int:
         st = multinn.init_state(params, 1)
         _, roll = multinn.generate(params, jax.random.PRNGKey(1), st, 64,
                                    fused=True)
-        jax.block_until_ready(roll)
+        profiling.force(roll)
         assert roll.shape == (1, 64, 5, 84)
 
     def hf_step():
@@ -125,7 +126,7 @@ def main() -> int:
         st = hf.init_state(params, 1.0)
         p, s, m = jax.jit(lambda p_, s_: hf.hf_step(
             p_, s_, x, jax.random.PRNGKey(2), cg_iters=8))(params, st)
-        jax.block_until_ready(m["loss"])
+        profiling.force(m["loss"])
         assert bool(jnp.isfinite(m["loss"]))
 
     def hf_shard_map():
