@@ -166,15 +166,40 @@ def bench():
     from multinn_tpu.ops import gen_fused
     b_serve = max((b for b in (8, 16, 32, 64, 128, 256)
                    if gen_fused.supported(cfg, b, n_steps)), default=0)
+    n_pipe = 8
+    ks = [jax.random.fold_in(jax.random.PRNGKey(4), i)
+          for i in range(n_pipe)]
     if b_serve:
         state_s = multinn.init_state(params, b_serve)
         gen_s = make_gen(params, state_s, n_steps)
         res_s = timeit(gen_s, jax.random.PRNGKey(4), iters=4, warmup=1)
         songs_per_sec = b_serve / res_s["min_s"]
+        # PIPELINED serving: a real serving loop submits continuously, so
+        # async dispatch hides the ~30 ms/execute tunnel floor behind
+        # device work — submit N batches back-to-back, force once at the
+        # end (the value fetch drains the whole queue; see profiling.force)
+        force(gen_s(ks[0]))  # warm, drained
+        t0 = time.time()
+        outs = [gen_s(kk) for kk in ks]
+        force(outs[-1])          # single-device PJRT executes FIFO, so the
+        t_pipe = time.time() - t0   # last program completing implies all do
+        # verify the FIFO assumption rather than trust it: draining the
+        # earlier outputs should cost only the per-fetch host floor; any
+        # excess is device work the timed region missed — count it
+        floor = time.time(); force(outs[-1]); floor = time.time() - floor
+        t1 = time.time()
+        for o in outs[:-1]:
+            force(o)
+        t_drain = time.time() - t1
+        excess = t_drain - (n_pipe - 1) * floor
+        if excess > 0.1 * t_pipe:
+            t_pipe += excess
+        pipe_songs_per_sec = n_pipe * b_serve / t_pipe
     else:
         # no serving batch fits this device's VMEM gate (ADVICE r3): fall
         # back to the already-measured B=8 scan path rather than crashing
         songs_per_sec = 1.0 / per_song_b8
+        pipe_songs_per_sec = songs_per_sec
 
     # RNN-NADE flagship generation (the second decoder family's fused
     # whole-generation kernel; same slope method for device time)
@@ -197,8 +222,22 @@ def bench():
         gen_ns = make_gen(params_n, state_ns, n_steps)
         res_ns = timeit(gen_ns, jax.random.PRNGKey(4), iters=4, warmup=1)
         nade_songs_per_sec = bn_serve / res_ns["min_s"]
+        force(gen_ns(ks[0]))                 # pipelined (see RBM block)
+        t0 = time.time()
+        outs = [gen_ns(kk) for kk in ks]
+        force(outs[-1])
+        t_pipe = time.time() - t0
+        floor = time.time(); force(outs[-1]); floor = time.time() - floor
+        t1 = time.time()
+        for o in outs[:-1]:
+            force(o)
+        excess = (time.time() - t1) - (n_pipe - 1) * floor
+        if excess > 0.1 * t_pipe:
+            t_pipe += excess
+        nade_pipe_songs_per_sec = n_pipe * bn_serve / t_pipe
     else:
         nade_songs_per_sec = 0.0
+        nade_pipe_songs_per_sec = 0.0
 
     # ---- 3) Gibbs sweeps/s (in-program amortized: scan of chains) ---------
     D, H, BB, K_SWEEPS = 84, 150, 4096, 25
@@ -272,8 +311,11 @@ def bench():
             "gen_device_us_per_step": round(us_per_step, 2),
             "gen_per_song_s_at_batch8": round(per_song_b8, 4),
             "serving_songs_per_sec": round(songs_per_sec, 1),
+            "serving_pipelined_songs_per_sec": round(pipe_songs_per_sec, 1),
             "serving_batch": b_serve,
             "serving_nade_songs_per_sec": round(nade_songs_per_sec, 1),
+            "serving_nade_pipelined_songs_per_sec":
+                round(nade_pipe_songs_per_sec, 1),
             "serving_nade_batch": bn_serve,
             "gen_nade_device_s_64bar": round(nade_device_s, 4),
             "train_pianoroll_steps_per_sec_per_chip":
