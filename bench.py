@@ -239,6 +239,42 @@ def bench():
         nade_songs_per_sec = 0.0
         nade_pipe_songs_per_sec = 0.0
 
+    # NADE TRAIN throughput (grid-free exact-LL kernel, r4 —
+    # ops/nade_ll_pallas.py; the auto dispatch picks it on TPU). Same
+    # in-program multi-step measurement as the RBM train row above.
+    Bn = 64
+    xn = jax.device_put(jax.random.bernoulli(
+        jax.random.PRNGKey(8), 0.06,
+        (Bn, T, cfg_n.n_tracks, cfg_n.n_pitches)).astype(jnp.float32))
+    opt_n = optax.adam(1e-3)
+    n_iter_n = 20
+
+    @jax.jit
+    def train_many_nade(p, s, key, xb):
+        def body(carry, kk):
+            p, s = carry
+            (l, _), g = jax.value_and_grad(
+                lambda q: multinn.loss(q, kk, xb, detailed=False),
+                has_aux=True)(p)
+            u2, s = opt_n.update(g, s)
+            return (optax.apply_updates(p, u2), s), l
+        (p, s), ls = jax.lax.scan(body, (p, s),
+                                  jax.random.split(key, n_iter_n))
+        return p, s, ls[-1]
+
+    pn, sn = params_n, opt_n.init(params_n)
+    for i in range(3):
+        pn, sn, loss_n = train_many_nade(pn, sn, jax.random.fold_in(k, i), xn)
+    force(loss_n)
+    tns = []
+    for i in range(3, 6):
+        t0 = time.time()
+        pn, sn, loss_n = train_many_nade(pn, sn, jax.random.fold_in(k, i), xn)
+        force(loss_n)
+        tns.append(time.time() - t0)
+    nade_step_train_s = min(tns) / n_iter_n
+    nade_train_fps = (Bn * T) / nade_step_train_s
+
     # ---- 3) Gibbs sweeps/s (in-program amortized: scan of chains) ---------
     D, H, BB, K_SWEEPS = 84, 150, 4096, 25
     w = 0.01 * jax.random.normal(jax.random.PRNGKey(5), (D, H))
@@ -321,6 +357,9 @@ def bench():
             "train_pianoroll_steps_per_sec_per_chip":
                 round(train_steps_per_sec, 0),
             "train_step_ms": round(step_s * 1e3, 2),
+            "train_nade_frames_per_sec_per_chip": round(nade_train_fps, 0),
+            "train_nade_step_ms": round(nade_step_train_s * 1e3, 2),
+            "train_nade_batch": Bn,
             "gibbs_sweeps_per_sec": round(gibbs_sweeps_per_sec, 0),
             "compile_train_s": round(compile_train, 1),
             "compile_gen_s": round(compile_gen, 1),

@@ -1,0 +1,311 @@
+"""Grid-free NADE exact-likelihood logits as Pallas TPU kernels (SURVEY
+§2.1 row 2 — the TRAINING-side hot path; reference counterpart: the TF1
+per-dim conditional loop used for the exact NLL [K]).
+
+The parallel exclusive-cumsum forms in ``nn.nade`` (cumsum / strict-tri
+matmul) are MXU-shaped but MATERIALIZE the (N, D, H) hidden-activation grid
+in HBM — at flagship train shapes the step is bandwidth-bound streaming that
+grid (BASELINE.md: tri form 6.35 ms/step, ~26x the model FLOPs' roofline).
+These kernels never build the grid: the running activation a lives in VMEM
+and the D-dim recurrence is swept sequentially per N-tile, exactly like the
+generation kernel (``nade_pallas``) but teacher-forced and with a custom VJP:
+
+    forward    per dim i:  h = sigma(a);  logit_i = bv_i + V_i . h;
+                           a += x_i (x) W_i
+    backward   dA_i = (V_i (x) g_i) * h_i (1 - h_i)
+               dbh  = sum_i dA_i                    (sweep 1, forward order)
+               dV_i = g_i . h_i^T                   (sweep 1)
+               r_i  = sum_{i' > i} dA_i'            (suffix sum)
+               dW_i = x_i . r_i^T ;  dx_i = W_i . r_i   (sweep 2)
+
+The suffix sums are evaluated as S - prefix while S (the full sum) decays in
+place — so the backward needs NO stored activations at all: it just re-runs
+the forward recurrence twice (sigmoids are ~free on the VPU next to the HBM
+passes they replace). HBM traffic drops from O(N*D*H) per pass to O(N*(D+H)).
+
+Layout is DIM-MAJOR like the sampling kernel: per-dim tensors (x, biases,
+logits, grads) are (D, N) so per-dim access is a sublane row read/write; the
+running activation and its adjoints are (H, N). N (= B*T rows) is tiled over
+a 1-D grid; dW/dV are emitted as per-tile partials and reduced in XLA (no
+cross-grid-step state, no program_id use -> safe under vmap over tracks).
+
+The XLA forms stay behind the same dispatch (ops.nade_ops.nade_log_prob);
+equality is exact up to f32 summation order (tolerance-tested against
+jax.grad of the reference form).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multinn_tpu.ops import vmem
+
+_LANE = 128
+_NT_CHOICES = (2048, 1024, 512, 256, 128)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bwd_bytes(d: int, h: int, nt: int) -> int:
+    # w, v, dw, dv (4 D*H) + x, g, dx (3 D*NT) + bh, dbh (2 H*NT)
+    # + scratch a, s (2 H*NT)
+    return 4 * (4 * d * h + 3 * d * nt + 4 * h * nt)
+
+
+def pick_tile(d: int, h: int, n: int) -> int:
+    """Largest N-tile whose BACKWARD working set fits the VMEM budget
+    (the backward allocation dominates the forward one). 0 = unsupported."""
+    cap = _round_up(max(n, _LANE), _LANE)
+    for nt in _NT_CHOICES:
+        if nt <= cap and _bwd_bytes(d, h, nt) <= vmem.VMEM_BUDGET_BYTES:
+            return nt
+    return 0
+
+
+def supported(w: jax.Array, n: int) -> bool:
+    if w.dtype != jnp.float32:
+        return False
+    d, h = w.shape
+    return pick_tile(d, h, n) > 0
+
+
+# ---------------------------------------------------------------------------
+# kernels (dim-major: per-dim refs (D, NT); activations (H, NT))
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(w_ref, v_ref, x_ref, bv_ref, bh_ref, out_ref, a_ref, *,
+                d: int):
+    a_ref[:] = bh_ref[:]                                   # (H, NT)
+
+    def dim_step(i, _):
+        h = jax.nn.sigmoid(a_ref[:])                       # (H, NT)
+        vrow = v_ref[pl.ds(i, 1), :]                       # (1, H)
+        s = jax.lax.dot_general(vrow, h, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[pl.ds(i, 1), :] = s + bv_ref[pl.ds(i, 1), :]
+        xrow = x_ref[pl.ds(i, 1), :]                       # (1, NT)
+        wrow = w_ref[pl.ds(i, 1), :]                       # (1, H)
+        # rank-1 update (1,H)^T (x) (1,NT) -> (H,NT), no transpose op
+        a_ref[:] = a_ref[:] + jax.lax.dot_general(
+            wrow, xrow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, d, dim_step, 0)
+
+
+def _bwd_kernel(w_ref, v_ref, x_ref, g_ref, bh_ref,
+                dw_ref, dv_ref, dx_ref, dbh_ref, a_ref, s_ref, *, d: int):
+    # ---- sweep 1 (forward order): S = sum_i dA_i; dV rows ----------------
+    a_ref[:] = bh_ref[:]
+    s_ref[:] = jnp.zeros_like(s_ref)
+
+    def sweep1(i, _):
+        h = jax.nn.sigmoid(a_ref[:])                       # (H, NT)
+        grow = g_ref[pl.ds(i, 1), :]                       # (1, NT)
+        # dV_i[hh] = sum_n g[i,n] h[hh,n]  -> (1, H)
+        dv_ref[0, pl.ds(i, 1), :] = jax.lax.dot_general(
+            grow, h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vrow = v_ref[pl.ds(i, 1), :]                       # (1, H)
+        da = jax.lax.dot_general(vrow, grow, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s_ref[:] = s_ref[:] + da * h * (1.0 - h)
+        xrow = x_ref[pl.ds(i, 1), :]
+        wrow = w_ref[pl.ds(i, 1), :]
+        a_ref[:] = a_ref[:] + jax.lax.dot_general(
+            wrow, xrow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, d, sweep1, 0)
+    dbh_ref[:] = s_ref[:]
+
+    # ---- sweep 2 (forward order, S decays to the suffix sum) -------------
+    a_ref[:] = bh_ref[:]
+
+    def sweep2(i, _):
+        h = jax.nn.sigmoid(a_ref[:])
+        grow = g_ref[pl.ds(i, 1), :]
+        vrow = v_ref[pl.ds(i, 1), :]
+        da = jax.lax.dot_general(vrow, grow, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # after this, s = sum_{i' > i} dA_i' = r_i
+        s_ref[:] = s_ref[:] - da * h * (1.0 - h)
+        r = s_ref[:]
+        xrow = x_ref[pl.ds(i, 1), :]
+        wrow = w_ref[pl.ds(i, 1), :]
+        # dW_i[hh] = sum_n x[i,n] r[hh,n] -> (1, H)
+        dw_ref[0, pl.ds(i, 1), :] = jax.lax.dot_general(
+            xrow, r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dx_i[n] = sum_hh w[i,hh] r[hh,n] -> (1, NT)
+        dx_ref[pl.ds(i, 1), :] = jax.lax.dot_general(
+            wrow, r, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a_ref[:] = a_ref[:] + jax.lax.dot_general(
+            wrow, xrow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, d, sweep2, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers (dim-major, N padded to a tile multiple)
+# ---------------------------------------------------------------------------
+
+def _replicated(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _n_blocked(rows, nt):
+    return pl.BlockSpec((rows, nt), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "interpret"))
+def _fwd_2d(w, v, xd, bvd, bhd, nt: int, interpret: bool = False):
+    d, h_dim = w.shape
+    n = xd.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, d=d),
+        grid=(n // nt,),
+        in_specs=[_replicated((d, h_dim)), _replicated((d, h_dim)),
+                  _n_blocked(d, nt), _n_blocked(d, nt), _n_blocked(h_dim, nt)],
+        out_specs=_n_blocked(d, nt),
+        out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h_dim, nt), jnp.float32)],
+        interpret=(pltpu.InterpretParams() if interpret else False),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * d * h_dim * n,
+            bytes_accessed=4 * (2 * d * h_dim + 3 * d * n + h_dim * n),
+            transcendentals=d * h_dim * n,
+        ),
+    )(w, v, xd, bvd, bhd)
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "interpret"))
+def _bwd_2d(w, v, xd, gd, bhd, nt: int, interpret: bool = False):
+    d, h_dim = w.shape
+    n = xd.shape[1]
+    n_tiles = n // nt
+    dwp, dvp, dxd, dbhd = pl.pallas_call(
+        functools.partial(_bwd_kernel, d=d),
+        grid=(n_tiles,),
+        in_specs=[_replicated((d, h_dim)), _replicated((d, h_dim)),
+                  _n_blocked(d, nt), _n_blocked(d, nt), _n_blocked(h_dim, nt)],
+        out_specs=(
+            pl.BlockSpec((1, d, h_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, h_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _n_blocked(d, nt),
+            _n_blocked(h_dim, nt),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, d, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, d, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((d, n), jnp.float32),
+            jax.ShapeDtypeStruct((h_dim, n), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((h_dim, nt), jnp.float32),
+                        pltpu.VMEM((h_dim, nt), jnp.float32)],
+        interpret=(pltpu.InterpretParams() if interpret else False),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * d * h_dim * n,
+            bytes_accessed=4 * (6 * d * h_dim + 4 * d * n + 2 * h_dim * n),
+            transcendentals=2 * d * h_dim * n,
+        ),
+    )(w, v, xd, gd, bhd)
+    return dwp.sum(axis=0), dvp.sum(axis=0), dxd, dbhd
+
+
+# ---------------------------------------------------------------------------
+# public custom_vjp surface (row-major (..., D) like nn.nade)
+# ---------------------------------------------------------------------------
+
+def _to_dim_major(x, w, v, bv, bh, nt):
+    """Broadcast biases, flatten leading dims to N, pad N to a tile multiple
+    and transpose to dim-major. Returns (xd, bvd, bhd, n, batch_shape)."""
+    d, h_dim = w.shape
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, d)
+    n = xf.shape[0]
+    bvf = jnp.broadcast_to(bv, (*batch_shape, d)).reshape(-1, d)
+    bhf = jnp.broadcast_to(bh, (*batch_shape, h_dim)).reshape(-1, h_dim)
+    n_pad = _round_up(n, nt)
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        xf, bvf, bhf = (jnp.pad(a, pad) for a in (xf, bvf, bhf))
+    return xf.T, bvf.T, bhf.T, n, batch_shape
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def nade_logits(x, w, v, bv, bh, interpret: bool = False):
+    """All D teacher-forced conditional logits, grid-free on TPU.
+
+    x: (..., D); w, v: (D, H); bv: (..., D) or (D,); bh: (..., H) or (H,).
+    Drop-in for ``nn.nade.conditionals_logits`` under reverse-mode autodiff
+    (custom VJP — forward-mode stays on the XLA forms, see training/hf.py).
+    """
+    logits, _ = _fwd_res(x, w, v, bv, bh, interpret)
+    return logits
+
+
+def _fwd_res(x, w, v, bv, bh, interpret):
+    d, h_dim = w.shape
+    nt = pick_tile(d, h_dim, x[..., 0].size)
+    if nt == 0:
+        raise ValueError(
+            f"nade_ll_pallas: no N-tile fits VMEM for D={d}, H={h_dim} "
+            "(gate with supported() before dispatching)")
+    xd, bvd, bhd, n, batch_shape = _to_dim_major(x, w, v, bv, bh, nt)
+    out = _fwd_2d(w, v, xd, bvd, bhd, nt, interpret=interpret)
+    logits = out.T[:n].reshape(*batch_shape, d)
+    # residuals: dim-major padded tensors (bv is not needed in the backward)
+    return logits, (w, v, xd, bhd, n, batch_shape, nt, bv.shape, bh.shape)
+
+
+def _fwd_fwd(x, w, v, bv, bh, interpret):
+    return _fwd_res(x, w, v, bv, bh, interpret)
+
+
+def _fwd_bwd(interpret, res, g):
+    w, v, xd, bhd, n, batch_shape, nt, bv_shape, bh_shape = res
+    d, h_dim = w.shape
+    gf = g.reshape(-1, d)
+    n_pad = xd.shape[1]
+    if n_pad != n:
+        gf = jnp.pad(gf, ((0, n_pad - n), (0, 0)))
+    dw, dv, dxd, dbhd = _bwd_2d(w, v, xd, gf.T, bhd, nt, interpret=interpret)
+    dx = dxd.T[:n].reshape(*batch_shape, d)
+    dbh_full = dbhd.T[:n].reshape(*batch_shape, h_dim)
+    # dbv = g (logits are bv + ...); biases were broadcast to the full batch
+    # shape in _to_dim_major, so their cotangents reduce back to input shape
+    dbv = _unbroadcast(g, bv_shape)
+    dbh = _unbroadcast(dbh_full, bh_shape)
+    return dx, dw, dv, dbv, dbh
+
+
+def _unbroadcast(grad, orig_shape):
+    """Reduce a full-batch-shape cotangent back to the (possibly broadcast)
+    input bias shape: sum the prepended leading dims, then the size-1 dims."""
+    extra = grad.ndim - len(orig_shape)
+    if extra:
+        grad = grad.sum(axis=tuple(range(extra)))
+    keep = tuple(ax for ax, sz in enumerate(orig_shape) if sz == 1)
+    if keep:
+        grad = grad.sum(axis=keep, keepdims=True)
+    return grad.reshape(orig_shape)
+
+
+nade_logits.defvjp(_fwd_fwd, _fwd_bwd)

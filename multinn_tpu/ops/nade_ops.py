@@ -28,11 +28,44 @@ def default_ll_form() -> str:
     return "tri" if jax.default_backend() == "tpu" else "cumsum"
 
 
+def _ll_pallas_supported(w, n: int) -> bool:
+    try:
+        from multinn_tpu.ops import nade_ll_pallas
+    except Exception:   # pragma: no cover
+        return False
+    return nade_ll_pallas.supported(w, n)
+
+
 def nade_log_prob(x: jax.Array, w, v, bv, bh,
                   chunk: Optional[int] = None,
-                  form: Optional[str] = None) -> jax.Array:
+                  form: Optional[str] = None,
+                  impl: str = "auto") -> jax.Array:
+    """Exact log p(x) (...,). impl='auto' picks the grid-free Pallas kernel
+    on TPU (ops/nade_ll_pallas.py — the training hot path never materializes
+    the (N, D, H) activation grid); override with MULTINN_NADE_LL_IMPL=
+    xla|pallas (perf A/B knob). Precedence matches ops/gibbs.py: an active
+    ``ops.sampling.force_impl`` context WINS (global-view GSPMD programs
+    cannot partition a Mosaic custom call); manual-mode (shard_map/seqpipe)
+    step bodies keep the kernel live. ``chunk``/``form`` force the XLA
+    formulations (nn/nade.py)."""
     if chunk is not None:
         return _nade.log_prob_chunked(x, w, v, bv, bh, chunk=chunk)
+    if impl == "auto" and form is None:
+        import os
+        from multinn_tpu.ops import sampling
+        forced = sampling.forced_impl() or os.environ.get(
+            "MULTINN_NADE_LL_IMPL")
+        if forced:
+            impl = forced
+        elif (jax.default_backend() == "tpu"
+                and _ll_pallas_supported(w, x[..., 0].size)):
+            impl = "pallas"
+    if impl == "pallas":
+        from multinn_tpu.ops import nade_ll_pallas
+        logits = nade_ll_pallas.nade_logits(x, w, v, bv, bh)
+        ll = (x * jax.nn.log_sigmoid(logits)
+              + (1 - x) * jax.nn.log_sigmoid(-logits))
+        return ll.sum(axis=-1)
     return _nade.log_prob(x, w, v, bv, bh,
                           form=form or default_ll_form())
 

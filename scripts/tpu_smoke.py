@@ -63,6 +63,35 @@ def main() -> int:
                                 batch_shape=(8,))
         assert xs.shape == (8, 84)
 
+    def nade_ll_kernel():
+        # grid-free exact-LL training kernel (r4): loss AND grads must match
+        # the XLA tri form on the chip (real Mosaic lowering, fwd + bwd)
+        from multinn_tpu.ops import nade_ll_pallas
+        p = nade_nn.init(jax.random.PRNGKey(0), 84, 150, w_std=0.2)
+        keys = jax.random.split(jax.random.PRNGKey(1), 3)
+        x = jax.random.bernoulli(keys[0], 0.1, (96, 84)).astype(jnp.float32)
+        bv = 0.1 * jax.random.normal(keys[1], (96, 84))
+        bh = 0.1 * jax.random.normal(keys[2], (96, 150))
+
+        def nll(logits_fn, w, v):
+            logits = logits_fn(x, w, v, bv, bh)
+            return -jnp.mean(x * jax.nn.log_sigmoid(logits)
+                             + (1 - x) * jax.nn.log_sigmoid(-logits))
+
+        ker = jax.jit(jax.value_and_grad(
+            lambda w, v: nll(nade_ll_pallas.nade_logits, w, v), (0, 1)))
+        ref = jax.jit(jax.value_and_grad(
+            lambda w, v: nll(
+                lambda *a: nade_nn.conditionals_logits(*a, form="tri"),
+                w, v), (0, 1)))
+        lk, gk = ker(p.w, p.v)
+        lr, gr = ref(p.w, p.v)
+        profiling.force(lk)
+        assert abs(float(lk) - float(lr)) < 1e-4
+        for a, b in zip(gk, gr):
+            err = float(jnp.max(jnp.abs(a - b)))
+            assert err < 1e-3, err
+
     def fused(dec, mode, batch=1, **kw):
         def run():
             cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode=mode,
@@ -164,6 +193,7 @@ def main() -> int:
 
     check("pallas_gibbs_chain", gibbs_kernel)
     check("pallas_nade_sweep", nade_kernel)
+    check("pallas_nade_ll_train_kernel_fwd_bwd", nade_ll_kernel)
     check("fused_gen_rbm_feedback", fused("rnn-rbm", "feedback"))
     check("fused_gen_rbm_per_track", fused("rnn-rbm", "per-track"))
     check("fused_gen_nade_feedback", fused("rnn-nade", "feedback"))
