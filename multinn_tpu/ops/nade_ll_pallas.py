@@ -13,15 +13,19 @@ generation kernel (``nade_pallas``) but teacher-forced and with a custom VJP:
     forward    per dim i:  h = sigma(a);  logit_i = bv_i + V_i . h;
                            a += x_i (x) W_i
     backward   dA_i = (V_i (x) g_i) * h_i (1 - h_i)
-               dbh  = sum_i dA_i                    (sweep 1, forward order)
-               dV_i = g_i . h_i^T                   (sweep 1)
+               dbh  = sum_i dA_i
+               dV_i = g_i . h_i^T
                r_i  = sum_{i' > i} dA_i'            (suffix sum)
-               dW_i = x_i . r_i^T ;  dx_i = W_i . r_i   (sweep 2)
+               dW_i = x_i . r_i^T ;  dx_i = W_i . r_i
 
-The suffix sums are evaluated as S - prefix while S (the full sum) decays in
-place — so the backward needs NO stored activations at all: it just re-runs
-the forward recurrence twice (sigmoids are ~free on the VPU next to the HBM
-passes they replace). HBM traffic drops from O(N*D*H) per pass to O(N*(D+H)).
+The backward is ONE reverse sweep: the forward saves its final running
+activation a_D (an O(N*H) residual — the only one), and the reverse sweep
+DOWNDATES it (a_i = a_{i+1} - x_i (x) W_i) to recover each h_i while the
+suffix sum r accumulates naturally in reverse order. No O(N*D*H) activation
+grid ever touches HBM in either direction; traffic is O(N*(D+H)) total.
+(Downdating reintroduces one rounding per visited dim relative to the
+forward accumulation — bounded by D ulps of the running activation, far
+inside gradient tolerance; parity-tested against jax.grad of the XLA form.)
 
 Layout is DIM-MAJOR like the sampling kernel: per-dim tensors (x, biases,
 logits, grads) are (D, N) so per-dim access is a sublane row read/write; the
@@ -54,8 +58,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _bwd_bytes(d: int, h: int, nt: int) -> int:
-    # w, v, dw, dv (4 D*H) + x, g, dx (3 D*NT) + bh, dbh (2 H*NT)
-    # + scratch a, s (2 H*NT)
+    # w, v, dw, dv (4 D*H) + x, g, dx (3 D*NT) + a_end, dbh (2 H*NT)
+    # + scratch a, r (2 H*NT)
     return 4 * (4 * d * h + 3 * d * nt + 4 * h * nt)
 
 
@@ -80,12 +84,24 @@ def supported(w: jax.Array, n: int) -> bool:
 # kernels (dim-major: per-dim refs (D, NT); activations (H, NT))
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(w_ref, v_ref, x_ref, bv_ref, bh_ref, out_ref, a_ref, *,
+def _unroll(d: int) -> int:
+    """Dims swept per loop iteration. Mosaic's fori_loop only supports
+    unroll=1 or =num_steps; full unroll measured +3-7% step time but ~15x
+    Mosaic compile time (55 s/program) — manual partial unroll keeps most
+    of the win at ~unroll x program size. Largest of 4..1 dividing D."""
+    for u in (4, 3, 2):
+        if d % u == 0:
+            return u
+    return 1
+
+def _fwd_kernel(w_ref, v_ref, x_ref, bv_ref, bh_ref, out_ref, aend_ref, *,
                 d: int):
-    a_ref[:] = bh_ref[:]                                   # (H, NT)
+    # aend is an OUTPUT doubling as the accumulator: after the loop it holds
+    # a_D, the backward's only residual
+    aend_ref[:] = bh_ref[:]                                # (H, NT)
 
     def dim_step(i, _):
-        h = jax.nn.sigmoid(a_ref[:])                       # (H, NT)
+        h = jax.nn.sigmoid(aend_ref[:])                    # (H, NT)
         vrow = v_ref[pl.ds(i, 1), :]                       # (1, H)
         s = jax.lax.dot_general(vrow, h, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -93,55 +109,42 @@ def _fwd_kernel(w_ref, v_ref, x_ref, bv_ref, bh_ref, out_ref, a_ref, *,
         xrow = x_ref[pl.ds(i, 1), :]                       # (1, NT)
         wrow = w_ref[pl.ds(i, 1), :]                       # (1, H)
         # rank-1 update (1,H)^T (x) (1,NT) -> (H,NT), no transpose op
-        a_ref[:] = a_ref[:] + jax.lax.dot_general(
+        aend_ref[:] = aend_ref[:] + jax.lax.dot_general(
             wrow, xrow, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, d, dim_step, 0)
+    u = _unroll(d)
+
+    def block_step(b, _):
+        for j in range(u):           # manual partial unroll (Mosaic's
+            dim_step(b * u + j, 0)   # fori_loop is all-or-nothing)
+        return 0
+
+    jax.lax.fori_loop(0, d // u, block_step, 0)
 
 
-def _bwd_kernel(w_ref, v_ref, x_ref, g_ref, bh_ref,
-                dw_ref, dv_ref, dx_ref, dbh_ref, a_ref, s_ref, *, d: int):
-    # ---- sweep 1 (forward order): S = sum_i dA_i; dV rows ----------------
-    a_ref[:] = bh_ref[:]
-    s_ref[:] = jnp.zeros_like(s_ref)
+def _bwd_kernel(w_ref, v_ref, x_ref, g_ref, aend_ref,
+                dw_ref, dv_ref, dx_ref, dbh_ref, a_ref, r_ref, *, d: int):
+    # ONE reverse sweep: downdate a from its saved end state; r accumulates
+    # the suffix sum of dA (its value BEFORE adding dA_i is exactly r_i)
+    a_ref[:] = aend_ref[:]
+    r_ref[:] = jnp.zeros_like(r_ref)
 
-    def sweep1(i, _):
+    def rev_step(t, _):
+        i = d - 1 - t
+        xrow = x_ref[pl.ds(i, 1), :]                       # (1, NT)
+        wrow = w_ref[pl.ds(i, 1), :]                       # (1, H)
+        a_ref[:] = a_ref[:] - jax.lax.dot_general(
+            wrow, xrow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # now a = a_i
         h = jax.nn.sigmoid(a_ref[:])                       # (H, NT)
         grow = g_ref[pl.ds(i, 1), :]                       # (1, NT)
         # dV_i[hh] = sum_n g[i,n] h[hh,n]  -> (1, H)
         dv_ref[0, pl.ds(i, 1), :] = jax.lax.dot_general(
             grow, h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        vrow = v_ref[pl.ds(i, 1), :]                       # (1, H)
-        da = jax.lax.dot_general(vrow, grow, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        s_ref[:] = s_ref[:] + da * h * (1.0 - h)
-        xrow = x_ref[pl.ds(i, 1), :]
-        wrow = w_ref[pl.ds(i, 1), :]
-        a_ref[:] = a_ref[:] + jax.lax.dot_general(
-            wrow, xrow, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, d, sweep1, 0)
-    dbh_ref[:] = s_ref[:]
-
-    # ---- sweep 2 (forward order, S decays to the suffix sum) -------------
-    a_ref[:] = bh_ref[:]
-
-    def sweep2(i, _):
-        h = jax.nn.sigmoid(a_ref[:])
-        grow = g_ref[pl.ds(i, 1), :]
-        vrow = v_ref[pl.ds(i, 1), :]
-        da = jax.lax.dot_general(vrow, grow, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        # after this, s = sum_{i' > i} dA_i' = r_i
-        s_ref[:] = s_ref[:] - da * h * (1.0 - h)
-        r = s_ref[:]
-        xrow = x_ref[pl.ds(i, 1), :]
-        wrow = w_ref[pl.ds(i, 1), :]
+        r = r_ref[:]
         # dW_i[hh] = sum_n x[i,n] r[hh,n] -> (1, H)
         dw_ref[0, pl.ds(i, 1), :] = jax.lax.dot_general(
             xrow, r, (((1,), (1,)), ((), ())),
@@ -150,12 +153,21 @@ def _bwd_kernel(w_ref, v_ref, x_ref, g_ref, bh_ref,
         dx_ref[pl.ds(i, 1), :] = jax.lax.dot_general(
             wrow, r, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        a_ref[:] = a_ref[:] + jax.lax.dot_general(
-            wrow, xrow, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        vrow = v_ref[pl.ds(i, 1), :]                       # (1, H)
+        da = jax.lax.dot_general(vrow, grow, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        r_ref[:] = r_ref[:] + da * (h - h * h)
         return 0
 
-    jax.lax.fori_loop(0, d, sweep2, 0)
+    u = _unroll(d)
+
+    def block_step(b, _):
+        for j in range(u):
+            rev_step(b * u + j, 0)
+        return 0
+
+    jax.lax.fori_loop(0, d // u, block_step, 0)
+    dbh_ref[:] = r_ref[:]
 
 
 # ---------------------------------------------------------------------------
@@ -181,20 +193,20 @@ def _fwd_2d(w, v, xd, bvd, bhd, nt: int, interpret: bool = False):
         grid=(n // nt,),
         in_specs=[_replicated((d, h_dim)), _replicated((d, h_dim)),
                   _n_blocked(d, nt), _n_blocked(d, nt), _n_blocked(h_dim, nt)],
-        out_specs=_n_blocked(d, nt),
-        out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h_dim, nt), jnp.float32)],
+        out_specs=(_n_blocked(d, nt), _n_blocked(h_dim, nt)),
+        out_shape=(jax.ShapeDtypeStruct((d, n), jnp.float32),
+                   jax.ShapeDtypeStruct((h_dim, n), jnp.float32)),
         interpret=(pltpu.InterpretParams() if interpret else False),
         cost_estimate=pl.CostEstimate(
             flops=6 * d * h_dim * n,
-            bytes_accessed=4 * (2 * d * h_dim + 3 * d * n + h_dim * n),
+            bytes_accessed=4 * (2 * d * h_dim + 3 * d * n + 2 * h_dim * n),
             transcendentals=d * h_dim * n,
         ),
     )(w, v, xd, bvd, bhd)
 
 
 @functools.partial(jax.jit, static_argnames=("nt", "interpret"))
-def _bwd_2d(w, v, xd, gd, bhd, nt: int, interpret: bool = False):
+def _bwd_2d(w, v, xd, gd, aend, nt: int, interpret: bool = False):
     d, h_dim = w.shape
     n = xd.shape[1]
     n_tiles = n // nt
@@ -221,11 +233,11 @@ def _bwd_2d(w, v, xd, gd, bhd, nt: int, interpret: bool = False):
                         pltpu.VMEM((h_dim, nt), jnp.float32)],
         interpret=(pltpu.InterpretParams() if interpret else False),
         cost_estimate=pl.CostEstimate(
-            flops=20 * d * h_dim * n,
+            flops=14 * d * h_dim * n,
             bytes_accessed=4 * (6 * d * h_dim + 4 * d * n + 2 * h_dim * n),
-            transcendentals=2 * d * h_dim * n,
+            transcendentals=d * h_dim * n,
         ),
-    )(w, v, xd, gd, bhd)
+    )(w, v, xd, gd, aend)
     return dwp.sum(axis=0), dvp.sum(axis=0), dxd, dbhd
 
 
@@ -269,10 +281,11 @@ def _fwd_res(x, w, v, bv, bh, interpret):
             f"nade_ll_pallas: no N-tile fits VMEM for D={d}, H={h_dim} "
             "(gate with supported() before dispatching)")
     xd, bvd, bhd, n, batch_shape = _to_dim_major(x, w, v, bv, bh, nt)
-    out = _fwd_2d(w, v, xd, bvd, bhd, nt, interpret=interpret)
+    out, aend = _fwd_2d(w, v, xd, bvd, bhd, nt, interpret=interpret)
     logits = out.T[:n].reshape(*batch_shape, d)
-    # residuals: dim-major padded tensors (bv is not needed in the backward)
-    return logits, (w, v, xd, bhd, n, batch_shape, nt, bv.shape, bh.shape)
+    # residuals: dim-major padded x and the FINAL running activation a_D —
+    # the reverse sweep downdates it (biases are not needed in the backward)
+    return logits, (w, v, xd, aend, n, batch_shape, nt, bv.shape, bh.shape)
 
 
 def _fwd_fwd(x, w, v, bv, bh, interpret):
@@ -280,13 +293,13 @@ def _fwd_fwd(x, w, v, bv, bh, interpret):
 
 
 def _fwd_bwd(interpret, res, g):
-    w, v, xd, bhd, n, batch_shape, nt, bv_shape, bh_shape = res
+    w, v, xd, aend, n, batch_shape, nt, bv_shape, bh_shape = res
     d, h_dim = w.shape
     gf = g.reshape(-1, d)
     n_pad = xd.shape[1]
     if n_pad != n:
         gf = jnp.pad(gf, ((0, n_pad - n), (0, 0)))
-    dw, dv, dxd, dbhd = _bwd_2d(w, v, xd, gf.T, bhd, nt, interpret=interpret)
+    dw, dv, dxd, dbhd = _bwd_2d(w, v, xd, gf.T, aend, nt, interpret=interpret)
     dx = dxd.T[:n].reshape(*batch_shape, d)
     dbh_full = dbhd.T[:n].reshape(*batch_shape, h_dim)
     # dbv = g (logits are bv + ...); biases were broadcast to the full batch
