@@ -78,19 +78,30 @@ _biases = base.conditioned_biases
 
 
 def _nll(params: Params, x: jax.Array, ctx: Optional[jax.Array],
-         m_tm: Optional[jax.Array] = None, seq=None):
-    """Mean per-frame negative log-likelihood + logits for metrics.
-    x: (B, T, F); m_tm: optional time-major frame mask (T, B)."""
+         m_tm: Optional[jax.Array] = None, seq=None, need_logits=False):
+    """Mean per-frame negative log-likelihood. x: (B, T, F); m_tm: optional
+    time-major frame mask (T, B). ``need_logits=True`` (the detailed-metrics
+    path) evaluates the per-dim conditional logits ONCE and derives the NLL
+    from their Bernoulli cross-entropy — identical math to nade_log_prob
+    (which computes exactly those logits internally), but the logits are
+    reusable for metrics without a second grid/kernel pass."""
     x_tm = jnp.swapaxes(x, 0, 1)
     ctx_tm = None if ctx is None else jnp.swapaxes(ctx, 0, 1)
     state = init_state(params, x.shape[:1])
     _, u_prev = _scan_states(params, state, rnn_input(x_tm, ctx_tm), seq)
     bv_t, bh_t = _biases(params, u_prev)
-    ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)
+    if need_logits:
+        logits = nade_ops.nade_conditionals_logits(
+            x_tm, params.w, params.v, bv_t, bh_t)
+        ll = (x_tm * jax.nn.log_sigmoid(logits)
+              + (1 - x_tm) * jax.nn.log_sigmoid(-logits)).sum(-1)
+    else:
+        logits = None
+        ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)
     if m_tm is None:
-        return -jnp.mean(ll), (x_tm, bv_t, bh_t)
+        return -jnp.mean(ll), (x_tm, logits)
     nll = -jnp.sum(ll * m_tm) / jnp.maximum(jnp.sum(m_tm), 1.0)
-    return nll, (x_tm, bv_t, bh_t)
+    return nll, (x_tm, logits)
 
 
 def loss(params: Params, key: jax.Array, x: jax.Array,
@@ -104,14 +115,13 @@ def loss(params: Params, key: jax.Array, x: jax.Array,
     del key
     m_tm = (None if frame_mask is None
             else jnp.swapaxes(frame_mask, 0, 1).astype(jnp.float32))
-    nll, (x_tm, bv_t, bh_t) = _nll(params, x, ctx, m_tm, seq)
+    nll, (x_tm, logits) = _nll(params, x, ctx, m_tm, seq,
+                               need_logits=detailed)
     if not detailed:
         return nll, {"loss": nll}
-    # teacher-forced conditional probabilities for frame metrics
-    logits = jax.lax.stop_gradient(nade_nn.conditionals_logits(
-        x_tm, params.w, params.v, bv_t, bh_t,
-        form=nade_ops.default_ll_form()))
-    probs = jax.nn.sigmoid(logits)
+    # teacher-forced conditional probabilities for frame metrics (the same
+    # logits the NLL above was derived from — one pass, stop-gradient here)
+    probs = jax.nn.sigmoid(jax.lax.stop_gradient(logits))
     metrics = frame_metrics(probs, x_tm, mask=m_tm)
     metrics["nll"] = nll
     metrics["loss"] = nll

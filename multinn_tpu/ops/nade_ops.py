@@ -36,6 +36,38 @@ def _ll_pallas_supported(w, n: int) -> bool:
     return nade_ll_pallas.supported(w, n)
 
 
+def _pick_ll_impl(impl: str, form, w, n: int) -> str:
+    """Resolve auto dispatch for the likelihood-side ops (kernel precedence
+    rules shared by nade_log_prob / nade_conditionals_logits)."""
+    if impl == "auto" and form is None:
+        import os
+        from multinn_tpu.ops import sampling
+        forced = sampling.forced_impl() or os.environ.get(
+            "MULTINN_NADE_LL_IMPL")
+        if forced:
+            return forced
+        if (jax.default_backend() == "tpu"
+                and _ll_pallas_supported(w, n)):
+            return "pallas"
+    return impl
+
+
+def nade_conditionals_logits(x: jax.Array, w, v, bv, bh,
+                             form: Optional[str] = None,
+                             impl: str = "auto") -> jax.Array:
+    """All D teacher-forced conditional logits (..., D). auto -> the
+    grid-free kernel on TPU (reverse-mode differentiable through its custom
+    VJP). FORWARD-mode (jvp) callers — the Hessian-free GGN matvecs,
+    training/hf.py — must stay on the XLA form (models/rnn_nade.py
+    ``conditional_logits`` does; custom_vjp has no jvp rule)."""
+    impl = _pick_ll_impl(impl, form, w, x[..., 0].size)
+    if impl == "pallas":
+        from multinn_tpu.ops import nade_ll_pallas
+        return nade_ll_pallas.nade_logits(x, w, v, bv, bh)
+    return _nade.conditionals_logits(x, w, v, bv, bh,
+                                     form=form or default_ll_form())
+
+
 def nade_log_prob(x: jax.Array, w, v, bv, bh,
                   chunk: Optional[int] = None,
                   form: Optional[str] = None,
@@ -50,16 +82,7 @@ def nade_log_prob(x: jax.Array, w, v, bv, bh,
     formulations (nn/nade.py)."""
     if chunk is not None:
         return _nade.log_prob_chunked(x, w, v, bv, bh, chunk=chunk)
-    if impl == "auto" and form is None:
-        import os
-        from multinn_tpu.ops import sampling
-        forced = sampling.forced_impl() or os.environ.get(
-            "MULTINN_NADE_LL_IMPL")
-        if forced:
-            impl = forced
-        elif (jax.default_backend() == "tpu"
-                and _ll_pallas_supported(w, x[..., 0].size)):
-            impl = "pallas"
+    impl = _pick_ll_impl(impl, form, w, x[..., 0].size)
     if impl == "pallas":
         from multinn_tpu.ops import nade_ll_pallas
         logits = nade_ll_pallas.nade_logits(x, w, v, bv, bh)

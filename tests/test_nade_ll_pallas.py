@@ -148,3 +148,24 @@ def test_dispatch_stays_on_xla_off_tpu():
     ref = nade_nn.log_prob(x, p.w, p.v, bv, bh,
                            form=nade_ops.default_ll_form())
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_detailed_loss_equals_hot_path_loss():
+    """rnn_nade.loss detailed=True derives the NLL from the (reusable)
+    conditional logits instead of nade_log_prob — same math, one pass
+    (guards the r4 refactor in models/rnn_nade._nll)."""
+    from multinn_tpu.models import multinn
+    from multinn_tpu.models.multinn import MultINNConfig
+    cfg = MultINNConfig(n_tracks=3, n_pitches=12, mode="feedback",
+                        decoder_type="rnn-nade", n_hidden=9, n_rnn=7)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.bernoulli(jax.random.PRNGKey(1), 0.3,
+                             (4, 6, 3, 12)).astype(jnp.float32)
+    mask = (jnp.arange(6)[None, :] < jnp.array([6, 4, 6, 3])[:, None]
+            ).astype(jnp.float32)
+    l_hot, _ = multinn.loss(params, jax.random.PRNGKey(2), x,
+                            detailed=False, frame_mask=mask)
+    l_det, m = multinn.loss(params, jax.random.PRNGKey(2), x,
+                            detailed=True, frame_mask=mask)
+    np.testing.assert_allclose(float(l_det), float(l_hot), rtol=1e-6)
+    np.testing.assert_allclose(float(m["nll"]), float(l_hot), rtol=1e-6)
