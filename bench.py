@@ -100,34 +100,39 @@ def bench():
     # the actual device step time, so the fused multi-step program is both
     # the honest device number and the real production configuration.
     # n_iter=50 keeps the unamortized floor under ~0.6 ms/step.
-    n_iter = 50
+    def measure_train_many(params0, opt_, xb, n_iter):
+        """Steady-state s/optimizer-step of the fused multi-step program —
+        compile + TWO warm-up executions first (a fresh executable pays a
+        one-time program-load overhead, ~80 ms/step observed), then
+        min-of-3 timed calls with value-fetch sync. The ONE measurement
+        protocol behind every train-throughput row (RBM and NADE)."""
+        @jax.jit
+        def train_many(p, s, key, xb):
+            def body(carry, kk):
+                p, s = carry
+                (l, _), g = jax.value_and_grad(
+                    lambda q: multinn.loss(q, kk, xb, detailed=False),
+                    has_aux=True)(p)
+                u2, s = opt_.update(g, s)
+                return (optax.apply_updates(p, u2), s), l
+            (p, s), ls = jax.lax.scan(body, (p, s),
+                                      jax.random.split(key, n_iter))
+            return p, s, ls[-1]
 
-    @jax.jit
-    def train_many(p, s, key, xb):
-        def body(carry, kk):
-            p, s = carry
-            (l, _), g = jax.value_and_grad(
-                lambda q: multinn.loss(q, kk, xb, detailed=False),
-                has_aux=True)(p)
-            u2, s = opt.update(g, s)
-            return (optax.apply_updates(p, u2), s), l
-        (p, s), ls = jax.lax.scan(body, (p, s),
-                                  jax.random.split(key, n_iter))
-        return p, s, ls[-1]
+        p2, s2 = params0, opt_.init(params0)
+        kk = jax.random.PRNGKey(2)
+        for i in range(3):
+            p2, s2, loss2 = train_many(p2, s2, jax.random.fold_in(kk, i), xb)
+        force(loss2)
+        times = []
+        for i in range(3, 6):
+            t0 = time.time()
+            p2, s2, loss2 = train_many(p2, s2, jax.random.fold_in(kk, i), xb)
+            force(loss2)
+            times.append(time.time() - t0)
+        return min(times) / n_iter
 
-    # compile + TWO warm-up executions: the first runs of a fresh executable
-    # on this backend include one-time program-load overhead (~80 ms/step
-    # observed); steady-state is what production training sees.
-    for i in range(3):
-        p, s, loss = train_many(p, s, jax.random.fold_in(k, i), x)
-    force(loss)
-    times = []
-    for i in range(3, 6):
-        t0 = time.time()
-        p, s, loss = train_many(p, s, jax.random.fold_in(k, i), x)
-        force(loss)
-        times.append(time.time() - t0)
-    step_s = min(times) / n_iter
+    step_s = measure_train_many(p, opt, x, n_iter=50)
     train_steps_per_sec = (B * T) / step_s          # pianoroll steps/sec/chip
 
     # ---- 2) 64-bar 5-track generation latency ----------------------------
@@ -241,38 +246,13 @@ def bench():
 
     # NADE TRAIN throughput (grid-free exact-LL kernel, r4 —
     # ops/nade_ll_pallas.py; the auto dispatch picks it on TPU). Same
-    # in-program multi-step measurement as the RBM train row above.
+    # measurement protocol as the RBM train row (measure_train_many).
     Bn = 64
     xn = jax.device_put(jax.random.bernoulli(
         jax.random.PRNGKey(8), 0.06,
         (Bn, T, cfg_n.n_tracks, cfg_n.n_pitches)).astype(jnp.float32))
-    opt_n = optax.adam(1e-3)
-    n_iter_n = 20
-
-    @jax.jit
-    def train_many_nade(p, s, key, xb):
-        def body(carry, kk):
-            p, s = carry
-            (l, _), g = jax.value_and_grad(
-                lambda q: multinn.loss(q, kk, xb, detailed=False),
-                has_aux=True)(p)
-            u2, s = opt_n.update(g, s)
-            return (optax.apply_updates(p, u2), s), l
-        (p, s), ls = jax.lax.scan(body, (p, s),
-                                  jax.random.split(key, n_iter_n))
-        return p, s, ls[-1]
-
-    pn, sn = params_n, opt_n.init(params_n)
-    for i in range(3):
-        pn, sn, loss_n = train_many_nade(pn, sn, jax.random.fold_in(k, i), xn)
-    force(loss_n)
-    tns = []
-    for i in range(3, 6):
-        t0 = time.time()
-        pn, sn, loss_n = train_many_nade(pn, sn, jax.random.fold_in(k, i), xn)
-        force(loss_n)
-        tns.append(time.time() - t0)
-    nade_step_train_s = min(tns) / n_iter_n
+    nade_step_train_s = measure_train_many(params_n, optax.adam(1e-3), xn,
+                                           n_iter=20)
     nade_train_fps = (Bn * T) / nade_step_train_s
 
     # ---- 3) Gibbs sweeps/s (in-program amortized: scan of chains) ---------

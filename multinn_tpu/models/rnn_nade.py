@@ -93,8 +93,7 @@ def _nll(params: Params, x: jax.Array, ctx: Optional[jax.Array],
     if need_logits:
         logits = nade_ops.nade_conditionals_logits(
             x_tm, params.w, params.v, bv_t, bh_t)
-        ll = (x_tm * jax.nn.log_sigmoid(logits)
-              + (1 - x_tm) * jax.nn.log_sigmoid(-logits)).sum(-1)
+        ll = nade_nn.bernoulli_ll(logits, x_tm).sum(-1)
     else:
         logits = None
         ll = nade_ops.nade_log_prob(x_tm, params.w, params.v, bv_t, bh_t)

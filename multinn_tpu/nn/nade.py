@@ -61,6 +61,18 @@ def init(key: jax.Array, n_visible: int, n_hidden: int,
     )
 
 
+def bernoulli_ll(logits: jax.Array, x: jax.Array) -> jax.Array:
+    """Elementwise Bernoulli log-likelihood x·logσ(l) + (1−x)·logσ(−l).
+
+    THE single definition of the likelihood-from-logits math: the exact NADE
+    LL (log_prob / log_prob_chunked), the kernel-backed likelihood dispatch
+    (ops/nade_ops.py), the detailed-metrics path (models/rnn_nade.py) and the
+    Hessian-free CE objective (training/hf.py) must all agree bit-for-bit —
+    they share this function rather than re-deriving it."""
+    return (x * jax.nn.log_sigmoid(logits)
+            + (1 - x) * jax.nn.log_sigmoid(-logits))
+
+
 def _a_excl(contrib: jax.Array, form: str) -> jax.Array:
     """Exclusive cumulative sum of per-dim contributions over the dim axis.
 
@@ -99,9 +111,7 @@ def conditionals_logits(x: jax.Array, w, v, bv, bh,
 def log_prob(x: jax.Array, w, v, bv, bh, form: str = "cumsum") -> jax.Array:
     """Exact log p(x) = Σ_i log p(x_i | x_<i). Returns (...,)."""
     logits = conditionals_logits(x, w, v, bv, bh, form=form)
-    # log Bernoulli: x*logσ(l) + (1-x)*logσ(-l)
-    ll = x * jax.nn.log_sigmoid(logits) + (1 - x) * jax.nn.log_sigmoid(-logits)
-    return jnp.sum(ll, axis=-1)
+    return jnp.sum(bernoulli_ll(logits, x), axis=-1)
 
 
 def log_prob_chunked(x: jax.Array, w, v, bv, bh, chunk: int = 16) -> jax.Array:
@@ -134,9 +144,8 @@ def log_prob_chunked(x: jax.Array, w, v, bv, bh, chunk: int = 16) -> jax.Array:
             [jnp.zeros_like(csum[..., :1, :]), csum[..., :-1, :]], axis=-2)
         h = jax.nn.sigmoid(a[..., None, :] + a_excl)
         logits = bv_i + jnp.einsum("...ch,ch->...c", h, v_i)
-        ll = (x_i * jax.nn.log_sigmoid(logits)
-              + (1 - x_i) * jax.nn.log_sigmoid(-logits))
-        return a + csum[..., -1, :], jnp.sum(ll, axis=-1)
+        return (a + csum[..., -1, :],
+                jnp.sum(bernoulli_ll(logits, x_i), axis=-1))
 
     _, lls = jax.lax.scan(body, a0, (xc, wc, vc, bvc))
     return jnp.sum(lls, axis=0)

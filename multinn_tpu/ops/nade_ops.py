@@ -38,17 +38,27 @@ def _ll_pallas_supported(w, n: int) -> bool:
 
 def _pick_ll_impl(impl: str, form, w, n: int) -> str:
     """Resolve auto dispatch for the likelihood-side ops (kernel precedence
-    rules shared by nade_log_prob / nade_conditionals_logits)."""
+    rules shared by nade_log_prob / nade_conditionals_logits). A resolved
+    'pallas' — whether forced by MULTINN_NADE_LL_IMPL or passed explicitly —
+    is still checked against the kernel's supported() gate so an unsupported
+    shape/dtype fails HERE with an actionable message instead of a
+    trace-time error deep in the kernel wrapper (round-4 review)."""
     if impl == "auto" and form is None:
         import os
         from multinn_tpu.ops import sampling
         forced = sampling.forced_impl() or os.environ.get(
             "MULTINN_NADE_LL_IMPL")
         if forced:
-            return forced
-        if (jax.default_backend() == "tpu"
+            impl = forced
+        elif (jax.default_backend() == "tpu"
                 and _ll_pallas_supported(w, n)):
-            return "pallas"
+            impl = "pallas"
+    if impl == "pallas" and not _ll_pallas_supported(w, n):
+        raise ValueError(
+            f"NADE LL impl forced to 'pallas' but the kernel does not "
+            f"support w{tuple(w.shape)}/{w.dtype} at N={n} (f32 only; "
+            f"VMEM gate in ops/nade_ll_pallas.pick_tile). Unset "
+            f"MULTINN_NADE_LL_IMPL or pass impl='xla'.")
     return impl
 
 
@@ -86,9 +96,7 @@ def nade_log_prob(x: jax.Array, w, v, bv, bh,
     if impl == "pallas":
         from multinn_tpu.ops import nade_ll_pallas
         logits = nade_ll_pallas.nade_logits(x, w, v, bv, bh)
-        ll = (x * jax.nn.log_sigmoid(logits)
-              + (1 - x) * jax.nn.log_sigmoid(-logits))
-        return ll.sum(axis=-1)
+        return _nade.bernoulli_ll(logits, x).sum(axis=-1)
     return _nade.log_prob(x, w, v, bv, bh,
                           form=form or default_ll_form())
 

@@ -25,6 +25,14 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 # two drifting copies would give the kernels different effective budgets.
 PER_STEP_KERNEL_BUDGET_BYTES = (VMEM_BUDGET_BYTES * 4) // 5
 
+# Budget for STANDALONE grid-streamed kernels whose gate accounts for
+# Mosaic's pipeline double-buffering HONESTLY (2x every grid-blocked
+# operand — see nade_ll_pallas._bwd_bytes). Because nothing is hidden,
+# the headroom only needs to cover compiler temporaries/spills: 3 MiB of
+# the 16 MiB physical VMEM. Gates that use the plain 10 MiB budget above
+# charge single-buffered bytes and rely on its larger implicit margin.
+STANDALONE_KERNEL_BUDGET_BYTES = 13 * 1024 * 1024
+
 
 def _nbytes(shape, dtype) -> int:
     return math.prod(shape) * jnp.dtype(dtype).itemsize

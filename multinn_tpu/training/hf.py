@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from multinn_tpu.models import multinn
+from multinn_tpu.nn import nade as nade_nn
 
 
 @struct.dataclass
@@ -99,8 +100,7 @@ def _ce_loss(logits, targets, w_tb):
     """Masked Bernoulli cross-entropy under the trainer's normalization;
     equals multinn.loss for rnn-nade (equality-tested in tests/test_hf.py).
     logits/targets: (K, T, B, F); w_tb: (T, B)."""
-    ce = (targets * jax.nn.log_sigmoid(logits)
-          + (1.0 - targets) * jax.nn.log_sigmoid(-logits))
+    ce = nade_nn.bernoulli_ll(logits, targets)
     return -jnp.sum(ce * w_tb[None, :, :, None])
 
 
