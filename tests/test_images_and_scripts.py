@@ -95,3 +95,20 @@ def test_compile_audit_script_cpu():
     assert out["train"]["compile_s"][1] < out["train"]["compile_s"][0]
     ev2 = out["train"]["cache_events"][1]
     assert ev2.get("cache_misses", 0) == 0, out
+
+
+def test_cpu_reference_bench_tiny():
+    """The torch-CPU reference stand-in (scripts/cpu_reference_bench.py)
+    must run and train: both steps return finite losses at tiny shapes."""
+    import importlib.util as ilu
+    import os
+    spec = ilu.spec_from_file_location(
+        "cpu_reference_bench",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "cpu_reference_bench.py"))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    s, frames = mod.bench_rbm(k_tracks=2, d=6, h=5, u=4, b=2, t=3, iters=1)
+    assert s > 0 and frames == 6
+    s, frames = mod.bench_nade(k_tracks=2, d=6, h=5, u=4, b=2, t=3, iters=1)
+    assert s > 0 and frames == 6
