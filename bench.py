@@ -252,7 +252,7 @@ def bench():
         jax.random.PRNGKey(8), 0.06,
         (Bn, T, cfg_n.n_tracks, cfg_n.n_pitches)).astype(jnp.float32))
     nade_step_train_s = measure_train_many(params_n, optax.adam(1e-3), xn,
-                                           n_iter=20)
+                                           n_iter=50)
     nade_train_fps = (Bn * T) / nade_step_train_s
 
     # ---- 3) Gibbs sweeps/s (in-program amortized: scan of chains) ---------
