@@ -41,6 +41,7 @@ jax.grad of the reference form).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -57,18 +58,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bwd_block_shapes(d: int, h: int, nt: int):
+    """VMEM block shapes of the BACKWARD pallas_call, in argument order —
+    THE single source for both ``_bwd_2d``'s specs and the VMEM gate (a
+    hand-maintained byte formula drifted from the real allocation once —
+    round-4 review; deriving both from this list fixes the class of bug,
+    per ops/vmem.py's gate rule). Returns (pipelined, scratch) shape lists:
+    in/out blocks are double-buffered by Mosaic's grid pipeline; scratch is
+    single."""
+    pipelined = [
+        (d, h), (d, h),                 # in:  w, v (replicated blocks)
+        (d, nt), (d, nt), (h, nt),      # in:  x, g, a_end
+        (1, d, h), (1, d, h),           # out: dW, dV per-tile partials
+        (d, nt), (h, nt),               # out: dx, dbh
+    ]
+    scratch = [(h, nt), (h, nt)]        # a, r
+    return pipelined, scratch
+
+
 def _bwd_bytes(d: int, h: int, nt: int) -> int:
-    """HONEST peak VMEM of the backward pallas_call: Mosaic double-buffers
-    every grid-blocked operand across grid steps (2x), including the
-    replicated weights and the per-tile dW/dV partial blocks; only the
-    scratch buffers are single. (Round-4 review finding: the previous
-    single-buffered formula under-counted by ~2x and relied on the 10 MiB
-    budget's implicit slack.) Flagship shapes D=84, H=150, NT=2048 come to
-    ~11.9 MiB — measured working on v5e; NT=1024 was 7.6% slower."""
-    dbl = 2 * (4 * d * h          # w, v in + dw, dv out (per-tile blocks)
-               + 3 * d * nt       # x, g in + dx out
-               + 2 * h * nt)      # a_end in + dbh out
-    return 4 * (dbl + 2 * h * nt)  # + scratch a, r (single-buffered)
+    """HONEST peak VMEM of the backward pallas_call (2x every pipelined
+    block + scratch, from the canonical shape list above). Flagship shapes
+    D=84, H=150, NT=2048 come to ~11.9 MiB — measured working on v5e;
+    NT=1024 was 7.6% slower."""
+    pipelined, scratch = _bwd_block_shapes(d, h, nt)
+    elems = (2 * sum(math.prod(s) for s in pipelined)
+             + sum(math.prod(s) for s in scratch))
+    return 4 * elems
 
 
 def pick_tile(d: int, h: int, n: int) -> int:
@@ -220,27 +236,33 @@ def _bwd_2d(w, v, xd, gd, aend, nt: int, interpret: bool = False):
     d, h_dim = w.shape
     n = xd.shape[1]
     n_tiles = n // nt
+    # specs derive from the SAME canonical block-shape list the VMEM gate
+    # charges (positional zip — extending one without the other fails here)
+    (s_w, s_v, s_x, s_g, s_ae, s_dw, s_dv, s_dx, s_dbh), scr = (
+        _bwd_block_shapes(d, h_dim, nt))
+
+    def per_tile_3d(shape):
+        return pl.BlockSpec(shape, lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     dwp, dvp, dxd, dbhd = pl.pallas_call(
         functools.partial(_bwd_kernel, d=d),
         grid=(n_tiles,),
-        in_specs=[_replicated((d, h_dim)), _replicated((d, h_dim)),
-                  _n_blocked(d, nt), _n_blocked(d, nt), _n_blocked(h_dim, nt)],
+        in_specs=[_replicated(s_w), _replicated(s_v),
+                  _n_blocked(*s_x), _n_blocked(*s_g), _n_blocked(*s_ae)],
         out_specs=(
-            pl.BlockSpec((1, d, h_dim), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, h_dim), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _n_blocked(d, nt),
-            _n_blocked(h_dim, nt),
+            per_tile_3d(s_dw),
+            per_tile_3d(s_dv),
+            _n_blocked(*s_dx),
+            _n_blocked(*s_dbh),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, d, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, d, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((d, n), jnp.float32),
-            jax.ShapeDtypeStruct((h_dim, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, *s_dw[1:]), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, *s_dv[1:]), jnp.float32),
+            jax.ShapeDtypeStruct((s_dx[0], n), jnp.float32),
+            jax.ShapeDtypeStruct((s_dbh[0], n), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((h_dim, nt), jnp.float32),
-                        pltpu.VMEM((h_dim, nt), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(s, jnp.float32) for s in scr],
         interpret=(pltpu.InterpretParams() if interpret else False),
         cost_estimate=pl.CostEstimate(
             flops=14 * d * h_dim * n,

@@ -92,10 +92,10 @@ def bench_rbm(k_tracks=5, d=84, h=150, u=100, b=16, t=64, iters=3,
         return float(loss.detach())
 
     step(); step()                                         # warm-up
-    times = []
+    times, loss = [], None
     for _ in range(iters):
-        t0 = time.time(); step(); times.append(time.time() - t0)
-    return min(times), b * t
+        t0 = time.time(); loss = step(); times.append(time.time() - t0)
+    return min(times), b * t, loss
 
 
 def bench_nade(k_tracks=5, d=84, h=150, u=100, b=16, t=64, iters=3,
@@ -145,27 +145,32 @@ def bench_nade(k_tracks=5, d=84, h=150, u=100, b=16, t=64, iters=3,
         return float(loss.detach())
 
     step(); step()
-    times = []
+    times, loss = [], None
     for _ in range(iters):
-        t0 = time.time(); step(); times.append(time.time() - t0)
-    return min(times), b * t
+        t0 = time.time(); loss = step(); times.append(time.time() - t0)
+    return min(times), b * t, loss
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
+    # the measured single-chip v5e ms/step at the same B=16 flagship shape
+    # (BASELINE.md train rows — update these if those rows are re-measured)
+    ap.add_argument("--tpu-rbm-ms", type=float, default=0.88)
+    ap.add_argument("--tpu-nade-ms", type=float, default=1.66)
     args = ap.parse_args()
     print(f"torch {torch.__version__} threads={torch.get_num_threads()}")
-    s, frames = bench_rbm(iters=args.iters)
+    s, frames, loss = bench_rbm(iters=args.iters)
     print(f"RNN-RBM  CD-1 flagship (5-track feedback B=16 T=64): "
-          f"{s*1e3:8.1f} ms/step  ({frames/s:7.0f} frames/s)")
-    s_n, frames = bench_nade(iters=args.iters)
+          f"{s*1e3:8.1f} ms/step  ({frames/s:7.0f} frames/s, loss {loss:.3f})")
+    s_n, frames, loss_n = bench_nade(iters=args.iters)
     print(f"RNN-NADE exact-LL flagship (per-dim reference loop):  "
-          f"{s_n*1e3:8.1f} ms/step  ({frames/s_n:7.0f} frames/s)")
-    print("compare BASELINE.md TPU rows: RBM 0.88 ms/step (B=16), "
-          "NADE kernel 2.51 ms/step (B=16)")
-    print(f"ratios at equal B=16: RBM {s*1e3/0.88:.0f}x, "
-          f"NADE {s_n*1e3/2.51:.0f}x")
+          f"{s_n*1e3:8.1f} ms/step  ({frames/s_n:7.0f} frames/s, "
+          f"loss {loss_n:.3f})")
+    print(f"vs BASELINE.md v5e rows at equal B=16: RBM {args.tpu_rbm_ms} "
+          f"ms/step, NADE (grid-free kernel) {args.tpu_nade_ms} ms/step")
+    print(f"ratios: RBM {s*1e3/args.tpu_rbm_ms:.0f}x, "
+          f"NADE {s_n*1e3/args.tpu_nade_ms:.0f}x")
 
 
 if __name__ == "__main__":

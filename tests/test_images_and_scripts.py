@@ -108,7 +108,10 @@ def test_cpu_reference_bench_tiny():
                      "cpu_reference_bench.py"))
     mod = ilu.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    s, frames = mod.bench_rbm(k_tracks=2, d=6, h=5, u=4, b=2, t=3, iters=1)
-    assert s > 0 and frames == 6
-    s, frames = mod.bench_nade(k_tracks=2, d=6, h=5, u=4, b=2, t=3, iters=1)
-    assert s > 0 and frames == 6
+    import math
+    s, frames, loss = mod.bench_rbm(k_tracks=2, d=6, h=5, u=4, b=2, t=3,
+                                    iters=1)
+    assert s > 0 and frames == 6 and math.isfinite(loss)
+    s, frames, loss = mod.bench_nade(k_tracks=2, d=6, h=5, u=4, b=2, t=3,
+                                     iters=1)
+    assert s > 0 and frames == 6 and math.isfinite(loss)
