@@ -169,3 +169,19 @@ def test_detailed_loss_equals_hot_path_loss():
                             detailed=True, frame_mask=mask)
     np.testing.assert_allclose(float(l_det), float(l_hot), rtol=1e-6)
     np.testing.assert_allclose(float(m["nll"]), float(l_hot), rtol=1e-6)
+
+
+def test_forced_pallas_on_unsupported_shape_is_actionable(monkeypatch):
+    """A forced 'pallas' LL impl on an unsupported shape/dtype must fail at
+    DISPATCH with an actionable message (round-4 review), not deep in the
+    kernel wrapper."""
+    from multinn_tpu.ops import nade_ops
+    p, x, bv, bh = _mk(jax.random.PRNGKey(7), d=8, h=6, n=13)
+    w16 = p.w.astype(jnp.bfloat16)
+    monkeypatch.setenv("MULTINN_NADE_LL_IMPL", "pallas")
+    with pytest.raises(ValueError, match="MULTINN_NADE_LL_IMPL"):
+        nade_ops.nade_log_prob(x, w16, p.v, bv, bh)
+    # and the explicit-arg route hits the same gate
+    monkeypatch.delenv("MULTINN_NADE_LL_IMPL")
+    with pytest.raises(ValueError, match="does not support"):
+        nade_ops.nade_conditionals_logits(x, w16, p.v, bv, bh, impl="pallas")
