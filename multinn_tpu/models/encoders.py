@@ -76,6 +76,32 @@ def encode(params: Params, x: jax.Array,
     return h
 
 
+def features(params: Params, x: jax.Array) -> jax.Array:
+    """DECODER-facing features: encode() then ≥0.5-binarize, STOP-GRADIENT
+    (DBN only; pass-through encoders return x unchanged).
+
+    Two deliberate choices, both fixing measured r4 defects:
+
+    * BINARY (not mean-field probabilities): the decoders MODEL these
+      features as their visible data and generation SAMPLES binary latents
+      from them — training on soft probabilities made generated latents
+      out-of-distribution for the decode stack (measured: a converged DBN
+      feedback RNN-NADE generated pianoroll density 0.98 vs corpus ~0.01).
+    * FROZEN (no gradient; the encoder is trained by greedy layer-wise CD
+      pre-training only — the classic DBN recipe and the reference's
+      module-wise staging, SURVEY C10/C13 'encoders first, then decoders'):
+      letting the decoder NLL fine-tune the encoder collapses the latent
+      channel — the encoder minimizes the decoder's loss by making latents
+      CONSTANT (measured twice: 40 joint epochs drove every latent to 1.0,
+      latent std 0.0, NADE NLL 0.04/frame, even from a well-pretrained
+      init). Gradients stop here so the channel keeps the information CD
+      put into it."""
+    if not params:
+        return x
+    h = encode(params, x)
+    return jax.lax.stop_gradient((h >= 0.5).astype(h.dtype))
+
+
 def decode(params: Params, h: jax.Array) -> jax.Array:
     """Downward pass to pianoroll-space probabilities."""
     v = h

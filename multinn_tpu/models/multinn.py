@@ -153,12 +153,16 @@ def _tracks_first(x: jax.Array) -> jax.Array:
 
 
 def _encode_tracks(params: MultINNParams, x: jax.Array) -> jax.Array:
-    """x: (B, T, K, D) -> features, tracks-first (K, B, T, F)."""
+    """x: (B, T, K, D) -> DECODER-facing features, tracks-first (K, B, T, F).
+    DBN features are STE-BINARIZED (enc_mod.features): the decoders model
+    exactly the binary latent distribution generation samples — training on
+    mean-field probabilities made generated latents out-of-distribution
+    (r4 fix; rationale in encoders.features)."""
     cfg = params.cfg
     xk = _tracks_first(x)
     if cfg.shared_encoder:              # shared encoder broadcast over tracks
-        return enc_mod.encode(params.encoder, xk)
-    return jax.vmap(enc_mod.encode)(params.encoder, xk)
+        return enc_mod.features(params.encoder, xk)
+    return jax.vmap(enc_mod.features)(params.encoder, xk)
 
 
 def _flatten_latents(vs: jax.Array) -> jax.Array:
@@ -201,7 +205,7 @@ def loss(params: MultINNParams, key: jax.Array, x: jax.Array,
     dec = _dec(cfg)
     if cfg.mode == "joint":
         b, t, k, d = x.shape
-        feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
+        feats = enc_mod.features(params.encoder, x.reshape(b, t, k * d))
         return dec.loss(params.decoder, key, feats, detailed=detailed,
                         frame_mask=frame_mask, seq=seq)
 
@@ -236,7 +240,7 @@ def log_likelihood(params: MultINNParams, key: jax.Array,
     dec = _dec(cfg)
     if cfg.mode == "joint":
         b, t, k, d = x.shape
-        feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
+        feats = enc_mod.features(params.encoder, x.reshape(b, t, k * d))
         return dec.log_likelihood_proxy(params.decoder, key, feats,
                                         frame_mask=frame_mask, seq=seq)
     feats_k = _encode_tracks(params, x)
@@ -272,7 +276,7 @@ def conditional_logits(params: MultINNParams, x: jax.Array, seq=None):
     from multinn_tpu.models import rnn_nade
     if cfg.mode == "joint":
         b, t, k, d = x.shape
-        feats = enc_mod.encode(params.encoder, x.reshape(b, t, k * d))
+        feats = enc_mod.features(params.encoder, x.reshape(b, t, k * d))
         logits = rnn_nade.conditional_logits(params.decoder, feats, seq=seq)
         return logits[None], jnp.swapaxes(feats, 0, 1)[None]
     feats_k = _encode_tracks(params, x)                  # (K, B, T, F)
@@ -307,7 +311,7 @@ def prime(params: MultINNParams, state: MultINNState,
     dec = _dec(cfg)
     if cfg.mode == "joint":
         b, t, k, d = seed.shape
-        feats = enc_mod.encode(params.encoder, seed.reshape(b, t, k * d))
+        feats = enc_mod.features(params.encoder, seed.reshape(b, t, k * d))
         return MultINNState(
             decoder=dec.prime(params.decoder, state.decoder, feats), ctx=None)
     feats_k = _encode_tracks(params, seed)               # (K, B, T, F)
@@ -324,6 +328,18 @@ def prime(params: MultINNParams, state: MultINNState,
     return MultINNState(decoder=states, ctx=None)
 
 
+def _decode_sample(encoder, key: jax.Array, lat: jax.Array) -> jax.Array:
+    """Latent -> binary pianoroll by SAMPLING the DBN decode conditional
+    p(v | h) — the RBM's generative downward direction. Thresholding the
+    probabilities at 0.5 is NOT equivalent for sparse music: CD training
+    matches the decode probabilities' MEAN to the data marginal, so at
+    density ~0.01 the per-pitch probabilities sit far below 0.5 and a
+    threshold emits silence (measured r4: density 0.0); sampling realizes
+    the marginal exactly."""
+    from multinn_tpu.ops import sampling
+    return sampling.bernoulli(key, enc_mod.decode(encoder, lat))
+
+
 def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
                 k: Optional[int] = None) -> Tuple[MultINNState, jax.Array]:
     """One generation step over all tracks -> (state, frame (B, K, D) binary
@@ -332,13 +348,16 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
     cfg = params.cfg
     dec = _dec(cfg)
     if cfg.mode == "joint":
+        key, kd = jax.random.split(key)
         st, v = dec.sample_step(params.decoder, key, state.decoder, k=k)
-        roll = enc_mod.decode(params.encoder, v)
         if cfg.encoder_hidden:
-            roll = (roll >= 0.5).astype(v.dtype)
+            roll = _decode_sample(params.encoder, kd, v)
+        else:
+            roll = v
         frame = roll.reshape(roll.shape[0], cfg.n_tracks, cfg.n_pitches)
         return MultINNState(decoder=st, ctx=None), frame
 
+    key, kd = jax.random.split(key)
     keys = jax.random.split(key, cfg.n_tracks)
     if cfg.mode == "feedback":
         states, vs = jax.vmap(
@@ -346,18 +365,20 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
         )(params.decoder, keys, state.decoder)           # vs: (K, B, F)
         new_state = MultINNState(decoder=states,
                                  ctx=_flatten_latents(vs))
-        rolls = enc_mod.decode(params.encoder, vs)       # shared decode
     else:
         states, vs = jax.vmap(
             lambda p, kk, st: dec.sample_step(p, kk, st, k=k)
         )(params.decoder, keys, state.decoder)
         new_state = MultINNState(decoder=states, ctx=None)
-        if cfg.shared_encoder:          # hybrid: one decode, broadcast over K
-            rolls = enc_mod.decode(params.encoder, vs)
-        else:
-            rolls = jax.vmap(enc_mod.decode)(params.encoder, vs)
-    if cfg.encoder_hidden:
-        rolls = (rolls >= 0.5).astype(vs.dtype)          # decode -> binary
+    if not cfg.encoder_hidden:
+        return new_state, jnp.moveaxis(vs, 0, 1)         # (B, K, D)
+    if cfg.shared_encoder:              # feedback/hybrid: one decode
+        rolls = _decode_sample(params.encoder, kd, vs)
+    else:                               # per-track encoders under vmap
+        kds = jax.random.split(kd, cfg.n_tracks)
+        rolls = jax.vmap(
+            lambda p, kk, v: _decode_sample(p, kk, v)
+        )(params.encoder, kds, vs)
     return new_state, jnp.moveaxis(rolls, 0, 1)          # (B, K, D)
 
 
@@ -445,11 +466,13 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
                        for l in range(n_layers)),
             v_prev=v_last[0])
         if cfg.encoder_hidden:
-            # the kernel generated LATENT frames; decode the whole roll to
-            # pianoroll space in one batched XLA pass (scan-path parity:
-            # sample_step's decode + >=0.5 binarization)
-            roll = (enc_mod.decode(params.encoder, roll[:, :, 0])
-                    >= 0.5).astype(roll.dtype)[:, :, None]
+            # the kernel generated LATENT frames; SAMPLE the decode
+            # conditional over the whole roll in one batched XLA pass
+            # (scan-path parity: sample_step's _decode_sample); the fold_in
+            # stream is independent of the kernel's key_to_seeds stream
+            roll = _decode_sample(params.encoder,
+                                  jax.random.fold_in(key, 0x5eed),
+                                  roll[:, :, 0])[:, :, None]
         roll = roll.reshape(b, n_steps, cfg.n_tracks, cfg.n_pitches)
         return MultINNState(decoder=new_dec, ctx=None), roll
     new_dec = state_cls(
@@ -458,13 +481,16 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
         v_prev=v_last)
     ctx = (_flatten_latents(v_last) if cfg.mode == "feedback" else None)
     if cfg.encoder_hidden:
-        # latent roll -> pianoroll: shared encoder decodes all tracks in one
-        # pass (feedback/hybrid); per-track encoders decode under vmap —
-        # exactly sample_step's decode + binarize, amortized over all T
+        # latent roll -> pianoroll: SAMPLE the decode conditional, shared
+        # encoder in one pass (feedback/hybrid) or per-track under vmap —
+        # exactly sample_step's _decode_sample, amortized over all T
         lat_k = jnp.moveaxis(roll, 2, 0)                 # (K, B, T, F)
+        kd = jax.random.fold_in(key, 0x5eed)
         if cfg.shared_encoder:
-            probs = enc_mod.decode(params.encoder, lat_k)
+            out = _decode_sample(params.encoder, kd, lat_k)
         else:
-            probs = jax.vmap(enc_mod.decode)(params.encoder, lat_k)
-        roll = jnp.moveaxis((probs >= 0.5).astype(roll.dtype), 0, 2)
+            out = jax.vmap(
+                lambda p, kk, v: _decode_sample(p, kk, v)
+            )(params.encoder, jax.random.split(kd, cfg.n_tracks), lat_k)
+        roll = jnp.moveaxis(out, 0, 2)
     return MultINNState(decoder=new_dec, ctx=ctx), roll

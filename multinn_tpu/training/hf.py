@@ -27,10 +27,10 @@ TPU-first: the whole macro-step (CG loop included) is ONE jitted program —
 ``lax.fori_loop`` over CG iterations, each iteration a jvp+vjp pair
 through the same XLA graph as the loss (no per-iteration dispatches). The
 gradient/losses/acceptance use the TRUE production objective
-(multinn.loss — exact, including the DBN-encoder target path); only the
-CURVATURE is the GGN of the logit map, which ignores curvature through
-DBN-encoder targets (the standard Gauss-Newton approximation). The step
-pins the f32 matmul policy (see hf_step).
+(multinn.loss — exact; DBN-encoder features are frozen binary targets by
+the encoders.features contract, identically on both sides); the CURVATURE
+is the GGN of the logit map (the standard Gauss-Newton approximation).
+The step pins the f32 matmul policy (see hf_step).
 
 Scope: rnn-nade decoders (any mode). CD-trained RBMs have no objective to
 second-order optimize (the CD update is not a gradient field).

@@ -433,7 +433,19 @@ class Trainer:
         untouched. No-op for pass-through encoders."""
         cfg = self.cfg
         n_layers = len(cfg.model.encoder_hidden)
-        if n_layers == 0 or cfg.train.pretrain_encoder_epochs == 0:
+        if n_layers == 0:
+            return
+        if cfg.train.pretrain_encoder_epochs == 0:
+            # DBN encoders are FROZEN during joint training (decoder-facing
+            # features are stop-gradient — models/encoders.features: joint
+            # fine-tuning measurably collapses the latent channel), so CD
+            # pre-training is their ONLY training. Zero epochs = random
+            # frozen features; almost certainly a config mistake.
+            self.log.warning(
+                "DBN encoder (%s) with pretrain_encoder_epochs=0: the "
+                "encoder is frozen during joint training, so it will stay "
+                "at its RANDOM INIT — set train.pretrain_encoder_epochs>0",
+                cfg.model.encoder_hidden)
             return
         shared = cfg.model.mode in ("feedback", "joint", "hybrid")
         opt = optax.adam(cfg.train.pretrain_lr)

@@ -208,8 +208,10 @@ def test_hf_with_dbn_pretraining_and_bf16_policy(tmp_path):
 
 
 def test_hf_gradient_is_true_loss_gradient_with_dbn_encoder():
-    """The HF right-hand side must equal grad of the production loss —
-    including the encoder-target path a stop_gradient would drop."""
+    """The HF right-hand side must equal grad of the production loss with a
+    DBN encoder in the loop — both sides must treat the (frozen, binary —
+    encoders.features) latent targets identically; a mismatch (one side
+    differentiating through features the other freezes) would diverge."""
     cfg = multinn.MultINNConfig(n_tracks=2, n_pitches=10, mode="per-track",
                                 decoder_type="rnn-nade",
                                 encoder_hidden=(6,), n_hidden=8, n_rnn=6,
