@@ -38,10 +38,12 @@ from multinn_tpu.ops import gibbs as gibbs_ops
 class EncoderConfig:
     """hidden_sizes=() means pass-through (identity).
 
-    DBN features are mean-field PROBABILITIES (deterministic σ upward pass) —
-    the decoders accept [0,1]-valued visibles (free energy / NADE likelihood
-    are well-defined on them). Stochastic binarization is available by
-    passing a key to ``encode`` but is not part of the training path."""
+    ``encode`` returns mean-field PROBABILITIES (deterministic σ upward
+    pass); DECODER-facing features go through ``features`` instead, which
+    binarizes and freezes them — the contract every training/eval/priming
+    path uses (see features() for the measured rationale). Pianoroll
+    outputs SAMPLE the decode conditional at generation (multinn
+    _decode_sample)."""
 
     n_in: int
     hidden_sizes: Tuple[int, ...] = ()

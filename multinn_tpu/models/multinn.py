@@ -154,10 +154,12 @@ def _tracks_first(x: jax.Array) -> jax.Array:
 
 def _encode_tracks(params: MultINNParams, x: jax.Array) -> jax.Array:
     """x: (B, T, K, D) -> DECODER-facing features, tracks-first (K, B, T, F).
-    DBN features are STE-BINARIZED (enc_mod.features): the decoders model
-    exactly the binary latent distribution generation samples — training on
-    mean-field probabilities made generated latents out-of-distribution
-    (r4 fix; rationale in encoders.features)."""
+    DBN features are BINARY and FROZEN (enc_mod.features, stop-gradient):
+    the decoders model exactly the binary latent distribution generation
+    samples, and the encoder trains only by greedy CD pre-training —
+    soft features were out-of-distribution at generation and joint
+    fine-tuning collapsed the channel (r4 fix; rationale in
+    encoders.features)."""
     cfg = params.cfg
     xk = _tracks_first(x)
     if cfg.shared_encoder:              # shared encoder broadcast over tracks

@@ -115,8 +115,9 @@ def hf_step(params, state: HFState, x: jax.Array, key: jax.Array,
     Returns (new_params, new_state, metrics).
 
     The gradient g, the losses and the acceptance test all use the TRUE
-    production objective (multinn.loss — for DBN encoders that includes the
-    d(targets)/d(encoder) path); only the CURVATURE matrix is the GGN of
+    production objective (multinn.loss; DBN-encoder features are frozen
+    binary targets — encoders.features — so their d/d(encoder) path is
+    zero on BOTH sides, identically); the CURVATURE matrix is the GGN of
     the logit map (the standard Gauss-Newton approximation).
 
     ``axes`` (mesh axis names) makes the step valid INSIDE a shard_map body

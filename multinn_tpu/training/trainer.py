@@ -59,7 +59,7 @@ def make_schedule(cfg, steps_per_epoch: int = 0):
     raise ValueError(f"unknown lr_schedule '{cfg.lr_schedule}'")
 
 
-def make_optimizer(cfg, steps_per_epoch: int = 0
+def make_optimizer(cfg, steps_per_epoch: int = 0, freeze_encoder: bool = False
                    ) -> optax.GradientTransformation:
     chain = []
     if cfg.grad_clip and cfg.grad_clip > 0:
@@ -74,7 +74,22 @@ def make_optimizer(cfg, steps_per_epoch: int = 0
         chain.append(optax.sgd(lr, momentum=0.9))
     else:
         raise ValueError(f"unknown optimizer '{cfg.optimizer}'")
-    return optax.chain(*chain)
+    opt = optax.chain(*chain)
+    if freeze_encoder:
+        # DBN encoders are frozen during joint training (decoder-facing
+        # features are stop-gradient — models/encoders.features). Gradients
+        # are already exactly zero, but GRADIENT-INDEPENDENT update terms
+        # would still move the weights — adamw's decoupled weight decay
+        # shrinks them toward 0, driving every latent toward σ(0)=0.5 and
+        # silently re-degrading the latent channel (round-4 review,
+        # verified: zero grad, 6e-6/step update). Mask the encoder subtree
+        # out of the optimizer entirely.
+        opt = optax.masked(
+            opt,
+            lambda params: params.replace(
+                encoder=jax.tree.map(lambda _: False, params.encoder),
+                decoder=jax.tree.map(lambda _: True, params.decoder)))
+    return opt
 
 
 class Trainer:
@@ -133,7 +148,8 @@ class Trainer:
                                                cfg.train.hf_lambda0)
         else:
             self.optimizer = make_optimizer(
-                cfg.train, steps_per_epoch=self.dataset.n_batches("train"))
+                cfg.train, steps_per_epoch=self.dataset.n_batches("train"),
+                freeze_encoder=bool(cfg.model.encoder_hidden))
             # init AFTER placement: optax state inherits param shardings
             self.opt_state = self.optimizer.init(self.params)
 
@@ -443,8 +459,10 @@ class Trainer:
             # frozen features; almost certainly a config mistake.
             self.log.warning(
                 "DBN encoder (%s) with pretrain_encoder_epochs=0: the "
-                "encoder is frozen during joint training, so it will stay "
-                "at its RANDOM INIT — set train.pretrain_encoder_epochs>0",
+                "encoder is FROZEN during joint training, so it keeps "
+                "whatever weights it was constructed/restored with — "
+                "random init unless pre-trained externally; set "
+                "train.pretrain_encoder_epochs>0 unless that is deliberate",
                 cfg.model.encoder_hidden)
             return
         shared = cfg.model.mode in ("feedback", "joint", "hybrid")

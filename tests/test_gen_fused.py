@@ -532,8 +532,9 @@ def test_dbn_encoder_fused_matches_scan_distribution(mode, dec_type):
     """DBN encoders run fused too: the kernel generates LATENT frames
     (decoder dims = feature_dim, feedback ctx = latents) and the dispatch
     decodes the latent roll to pianoroll in one XLA pass (scan-path
-    sample_step parity: decode + >=0.5 binarize). State stays in latent
-    space — a fused continuation must keep working from it."""
+    sample_step parity: SAMPLING the decode conditional p(v|h) —
+    multinn._decode_sample). State stays in latent space — a fused
+    continuation must keep working from it."""
     cfg = MultINNConfig(n_tracks=K, n_pitches=D, mode=mode,
                         decoder_type=dec_type, encoder_hidden=(8,),
                         n_hidden=H, n_rnn=U, cd_k=1, gen_k=3, w_std=0.4)
