@@ -575,3 +575,31 @@ def test_init_distributed_single_process_smoke():
                        text=True, timeout=240, env=env,
                        cwd=os.path.dirname(os.path.dirname(__file__)))
     assert "DIST_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_dbn_masked_optimizer_gspmd_matches_single_device(tmp_path):
+    """DBN configs use an optax.masked optimizer (the frozen encoder is
+    excluded from updates — r4): the masked state must place correctly on a
+    GSPMD dp x track mesh and the step must equal single-device, with the
+    encoder bit-unchanged on both."""
+    def dbn_cfg(mesh, name):
+        cfg = exp_cfg(tmp_path, mesh, name=name, mode="feedback")
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, encoder_hidden=(6,)),
+            train=dataclasses.replace(cfg.train, weight_decay=0.01))
+    t_single = Trainer(dbn_cfg(MeshConfig(use_mesh=False), "dbn_s"))
+    t_mesh = Trainer(dbn_cfg(
+        MeshConfig(use_mesh=True, track=2, style="gspmd"), "dbn_m"))
+    enc0 = [np.asarray(a).copy()
+            for a in jax.tree.leaves(jax.device_get(t_single.params.encoder))]
+    new_s, met_s = _one_step(t_single)
+    new_m, met_m = _one_step(t_mesh)
+    np.testing.assert_allclose(float(met_s["loss"]), float(met_m["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_s), jax.tree.leaves(new_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(enc0, jax.tree.leaves(new_s.encoder)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    t_single.close()
+    t_mesh.close()
