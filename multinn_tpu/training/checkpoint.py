@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -74,19 +75,57 @@ class Checkpointer:
             restored = self._mngr.restore(
                 step, args=ocp.args.StandardRestore(template))
         except Exception:
+            import logging
+            log = logging.getLogger("multinn")
             stored = set(self._mngr.item_metadata(step).tree.keys())
             missing = sorted(set(template) - stored)
-            if not missing:
+            if missing:
+                log.warning(
+                    "checkpoint @ step %d predates state keys %s; restoring "
+                    "the stored subset (missing keys keep template defaults)",
+                    step, missing)
+                pruned = {k: v for k, v in template.items() if k in stored}
+                restored = dict(template)
+                restored.update(self._mngr.restore(
+                    step, args=ocp.args.StandardRestore(pruned)))
+                return restored, step
+            # Optimizer-STATE structure changes across versions (e.g. the r4
+            # multi_transform encoder freeze rewrapped opt_state) must not
+            # brick the artifact: params/step/rng restore fine on their own,
+            # which is ALL the generator/evaluator need, and the trainer
+            # re-initializes a fresh optimizer state (losing only Adam
+            # moments). Without this, every pre-change DBN checkpoint became
+            # unloadable even read-only (round-4 review).
+            if "opt_state" not in template:
                 raise
-            import logging
-            logging.getLogger("multinn").warning(
-                "checkpoint @ step %d predates state keys %s; restoring "
-                "the stored subset (missing keys keep template defaults)",
-                step, missing)
-            pruned = {k: v for k, v in template.items() if k in stored}
+            # orbax requires the restore template to cover every STORED key,
+            # so the incompatible opt_state is restored into a throwaway
+            # skeleton built from the checkpoint's own metadata (its true
+            # stored structure), then discarded.
+            try:
+                meta = self._mngr.item_metadata(step).tree
+                skeleton = jax.tree.map(
+                    lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+                    meta["opt_state"])
+                pruned = {k: (skeleton if k == "opt_state" else v)
+                          for k, v in template.items()}
+                partial = self._mngr.restore(
+                    step, args=ocp.args.StandardRestore(pruned))
+                partial.pop("opt_state", None)
+            except Exception:
+                raise RuntimeError(
+                    f"checkpoint @ step {step} does not match the current "
+                    "state structure even without opt_state") from None
+            log.warning(
+                "checkpoint @ step %d has an incompatible opt_state "
+                "structure (optimizer changed across versions); restored "
+                "everything else — training resume will re-initialize the "
+                "optimizer state (losing moments), eval/generation are "
+                "unaffected", step)
             restored = dict(template)
-            restored.update(self._mngr.restore(
-                step, args=ocp.args.StandardRestore(pruned)))
+            restored.update(partial)
+            restored["__opt_state_reset__"] = True
+            return restored, step
         return restored, step
 
     def close(self) -> None:

@@ -82,13 +82,16 @@ def make_optimizer(cfg, steps_per_epoch: int = 0, freeze_encoder: bool = False
         # would still move the weights — adamw's decoupled weight decay
         # shrinks them toward 0, driving every latent toward σ(0)=0.5 and
         # silently re-degrading the latent channel (round-4 review,
-        # verified: zero grad, 6e-6/step update). Mask the encoder subtree
-        # out of the optimizer entirely.
-        opt = optax.masked(
-            opt,
+        # verified: zero grad, 6e-6/step update). multi_transform +
+        # set_to_zero makes frozen mean FROZEN unconditionally (optax.masked
+        # would pass a masked subtree's incoming updates through RAW — a
+        # future encoder-touching loss term would silently gradient-ascend
+        # the "frozen" weights).
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()},
             lambda params: params.replace(
-                encoder=jax.tree.map(lambda _: False, params.encoder),
-                decoder=jax.tree.map(lambda _: True, params.decoder)))
+                encoder=jax.tree.map(lambda _: "freeze", params.encoder),
+                decoder=jax.tree.map(lambda _: "train", params.decoder)))
     return opt
 
 
@@ -540,6 +543,12 @@ class Trainer:
         template = dict(self._state_dict(), epoch_step0=-1)
         state, at = self.ckpt.restore(template, step=step)
         self.params = state["params"]
+        if state.pop("__opt_state_reset__", False):
+            # cross-version opt_state structure change (checkpoint.py):
+            # re-initialize fresh against the restored params
+            self.opt_state = (self.opt_state if self.optimizer is None
+                              else self.optimizer.init(self.params))
+            state["opt_state"] = self.opt_state
         self.opt_state = state["opt_state"]
         self.rng = jnp.asarray(state["rng"])
         self.step = int(state["step"])

@@ -385,10 +385,6 @@ def test_frozen_dbn_encoder_immune_to_weight_decay(tmp_path):
     pretrained weights every step (round-4 review, verified 6e-6/step).
     The optimizer masks the encoder subtree out entirely — after training,
     encoder params must be BIT-IDENTICAL to their post-pretraining values."""
-    from multinn_tpu.training.trainer import Trainer
-    from multinn_tpu.utils import config as cfg_mod
-    from multinn_tpu.data.datasets import DataConfig
-    from multinn_tpu.models.multinn import MultINNConfig
     cfg = cfg_mod.ExperimentConfig(
         name="wdfreeze",
         data=DataConfig.from_preset("synthetic", n_tracks=2, pitch_min=40,
@@ -415,3 +411,46 @@ def test_frozen_dbn_encoder_immune_to_weight_decay(tmp_path):
     dec_after = jax.tree.leaves(jax.device_get(tr.params.decoder))[0]
     assert np.abs(np.asarray(dec_after) - np.asarray(dec_before)).max() > 0
     tr.close()
+
+
+def test_cross_version_opt_state_restore(tmp_path, monkeypatch):
+    """A checkpoint whose opt_state structure predates an optimizer change
+    (e.g. the r4 multi_transform encoder freeze) must still restore: params
+    and counters load, the trainer re-initializes fresh optimizer state
+    with a warning — the artifact is never bricked (round-4 review)."""
+    from multinn_tpu.training import trainer as trainer_mod
+    cfg = cfg_mod.ExperimentConfig(
+        name="xver",
+        data=DataConfig.from_preset("synthetic", n_tracks=2, pitch_min=40,
+                                    pitch_max=63, window=8, batch_size=4,
+                                    synthetic_songs=6, synthetic_steps=32),
+        model=MultINNConfig(n_tracks=2, n_pitches=24, mode="feedback",
+                            decoder_type="rnn-nade", encoder_hidden=(6,),
+                            n_hidden=8, n_rnn=6),
+        train=cfg_mod.TrainConfig(epochs=1, pretrain_encoder_epochs=1,
+                                  ckpt_every_steps=0,
+                                  run_dir=str(tmp_path / "xver")),
+    ).validate()
+    # simulate the PRE-change version: an unmasked optimizer's opt_state
+    real_make = trainer_mod.make_optimizer
+    monkeypatch.setattr(
+        trainer_mod, "make_optimizer",
+        lambda c, steps_per_epoch=0, freeze_encoder=False:
+            real_make(c, steps_per_epoch, freeze_encoder=False))
+    t_old = trainer_mod.Trainer(cfg)
+    t_old.train()
+    t_old.step = max(t_old.step, 1)
+    t_old.save_checkpoint()
+    t_old.ckpt.wait()
+    params_old = jax.device_get(t_old.params)
+    t_old.close()
+    monkeypatch.setattr(trainer_mod, "make_optimizer", real_make)
+    # current version: masked optimizer -> different opt_state structure
+    t_new = trainer_mod.Trainer(cfg)
+    assert t_new.maybe_resume()
+    for a, b in zip(jax.tree.leaves(params_old),
+                    jax.tree.leaves(jax.device_get(t_new.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and training continues from the re-initialized optimizer state
+    t_new.train_epoch()
+    t_new.close()
