@@ -18,6 +18,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batches", type=int, nargs="*", default=[16, 64, 256])
+    ap.add_argument("--hidden", type=int, default=150)
     args = ap.parse_args()
 
     import jax
@@ -31,7 +32,8 @@ def main():
 
     enable_compilation_cache()
     cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
-                        decoder_type="rnn-nade", n_hidden=150, n_rnn=100)
+                        decoder_type="rnn-nade", n_hidden=args.hidden,
+                        n_rnn=100)
     params = multinn.init(jax.random.PRNGKey(0), cfg)
     opt = optax.adam(1e-3)
     T = 64
