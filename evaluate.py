@@ -61,7 +61,7 @@ def main(argv=None) -> int:
     trainer.restore(step=step)
 
     report = {"run": cfg.train.run_dir, "step": trainer.step,
-              "split": args.split}
+              "split": args.split, "encoding": cfg.data.encoding}
     report["frame"] = {k: float(v) for k, v in
                        trainer.evaluate(args.split).items()}
 
@@ -79,6 +79,9 @@ def main(argv=None) -> int:
             "test_ll_per_frame_2012": anchor,
             "measured_ll_per_frame": report["frame"].get("ll_per_frame"),
             "measured_is_exact_ll": cfg.model.decoder_type == "rnn-nade",
+            # onset/hold LL is over the 2D-channel representation — a
+            # different sample space than the anchors' frame rolls
+            "comparable_representation": cfg.data.encoding == "frame",
             "synthetic_stand_in": "synth" in (cfg.data.path or "").lower(),
             "source": "arXiv:1206.6392 Table 1 (see PAPERS.md caveat)",
         }
@@ -91,9 +94,14 @@ def main(argv=None) -> int:
         seed = seed[:, :cfg.generate.seed_steps]
         rolls = gen.generate(jax.random.PRNGKey(cfg.train.seed + 99),
                              cfg.generate.n_steps, seed=seed)
+        # musical metrics run in FRAME space: generated rolls are finalized
+        # (encoding decode + opt-in post-processing); the corpus side is
+        # decoded only — post-processing never touches real data
+        rolls = gen.finalize(rolls)
+        corpus = dataset.decode(
+            dataset.windows["train"][:max(args.n_gen * 4, 32)])
         report["musical_generated"] = musical.evaluate_rolls(
             rolls, steps_per_bar, cfg.data.pitch_min, drum_track)
-        corpus = dataset.windows["train"][:max(args.n_gen * 4, 32)]
         report["musical_corpus"] = musical.evaluate_rolls(
             corpus, steps_per_bar, cfg.data.pitch_min, drum_track)
         report["musical_significance"] = musical.compare_rolls(

@@ -67,6 +67,18 @@ class DataConfig:
     seed: int = 0
     synthetic_songs: int = 64
     synthetic_steps: int = 256
+    # Frame representation the MODEL sees. "frame" = raw sounding-frames
+    # (the reference's representation); "onset_hold" = explicit
+    # onset+continuation channels per pitch (pianoroll.encode_onset_hold —
+    # doubles the per-track visible width to frame_dim, fixes the
+    # note-fragmentation quality limit; beyond the reference).
+    encoding: str = "frame"
+
+    def __post_init__(self):
+        if self.encoding not in ("frame", "onset_hold"):
+            raise ValueError(
+                f"data.encoding must be 'frame' or 'onset_hold', "
+                f"got {self.encoding!r}")
 
     @staticmethod
     def from_preset(dataset: str, **overrides) -> "DataConfig":
@@ -83,6 +95,12 @@ class DataConfig:
     @property
     def n_pitches(self) -> int:
         return self.pitch_max - self.pitch_min + 1
+
+    @property
+    def frame_dim(self) -> int:
+        """Per-track visible width the model sees (model.n_pitches):
+        n_pitches × encoding planes."""
+        return self.n_pitches * (2 if self.encoding == "onset_hold" else 1)
 
 
 # ---------------------------------------------------------------------------
@@ -270,13 +288,19 @@ class Dataset:
         def windows_of(rs: Sequence[np.ndarray], split: Optional[str] = None):
             ws, ms = [], []
             for r in rs:
+                if cfg.encoding == "onset_hold":
+                    # encode on the FULL roll (hold needs the true previous
+                    # frame), then window — first-frame holds at a window
+                    # boundary lose their cross-window note, same truncation
+                    # the stateless-BPTT windowing already applies (§5.7)
+                    r = pr.encode_onset_hold(r)
                 w, m = pr.chop_windows_masked(r, cfg.window)
                 if len(w):
                     ws.append(w)
                     ms.append(m)
             if not ws:
                 empty = np.zeros(
-                    (0, cfg.window, cfg.n_tracks, cfg.n_pitches), np.uint8)
+                    (0, cfg.window, cfg.n_tracks, cfg.frame_dim), np.uint8)
                 if split is not None:
                     self.masks[split] = np.zeros((0, cfg.window), np.uint8)
                 return empty
@@ -332,8 +356,17 @@ class Dataset:
         return self.cfg.n_pitches
 
     @property
+    def frame_dim(self) -> int:
+        return self.cfg.frame_dim
+
+    @property
     def n_tracks(self) -> int:
         return self.cfg.n_tracks
+
+    def decode(self, rolls: np.ndarray) -> np.ndarray:
+        """Model-space rolls (windows or generated) -> frame-space
+        pianorolls per cfg.encoding (no-op for 'frame')."""
+        return pr.decode_rolls(rolls, self.cfg.encoding)
 
     def n_batches(self, split: str = "train") -> int:
         return max(1, len(self.windows[split]) // self.cfg.batch_size)

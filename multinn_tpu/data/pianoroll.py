@@ -130,6 +130,119 @@ def roll_to_midi(roll: np.ndarray, spec: RollSpec,
     return mid
 
 
+# ---------------------------------------------------------------------------
+# onset/hold frame encoding (data.encoding="onset_hold")
+# ---------------------------------------------------------------------------
+# The reference models raw sounding-frames: each grid step's pitch activation
+# is (conditionally) Bernoulli-sampled at generation, so a sustained note
+# fragments whenever one frame's sample drops — the measured
+# qualified_note_ratio gap (BASELINE.md DBN rows: generated 0.03 vs corpus
+# ~0.2). The standard representation fix (pianoroll hold-plane, as in
+# Magenta/LakhNES-style encodings) makes note CONTINUATION an explicit
+# symbol: each pitch becomes two channels, onset (first sounding frame) and
+# hold (continuation frame). Decoding re-joins a note as an onset followed
+# by its maximal hold run; holds with no live note behind them are DROPPED,
+# so sampling noise in the hold channel can only end a note early — it can
+# never split one note into several or conjure 1-frame notes from stray
+# activations. Beyond the reference's design (it has no such option);
+# opt-in via data.encoding, default stays "frame".
+
+
+def encode_onset_hold(roll: np.ndarray) -> np.ndarray:
+    """(T, K, D) binary frame roll -> (T, K, 2D) uint8: [onset | hold].
+
+    onset_t = v_t AND NOT v_{t-1};  hold_t = v_t AND v_{t-1}  (v_{-1} = 0).
+    Exact inverse: decode_onset_hold(encode_onset_hold(r)) == r.
+    """
+    roll = np.asarray(roll).astype(np.uint8)
+    prev = np.zeros_like(roll)
+    prev[1:] = roll[:-1]
+    return np.concatenate([roll & ~prev & 1, roll & prev], axis=-1)
+
+
+def decode_onset_hold(oh: np.ndarray) -> np.ndarray:
+    """(..., T, K, 2D) onset/hold roll -> (..., T, K, D) frame roll.
+
+    f_t = onset_t OR (hold_t AND f_{t-1}); orphan holds (no sounding frame
+    at t-1) decode to silence — the cleaning property the encoding buys.
+    Host numpy; the time recurrence is a T-step loop of whole-array ops.
+    """
+    oh = np.asarray(oh)
+    d2 = oh.shape[-1]
+    if d2 % 2:
+        raise ValueError(f"onset/hold roll last dim {d2} is odd")
+    d = d2 // 2
+    onset, hold = oh[..., :d], oh[..., d:]
+    out = np.zeros(onset.shape, np.uint8)
+    t_axis = oh.ndim - 3                      # (..., T, K, 2D)
+    prev = np.zeros(onset.shape[:t_axis] + onset.shape[t_axis + 1:],
+                    np.uint8)
+    idx = [slice(None)] * onset.ndim
+    for t in range(oh.shape[t_axis]):
+        idx[t_axis] = t
+        frame = (onset[tuple(idx)] | (hold[tuple(idx)] & prev)).astype(
+            np.uint8)
+        out[tuple(idx)] = frame
+        prev = frame
+    return out
+
+
+def decode_rolls(rolls: np.ndarray, encoding: str) -> np.ndarray:
+    """Model-space rolls -> frame-space pianorolls per ``data.encoding``."""
+    if encoding == "frame":
+        return np.asarray(rolls)
+    if encoding == "onset_hold":
+        return decode_onset_hold(rolls)
+    raise ValueError(f"unknown encoding '{encoding}'")
+
+
+def postprocess_roll(roll: np.ndarray, gap_fill_steps: int = 0,
+                     min_note_steps: int = 0) -> np.ndarray:
+    """Opt-in generation clean-up on a FRAME roll (..., T, K, D) — the
+    MuseGAN-style binarization post-processing family [P:1804.09399]:
+    ``gap_fill_steps`` closes silent gaps of <= that many steps inside a
+    note (re-joining sample-fragmented sustains), then ``min_note_steps``
+    drops notes shorter than that many steps. Off (0) by default — these
+    change the sample distribution and are generation knobs, not model
+    claims; evaluation applies them only to generated rolls, never to the
+    corpus side."""
+    roll = np.asarray(roll).astype(np.uint8)
+    t_axis = roll.ndim - 3
+    t_len = roll.shape[t_axis]
+    moved = np.moveaxis(roll, t_axis, 0)      # (T, ...)
+    if gap_fill_steps > 0:
+        # a gap of g steps at t..t+g-1 is filled iff some note is on at t-1
+        # and on again at t+g with all-off between, g <= gap_fill_steps
+        flat = moved.reshape(t_len, -1)
+        out = flat.copy()
+        for c in range(flat.shape[1]):
+            col = flat[:, c]
+            on = np.flatnonzero(col)
+            if len(on) < 2:
+                continue
+            gaps = np.diff(on)                # gap g means diff == g+1
+            for i in np.flatnonzero((gaps > 1)
+                                    & (gaps <= gap_fill_steps + 1)):
+                out[on[i] + 1:on[i + 1], c] = 1
+        moved = out.reshape(moved.shape)
+    if min_note_steps > 1:
+        flat = moved.reshape(t_len, -1)
+        padded = np.concatenate(
+            [np.zeros((1, flat.shape[1]), np.int8),
+             flat.astype(np.int8),
+             np.zeros((1, flat.shape[1]), np.int8)])
+        diff = np.diff(padded, axis=0)
+        out = flat.copy()
+        for c in range(flat.shape[1]):
+            starts = np.flatnonzero(diff[:, c] == 1)
+            ends = np.flatnonzero(diff[:, c] == -1)
+            for s, e in zip(starts, ends):
+                if e - s < min_note_steps:
+                    out[s:e, c] = 0
+        moved = out.reshape(moved.shape)
+    return np.moveaxis(moved, 0, t_axis).astype(np.uint8)
+
+
 def chop_windows_masked(roll: np.ndarray, window: int,
                         hop: Optional[int] = None):
     """Like chop_windows(pad=True) but also returns the validity mask

@@ -135,9 +135,25 @@ class Generator:
         roll = self._generate_impl(key, seed_dev, n_steps, batch)
         return np.asarray(jax.device_get(roll)).astype(np.uint8)
 
+    def finalize(self, rolls: np.ndarray) -> np.ndarray:
+        """Model-space rolls -> user-facing FRAME pianorolls: decode the
+        data encoding (onset/hold -> sounding frames, no-op for 'frame'),
+        then the opt-in generate.{gap_fill_steps,min_note_steps}
+        post-processing. Everything user-facing (MIDI, PNGs, the saved
+        .npz, musical metrics) consumes finalized rolls; raw model-space
+        rolls stay available via generate()."""
+        rolls = pr.decode_rolls(rolls, self.cfg.data.encoding)
+        gcfg = self.cfg.generate
+        gap = getattr(gcfg, "gap_fill_steps", 0)
+        min_steps = getattr(gcfg, "min_note_steps", 0)
+        if gap or min_steps:
+            rolls = pr.postprocess_roll(rolls, gap, min_steps)
+        return rolls
+
     def to_midi(self, roll: np.ndarray, path: str,
                 bpm: float = 120.0) -> None:
-        """Write one generated pianoroll (T, K, D) as a .mid file."""
+        """Write one FRAME pianoroll (T, K, D) as a .mid file (finalize()
+        model-space rolls first when data.encoding != 'frame')."""
         spec = self.cfg.data.spec()
         mid = pr.roll_to_midi(roll, spec, bpm=bpm)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -149,9 +165,11 @@ class Generator:
                           seed: Optional[np.ndarray] = None,
                           bpm: float = 120.0,
                           write_images: bool = True) -> Tuple[np.ndarray, list]:
+        """Returns (finalized frame rolls, written MIDI paths)."""
         rolls = self.generate(key, n_steps, seed=seed,
                               batch=(seed.shape[0] if seed is not None
                                      else n_samples))
+        rolls = self.finalize(rolls)
         os.makedirs(out_dir, exist_ok=True)
         paths = []
         for i in range(min(n_samples, rolls.shape[0])):

@@ -57,6 +57,12 @@ class GenerateConfig:
     gibbs_k: int = 0                   # 0 = use model cfg gen_k
     bpm: float = 120.0
     out_dir: str = "samples"
+    # opt-in frame-roll clean-up (pianoroll.postprocess_roll): close silent
+    # gaps <= gap_fill_steps inside a note, then drop notes shorter than
+    # min_note_steps. Generation knobs (MuseGAN-style post-processing);
+    # applied to GENERATED rolls only, never the corpus side of eval
+    gap_fill_steps: int = 0
+    min_note_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,10 +80,13 @@ class ExperimentConfig:
             raise ValueError(
                 f"model.n_tracks={self.model.n_tracks} != "
                 f"data.n_tracks={self.data.n_tracks}")
-        if self.model.n_pitches != self.data.n_pitches:
+        if self.model.n_pitches != self.data.frame_dim:
+            hint = (" (data.encoding=onset_hold doubles the visible width: "
+                    f"set model.n_pitches={self.data.frame_dim})"
+                    if self.data.encoding != "frame" else "")
             raise ValueError(
-                f"model.n_pitches={self.model.n_pitches} != data pitch range "
-                f"{self.data.n_pitches}")
+                f"model.n_pitches={self.model.n_pitches} != data frame dim "
+                f"{self.data.frame_dim}{hint}")
         if self.mesh.use_mesh and self.mesh.track > 1:
             if self.mesh.style != "gspmd":
                 raise ValueError("track sharding requires mesh.style=gspmd")

@@ -330,3 +330,144 @@ def test_python_fuzz_raises_only_midiparseerror():
             midi.loads(bytes(blob))
         except midi.MidiParseError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# onset/hold encoding (data.encoding="onset_hold") + generation post-processing
+# ---------------------------------------------------------------------------
+
+def test_onset_hold_roundtrip():
+    """decode(encode(r)) == r exactly, on random and structured rolls."""
+    rng = np.random.default_rng(3)
+    rand = (rng.random((40, 3, 12)) < 0.3).astype(np.uint8)
+    np.testing.assert_array_equal(
+        pr.decode_onset_hold(pr.encode_onset_hold(rand)), rand)
+
+    from multinn_tpu.data.datasets import synthetic_corpus
+    cfg = DataConfig(dataset="synthetic", n_tracks=5, synthetic_songs=1,
+                     synthetic_steps=96)
+    song = synthetic_corpus(cfg)[0]
+    oh = pr.encode_onset_hold(song)
+    assert oh.shape == song.shape[:-1] + (2 * song.shape[-1],)
+    np.testing.assert_array_equal(pr.decode_onset_hold(oh), song)
+    # onset and hold planes are disjoint and union to the frame roll
+    d = song.shape[-1]
+    assert not np.any(oh[..., :d] & oh[..., d:])
+    np.testing.assert_array_equal(oh[..., :d] | oh[..., d:], song)
+
+
+def test_onset_hold_decode_batched_matches_single():
+    rng = np.random.default_rng(4)
+    batch = (rng.random((3, 20, 2, 8)) < 0.4).astype(np.uint8)
+    enc = np.stack([pr.encode_onset_hold(b) for b in batch])
+    dec = pr.decode_onset_hold(enc)               # batched (N, T, K, 2D)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], batch[i])
+
+
+def test_onset_hold_decode_cleaning_semantics():
+    """Orphan holds (no live note behind them) decode to silence; a missing
+    hold ends the note; onsets always start one — the fragmentation-proofing
+    the encoding exists for."""
+    t_steps, d = 8, 4
+    oh = np.zeros((t_steps, 1, 2 * d), np.uint8)
+    # pitch 0: onset at t=1, holds t=2..4 -> note [1, 5)
+    oh[1, 0, 0] = 1
+    oh[2:5, 0, d + 0] = 1
+    # pitch 1: orphan holds at t=3..5 (no onset) -> silence
+    oh[3:6, 0, d + 1] = 1
+    # pitch 2: onset t=0, hold t=1, GAP at t=2, hold t=3 -> note [0, 2) only
+    oh[0, 0, 2] = 1
+    oh[1, 0, d + 2] = 1
+    oh[3, 0, d + 2] = 1
+    frames = pr.decode_onset_hold(oh)
+    expect = np.zeros((t_steps, 1, d), np.uint8)
+    expect[1:5, 0, 0] = 1
+    expect[0:2, 0, 2] = 1
+    np.testing.assert_array_equal(frames, expect)
+
+
+def test_decode_rolls_dispatch():
+    r = np.ones((4, 1, 6), np.uint8)
+    np.testing.assert_array_equal(pr.decode_rolls(r, "frame"), r)
+    with pytest.raises(ValueError, match="unknown encoding"):
+        pr.decode_rolls(r, "nope")
+    with pytest.raises(ValueError, match="odd"):
+        pr.decode_onset_hold(np.zeros((4, 1, 5), np.uint8))
+
+
+def test_dataset_onset_hold():
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=8,
+                                 synthetic_steps=96, window=32,
+                                 batch_size=4, encoding="onset_hold")
+    assert cfg.frame_dim == 168
+    ds = Dataset(cfg)
+    assert ds.windows["train"].shape[1:] == (32, 5, 168)
+    assert ds.frame_dim == 168
+    dec = ds.decode(ds.windows["train"])
+    assert dec.shape[1:] == (32, 5, 84)
+    assert set(np.unique(dec)) <= {0, 1}
+    # the decoded windows match the frame-encoded dataset's windows except
+    # for notes truncated at window starts (cross-window holds are dropped
+    # by the stateless-BPTT windowing) — so decoded <= frame windows, and
+    # interior frames agree
+    frame_ds = Dataset(DataConfig.from_preset(
+        "synthetic", synthetic_songs=8, synthetic_steps=96, window=32,
+        batch_size=4))
+    ref = frame_ds.windows["train"]
+    assert np.all(dec <= ref)
+    # every dropped frame belongs to a note sounding continuously from the
+    # window's first frame (its onset lives in the previous window)
+    dropped = ref & ~dec & 1
+    sounding_from_start = np.cumprod(ref, axis=1)
+    assert np.all(dropped <= sounding_from_start)
+    # and real content survives: the decoded windows are mostly the ref
+    assert dropped.sum() < 0.05 * ref.sum()
+
+
+def test_dataconfig_rejects_unknown_encoding():
+    with pytest.raises(ValueError, match="encoding"):
+        DataConfig(encoding="pitchclass")
+
+
+def test_config_validate_frame_dim_hint():
+    from multinn_tpu.utils import config as cfg_mod
+    from multinn_tpu.models.multinn import MultINNConfig
+    cfg = cfg_mod.ExperimentConfig(
+        data=DataConfig.from_preset("synthetic", encoding="onset_hold"),
+        model=MultINNConfig(n_tracks=5, n_pitches=84))
+    with pytest.raises(ValueError, match="onset_hold doubles"):
+        cfg.validate()
+    cfg = cfg_mod.ExperimentConfig(
+        data=DataConfig.from_preset("synthetic", encoding="onset_hold"),
+        model=MultINNConfig(n_tracks=5, n_pitches=168))
+    cfg.validate()
+
+
+def test_postprocess_gap_fill_and_min_note():
+    t_steps, d = 12, 3
+    roll = np.zeros((t_steps, 1, d), np.uint8)
+    # pitch 0: note with a 1-step gap: on 0-2, off 3, on 4-6
+    roll[0:3, 0, 0] = 1
+    roll[4:7, 0, 0] = 1
+    # pitch 1: isolated 1-step blip
+    roll[5, 0, 1] = 1
+    # pitch 2: 3-step note (kept by min_note_steps=2)
+    roll[2:5, 0, 2] = 1
+    out = pr.postprocess_roll(roll, gap_fill_steps=1, min_note_steps=2)
+    assert np.all(out[0:7, 0, 0] == 1)            # gap closed -> one note
+    assert np.all(out[:, 0, 1] == 0)              # blip dropped
+    assert np.all(out[2:5, 0, 2] == 1)            # long note kept
+    # gap of 2 NOT closed at gap_fill_steps=1
+    roll2 = np.zeros((t_steps, 1, 1), np.uint8)
+    roll2[0:2, 0, 0] = 1
+    roll2[4:6, 0, 0] = 1
+    out2 = pr.postprocess_roll(roll2, gap_fill_steps=1, min_note_steps=0)
+    np.testing.assert_array_equal(out2, roll2)
+    out3 = pr.postprocess_roll(roll2, gap_fill_steps=2, min_note_steps=0)
+    assert np.all(out3[0:6, 0, 0] == 1)
+    # batched input: same semantics per sample
+    batched = np.stack([roll, roll])
+    outb = pr.postprocess_roll(batched, gap_fill_steps=1, min_note_steps=2)
+    np.testing.assert_array_equal(outb[0], out)
+    np.testing.assert_array_equal(outb[1], out)

@@ -454,3 +454,71 @@ def test_cross_version_opt_state_restore(tmp_path, monkeypatch):
     # and training continues from the re-initialized optimizer state
     t_new.train_epoch()
     t_new.close()
+
+
+def test_onset_hold_end_to_end(tmp_path):
+    """data.encoding=onset_hold trains, generates, and every user-facing
+    artifact is FRAME-space: model sees 2D channels, finalize() decodes,
+    MIDI parses back, and the post-processing knobs apply."""
+    data = DataConfig.from_preset("synthetic", n_tracks=2, pitch_min=40,
+                                  pitch_max=63, window=16, batch_size=4,
+                                  synthetic_songs=8, synthetic_steps=64,
+                                  encoding="onset_hold")
+    model = MultINNConfig(n_tracks=2, n_pitches=48, mode="feedback",
+                          decoder_type="rnn-nade", n_hidden=16, n_rnn=12,
+                          gen_k=2)
+    gen_cfg = cfg_mod.GenerateConfig(n_steps=8, n_samples=1, seed_steps=8,
+                                     gap_fill_steps=1, min_note_steps=2)
+    cfg = cfg_mod.ExperimentConfig(
+        name="oh", data=data, model=model,
+        train=cfg_mod.TrainConfig(epochs=1, ckpt_every_steps=0,
+                                  run_dir=str(tmp_path / "oh")),
+        generate=gen_cfg).validate()
+    trainer = Trainer(cfg)
+    trainer.train()
+    assert np.isfinite(trainer.evaluate("valid")["loss"])
+    assert trainer.dataset.windows["train"].shape[-1] == 48
+
+    gen = Generator(cfg, trainer.params)
+    seed = trainer.dataset.seed_windows("valid", n=1)[:, :8]
+    raw = gen.generate(jax.random.PRNGKey(0), 8, seed=seed)
+    assert raw.shape == (1, 8, 2, 48)                 # model space
+    rolls, paths = gen.generate_to_files(
+        jax.random.PRNGKey(0), str(tmp_path / "oh_samples"), n_samples=1,
+        n_steps=8, seed=seed)
+    assert rolls.shape == (1, 8, 2, 24)               # finalized frame space
+    from multinn_tpu.data import midi
+    assert midi.load(paths[0]).ticks_per_quarter > 0
+    # finalize == decode + postprocess, and no note shorter than 2 steps
+    # survives min_note_steps=2
+    from multinn_tpu.data import pianoroll as pr
+    manual = pr.postprocess_roll(pr.decode_onset_hold(raw), 1, 2)
+    np.testing.assert_array_equal(rolls, manual)
+    padded = np.concatenate(
+        [np.zeros((1, 1, 2, 24), np.int8), rolls.astype(np.int8),
+         np.zeros((1, 1, 2, 24), np.int8)], axis=1)
+    diff = np.diff(padded, axis=1)
+    runs = []
+    for n, t, k, p in np.argwhere(diff == 1):
+        end = t
+        while end < rolls.shape[1] and rolls[n, end, k, p]:
+            end += 1
+        runs.append(end - t)
+    assert all(r >= 2 for r in runs)
+    trainer.close()
+
+
+def test_build_config_resyncs_n_pitches_on_encoding_override():
+    """Preset-path CLI: --data.encoding=onset_hold alone re-derives
+    model.n_pitches (the model's visible width follows the data encoding
+    unless the user pins it explicitly)."""
+    import argparse
+    import train as train_cli
+    args = argparse.Namespace(config=None, preset="synthetic")
+    cfg = train_cli.build_config(args, ["--data.encoding=onset_hold"])
+    assert cfg.model.n_pitches == 168
+    # explicit pin wins (and fails validation loudly if inconsistent)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="onset_hold doubles"):
+        train_cli.build_config(args, ["--data.encoding=onset_hold",
+                                      "--model.n_pitches=84"])

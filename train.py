@@ -40,11 +40,20 @@ def build_config(args, overrides):
         from multinn_tpu.models.multinn import MultINNConfig
         data = DataConfig.from_preset(args.preset or "synthetic")
         model = MultINNConfig(n_tracks=data.n_tracks,
-                              n_pitches=data.n_pitches)
+                              n_pitches=data.frame_dim)
         cfg = cfg_mod.ExperimentConfig(name=args.preset or "synthetic",
                                        data=data, model=model)
     if overrides:
         cfg = cfg_mod.apply_overrides(cfg, overrides)
+        # preset path: the model's visible width derives from the data
+        # config, so a data override (e.g. --data.encoding=onset_hold)
+        # re-syncs it unless the user pinned model.n_pitches explicitly
+        if (not args.config
+                and not any(o.lstrip("-").startswith("model.n_pitches=")
+                            for o in overrides)
+                and cfg.model.n_pitches != cfg.data.frame_dim):
+            cfg = cfg_mod.apply_overrides(
+                cfg, [f"model.n_pitches={cfg.data.frame_dim}"])
     return cfg.validate()
 
 
