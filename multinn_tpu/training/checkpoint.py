@@ -34,11 +34,15 @@ class Checkpointer:
             policies.append(pp.BestN(
                 get_metric_fn=lambda m: -float(m["valid_loss"]), n=1,
                 keep_checkpoints_without_metrics=False))
+        # best_fn/best_mode only when keep_best: orbax rejects an explicit
+        # best_mode=None (its default is 'max', validated before the
+        # best_fn-is-None short-circuit)
+        best_kw = ({"best_fn": lambda m: m["valid_loss"],
+                    "best_mode": "min"} if keep_best else {})
         options = ocp.CheckpointManagerOptions(
             preservation_policy=pp.AnyPreservationPolicy(policies),
-            best_fn=(lambda m: m["valid_loss"]) if keep_best else None,
-            best_mode="min" if keep_best else None,
             enable_async_checkpointing=True,
+            **best_kw,
         )
         self._mngr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -72,61 +76,65 @@ class Checkpointer:
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         try:
-            restored = self._mngr.restore(
-                step, args=ocp.args.StandardRestore(template))
+            return self._mngr.restore(
+                step, args=ocp.args.StandardRestore(template)), step
         except Exception:
             import logging
             log = logging.getLogger("multinn")
-            stored = set(self._mngr.item_metadata(step).tree.keys())
-            missing = sorted(set(template) - stored)
+            meta = self._mngr.item_metadata(step).tree
+            missing = sorted(set(template) - set(meta))
+            # restore the stored-key subset only; keys the checkpoint
+            # predates (e.g. ``epoch_step0``) keep their template defaults
+            work = {k: v for k, v in template.items() if k in meta}
             if missing:
                 log.warning(
                     "checkpoint @ step %d predates state keys %s; restoring "
                     "the stored subset (missing keys keep template defaults)",
                     step, missing)
-                pruned = {k: v for k, v in template.items() if k in stored}
-                restored = dict(template)
-                restored.update(self._mngr.restore(
-                    step, args=ocp.args.StandardRestore(pruned)))
-                return restored, step
-            # Optimizer-STATE structure changes across versions (e.g. the r4
-            # multi_transform encoder freeze rewrapped opt_state) must not
-            # brick the artifact: params/step/rng restore fine on their own,
-            # which is ALL the generator/evaluator need, and the trainer
-            # re-initializes a fresh optimizer state (losing only Adam
-            # moments). Without this, every pre-change DBN checkpoint became
-            # unloadable even read-only (round-4 review).
-            if "opt_state" not in template:
-                raise
-            # orbax requires the restore template to cover every STORED key,
-            # so the incompatible opt_state is restored into a throwaway
-            # skeleton built from the checkpoint's own metadata (its true
-            # stored structure), then discarded.
+            opt_reset = False
             try:
-                meta = self._mngr.item_metadata(step).tree
+                partial = self._mngr.restore(
+                    step, args=ocp.args.StandardRestore(work))
+            except Exception:
+                # Optimizer-STATE structure changes across versions (e.g. the
+                # r4 multi_transform encoder freeze rewrapped opt_state) must
+                # not brick the artifact: params/step/rng restore fine on
+                # their own, which is ALL the generator/evaluator need, and
+                # the trainer re-initializes a fresh optimizer state (losing
+                # only Adam moments). Without this, every pre-change DBN
+                # checkpoint became unloadable even read-only (r4 review).
+                if "opt_state" not in work:
+                    raise
+                # orbax requires the restore template to cover every STORED
+                # key, so the incompatible opt_state is restored into a
+                # throwaway skeleton built from the checkpoint's own metadata
+                # (its true stored structure), then discarded.
                 skeleton = jax.tree.map(
                     lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
                     meta["opt_state"])
                 pruned = {k: (skeleton if k == "opt_state" else v)
-                          for k, v in template.items()}
-                partial = self._mngr.restore(
-                    step, args=ocp.args.StandardRestore(pruned))
+                          for k, v in work.items()}
+                try:
+                    partial = self._mngr.restore(
+                        step, args=ocp.args.StandardRestore(pruned))
+                except Exception as exc:
+                    raise RuntimeError(
+                        f"checkpoint @ step {step} does not match the "
+                        "current state structure even without opt_state"
+                    ) from exc
                 partial.pop("opt_state", None)
-            except Exception:
-                raise RuntimeError(
-                    f"checkpoint @ step {step} does not match the current "
-                    "state structure even without opt_state") from None
-            log.warning(
-                "checkpoint @ step %d has an incompatible opt_state "
-                "structure (optimizer changed across versions); restored "
-                "everything else — training resume will re-initialize the "
-                "optimizer state (losing moments), eval/generation are "
-                "unaffected", step)
+                opt_reset = True
+                log.warning(
+                    "checkpoint @ step %d has an incompatible opt_state "
+                    "structure (optimizer changed across versions); restored "
+                    "everything else — training resume will re-initialize "
+                    "the optimizer state (losing moments), eval/generation "
+                    "are unaffected", step)
             restored = dict(template)
             restored.update(partial)
-            restored["__opt_state_reset__"] = True
+            if opt_reset:
+                restored["__opt_state_reset__"] = True
             return restored, step
-        return restored, step
 
     def close(self) -> None:
         self._mngr.wait_until_finished()

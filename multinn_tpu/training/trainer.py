@@ -52,6 +52,9 @@ def make_schedule(cfg, steps_per_epoch: int = 0):
     if cfg.lr_schedule == "cosine":
         decay = cfg.decay_steps or max(cfg.epochs * max(steps_per_epoch, 1),
                                        1)
+        # optax's decay_steps INCLUDES the warmup span; a warmup longer than
+        # the run would make the cosine segment negative (crash) — clamp
+        decay = max(decay, cfg.warmup_steps + 1)
         return optax.schedules.warmup_cosine_decay_schedule(
             init_value=0.0 if cfg.warmup_steps else cfg.lr,
             peak_value=cfg.lr, warmup_steps=cfg.warmup_steps,
@@ -545,11 +548,22 @@ class Trainer:
         self.params = state["params"]
         if state.pop("__opt_state_reset__", False):
             # cross-version opt_state structure change (checkpoint.py):
-            # re-initialize fresh against the restored params
-            self.opt_state = (self.opt_state if self.optimizer is None
-                              else self.optimizer.init(self.params))
-            state["opt_state"] = self.opt_state
-        self.opt_state = state["opt_state"]
+            # re-initialize fresh against the restored params. A fresh
+            # state's step counters sit at 0, which would rewind warmup/
+            # cosine schedules and Adam bias correction to init mid-run —
+            # fast-forward every `count` leaf to the restored step.
+            if self.optimizer is not None:
+                fresh = self.optimizer.init(self.params)
+                try:
+                    import numpy as _np
+                    import optax.tree_utils as otu
+                    fresh = otu.tree_set(
+                        fresh, count=_np.int32(int(state["step"])))
+                except KeyError:     # stateless opt (plain sgd): no counts
+                    pass
+                self.opt_state = fresh
+        else:
+            self.opt_state = state["opt_state"]
         self.rng = jnp.asarray(state["rng"])
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])

@@ -451,9 +451,41 @@ def test_cross_version_opt_state_restore(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(params_old),
                     jax.tree.leaves(jax.device_get(t_new.params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # and training continues from the re-initialized optimizer state
+    # and training continues from the re-initialized optimizer state —
+    # with its schedule/bias-correction counters fast-forwarded to the
+    # restored step, NOT rewound to 0 (a warmup/cosine run would otherwise
+    # resume at the wrong LR; round-4 review)
+    import optax.tree_utils as otu
+    for path, count in otu.tree_get_all_with_path(t_new.opt_state, "count"):
+        assert int(count) == t_new.step, (path, int(count), t_new.step)
     t_new.train_epoch()
     t_new.close()
+
+
+def test_restore_missing_key_and_incompatible_opt_state(tmp_path):
+    """The two forward-compat recovery paths COMPOSE: a checkpoint that both
+    predates a state key (epoch_step0) and stores an incompatible opt_state
+    structure still restores — missing keys keep template defaults, the
+    opt_state is discarded with the reset flag (round-4 review: the
+    missing-keys branch used to re-raise instead of falling through)."""
+    from multinn_tpu.training.checkpoint import Checkpointer
+    ck = Checkpointer(str(tmp_path / "ck"), keep_last=1, keep_best=False)
+    old = {"params": {"w": np.ones((2, 2), np.float32)},
+           "opt_state": {"mu": np.zeros(3, np.float32)},
+           "step": 5}
+    assert ck.save(5, old)
+    ck.wait()
+    template = {"params": {"w": np.zeros((2, 2), np.float32)},
+                "opt_state": {"nested": {"count": np.int32(0)}},
+                "step": 0, "epoch_step0": -1}
+    restored, at = ck.restore(template)
+    assert at == 5
+    assert restored["epoch_step0"] == -1          # missing key -> default
+    assert restored["__opt_state_reset__"] is True
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.ones((2, 2), np.float32))
+    assert int(restored["step"]) == 5
+    ck.close()
 
 
 def test_onset_hold_end_to_end(tmp_path):
