@@ -28,6 +28,7 @@ import dataclasses
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 
 from multinn_tpu.nn import rbm as rbm_nn
 from multinn_tpu.ops import precision
@@ -110,6 +111,57 @@ def decode(params: Params, h: jax.Array) -> jax.Array:
     for layer in reversed(params):
         v = jax.nn.sigmoid(precision.mm(v, layer.w.T) + layer.bv)
     return v
+
+
+def init_visible_biases(params: Params, x: jax.Array,
+                        eps: float = 1e-4) -> Params:
+    """Set each RBM layer's visible bias to logit(marginal) of its input
+    features (Hinton 2010 "A practical guide to training RBMs" §8) —
+    layer 0 from the data x, upper layers from the chained σ features.
+
+    Measured r4 (synthetic corpus, density 0.0098): without this, CD on
+    sparse pianorolls spends its first ~10^4 steps escaping the all-off
+    lazy optimum — a 12-epoch pretrain left the decode conditional 6.5×
+    too dense, and every generated pianoroll inherited that density even
+    with PERFECT latent dynamics (the defect behind BASELINE's feedback
+    density rows). With it the decode marginal equals the data marginal
+    from step 0 and stays calibrated while CD learns the h-dependence."""
+    if not params:
+        return params
+    out = []
+    h = x.reshape(-1, x.shape[-1])
+    for layer in params:
+        m = jnp.clip(jnp.mean(h, axis=0), eps, 1.0 - eps)
+        out.append(layer.replace(bv=jnp.log(m) - jnp.log1p(-m)))
+        h = jax.nn.sigmoid(precision.mm(h, layer.w) + layer.bh)
+    return tuple(out)
+
+
+def decode_calibration(params: Params, x: jax.Array):
+    """Reconstruction calibration of the decode conditional: encode x to
+    the decoder-facing binary features, decode back, compare marginals.
+    Returns a dict of jnp scalars:
+
+      data_mean      — marginal of the data
+      decode_mean    — marginal of the decode probabilities p(v|features(x))
+      p_on_given_off — mean decode probability on bits that are 0 in x
+      p_on_given_on  — mean decode probability on bits that are 1 in x
+
+    decode_mean/data_mean far from 1 means generation produces rolls that
+    are systematically too dense/sparse REGARDLESS of decoder quality (the
+    latent dynamics can be perfect — the decode stage re-scales density);
+    the trainer warns on ratios outside [0.5, 2] after pre-training."""
+    x2 = x.reshape(-1, x.shape[-1])
+    h = features(params, x2)
+    pv = decode(params, h)
+    on = jnp.sum(x2)
+    n = x2.size
+    return {
+        "data_mean": jnp.mean(x2),
+        "decode_mean": jnp.mean(pv),
+        "p_on_given_off": jnp.sum(pv * (1 - x2)) / jnp.maximum(n - on, 1.0),
+        "p_on_given_on": jnp.sum(pv * x2) / jnp.maximum(on, 1.0),
+    }
 
 
 def layer_inputs(params: Params, x: jax.Array, layer: int) -> jax.Array:

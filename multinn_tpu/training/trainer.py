@@ -499,6 +499,24 @@ class Trainer:
                         loss)
 
         enc_params = self.params.encoder
+        # visible-bias marginal init (encoders.init_visible_biases): start
+        # the decode conditional CALIBRATED to the data marginal — without
+        # it, CD on ~1%-density pianorolls needs ~10^4 steps just to escape
+        # the all-off optimum, and an under-trained decode re-scales every
+        # generated roll's density (measured 6.5x, r4)
+        x_init = jnp.asarray(
+            self.dataset.windows["train"][:2048].astype(np.float32))
+        if cfg.model.mode == "joint":
+            n, t, k, d = x_init.shape
+            feats_cal = x_init.reshape(n, t, k * d)
+            enc_params = enc_mod.init_visible_biases(enc_params, feats_cal)
+        elif shared:
+            feats_cal = jnp.moveaxis(x_init, 2, 0)      # (K, N, T, D)
+            enc_params = enc_mod.init_visible_biases(enc_params, feats_cal)
+        else:                       # per-track: leading K axis on params
+            feats_cal = jnp.moveaxis(x_init, 2, 0)
+            enc_params = jax.vmap(enc_mod.init_visible_biases)(
+                enc_params, feats_cal)
         for layer in range(n_layers):
             opt_state = opt.init(enc_params)
             for ep in range(self.cfg.train.pretrain_encoder_epochs):
@@ -510,6 +528,29 @@ class Trainer:
                     losses.append(float(loss))
                 self.log.info("pretrain layer %d epoch %d cd-loss %.4f",
                               layer, ep, np.mean(losses))
+        # decode-calibration diagnostic (encoders.decode_calibration): a
+        # miscalibrated decode conditional re-scales the density of every
+        # generated pianoroll no matter how good the decoder is — surface
+        # it HERE, where more pretraining can still fix it
+        if shared:
+            cal = enc_mod.decode_calibration(enc_params, feats_cal)
+        else:
+            cal = jax.vmap(enc_mod.decode_calibration)(enc_params, feats_cal)
+        cal = {k: float(jnp.mean(v)) for k, v in cal.items()}
+        ratio = cal["decode_mean"] / max(cal["data_mean"], 1e-9)
+        self.log.info(
+            "pretrained decode calibration: data marginal %.4f, decode "
+            "marginal %.4f (%.2fx), P(on|on-bit) %.3f, P(on|off-bit) %.4f",
+            cal["data_mean"], cal["decode_mean"], ratio,
+            cal["p_on_given_on"], cal["p_on_given_off"])
+        if not 0.5 <= ratio <= 2.0:
+            self.log.warning(
+                "DBN decode conditional is MISCALIBRATED (decode marginal "
+                "%.4f vs data %.4f): generated pianorolls will be ~%.1fx "
+                "too %s; increase train.pretrain_encoder_epochs or "
+                "train.pretrain_lr", cal["decode_mean"], cal["data_mean"],
+                ratio if ratio > 1 else 1 / max(ratio, 1e-9),
+                "dense" if ratio > 1 else "sparse")
         self.params = self.params.replace(encoder=enc_params)
         # the optimizer state must be rebuilt against the pretrained params
         # (HF keeps its own state object — optimizer is None there)

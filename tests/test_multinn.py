@@ -183,3 +183,38 @@ def test_hybrid_mode_shares_encoder_but_not_decoders():
     np.testing.assert_allclose(np.asarray(m1["loss_per_track"][0]),
                                np.asarray(m2["loss_per_track"][0]),
                                rtol=1e-6)
+
+
+def test_init_visible_biases_and_decode_calibration():
+    """Marginal visible-bias init (Hinton 2010 §8): layer-0 bv = logit of
+    the data marginal; decode from an otherwise-random encoder is then
+    CALIBRATED (decode marginal ≈ data marginal) — the r4 fix for the
+    measured 6.5× generation-density overshoot of under-pretrained DBNs."""
+    from multinn_tpu.models import encoders as enc_mod
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((400, 24)) < 0.05).astype(np.float32))
+    ecfg = enc_mod.EncoderConfig(n_in=24, hidden_sizes=(10, 6), w_std=0.01)
+    params = enc_mod.init(jax.random.PRNGKey(0), ecfg)
+    inited = enc_mod.init_visible_biases(params, x)
+    m = np.clip(np.asarray(x).mean(axis=0), 1e-4, 1 - 1e-4)
+    np.testing.assert_allclose(np.asarray(inited[0].bv),
+                               np.log(m / (1 - m)), rtol=1e-5)
+    # upper layer's bv comes from the chained σ features' marginal
+    feats1 = jax.nn.sigmoid(x @ inited[0].w + inited[0].bh)
+    m1 = np.clip(np.asarray(feats1).mean(axis=0), 1e-4, 1 - 1e-4)
+    np.testing.assert_allclose(np.asarray(inited[1].bv),
+                               np.log(m1 / (1 - m1)), atol=1e-5)
+    # w/bh untouched; pass-through encoders are a no-op
+    np.testing.assert_array_equal(np.asarray(inited[0].w),
+                                  np.asarray(params[0].w))
+    assert enc_mod.init_visible_biases((), x) == ()
+    # calibration: bias-inited random encoder decodes at the data marginal
+    cal = {k: float(v)
+           for k, v in enc_mod.decode_calibration(inited, x).items()}
+    assert cal["data_mean"] == pytest.approx(float(x.mean()), rel=1e-5)
+    ratio = cal["decode_mean"] / cal["data_mean"]
+    assert 0.5 < ratio < 2.0, cal
+    # ...while the zero-bias init decodes near 0.5 — wildly miscalibrated
+    cal0 = {k: float(v)
+            for k, v in enc_mod.decode_calibration(params, x).items()}
+    assert cal0["decode_mean"] / cal0["data_mean"] > 5.0, cal0
