@@ -115,3 +115,26 @@ def test_cpu_reference_bench_tiny():
     s, frames, loss = mod.bench_nade(k_tracks=2, d=6, h=5, u=4, b=2, t=3,
                                      iters=1)
     assert s > 0 and frames == 6 and math.isfinite(loss)
+
+
+@pytest.mark.slow
+def test_cpu_reference_bench_tf1_tiny():
+    """The TF1-compat reference measurement (--impl tf1) builds the real
+    graph-mode Session/feed_dict/while_loop program and trains: finite
+    losses at tiny shapes. Skips if this image's tensorflow breaks."""
+    pytest.importorskip("tensorflow")
+    import importlib.util as ilu
+    import os
+    spec = ilu.spec_from_file_location(
+        "cpu_reference_bench",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "cpu_reference_bench.py"))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import math
+    s, frames, loss = mod.bench_rbm_tf1(k_tracks=2, d=6, h=5, u=4, b=2, t=3,
+                                        iters=1)
+    assert s > 0 and frames == 6 and math.isfinite(loss)
+    s, frames, loss = mod.bench_nade_tf1(k_tracks=2, d=6, h=5, u=4, b=2, t=3,
+                                         iters=1)
+    assert s > 0 and frames == 6 and math.isfinite(loss)

@@ -7,6 +7,7 @@ import os
 import struct
 
 import numpy as np
+import pytest
 
 from multinn_tpu.utils import tb
 from multinn_tpu.utils.logging import MetricsLogger
@@ -80,6 +81,37 @@ def test_varint_boundaries():
     # negative int64 steps encode two's-complement like protobuf int64
     rec = tb._event(1.0, step=-1)
     assert tb._decode_event(rec)["step"] == 0xFFFFFFFFFFFFFFFF
+
+
+@pytest.mark.slow
+def test_event_file_parses_with_tensorflows_reader(tmp_path):
+    """Cross-validate against the AUTHORITATIVE implementation: TensorFlow's
+    own summary_iterator (present on this image) must read our event files
+    byte-for-byte — framing crcs, Event/Summary protos, tag/value/step all
+    agree with our reader. This closes the loop the round-trip test can't:
+    our writer and reader could share a bug; TF's reader can't."""
+    tf = pytest.importorskip("tensorflow")
+    from tensorflow.python.summary.summary_iterator import summary_iterator
+    w = tb.EventWriter(str(tmp_path))
+    w.add_scalar("train/loss", 1.5, step=1)
+    w.add_scalars([("train/loss", 0.75), ("train/acc", 0.5)], step=2)
+    w.add_scalar("neg", -3.25, step=-4)       # two's-complement int64 step
+    w.close()
+    tf_events = list(summary_iterator(w.path))
+    ours = list(tb.read_events(w.path))
+    assert len(tf_events) == len(ours) == 4
+    assert tf_events[0].file_version == "brain.Event:2"
+    for tfe, us in zip(tf_events, ours):
+        step = us["step"]
+        if step >= 2 ** 63:                   # our reader keeps raw uint64
+            step -= 2 ** 64
+        assert tfe.step == step
+        assert tfe.wall_time == pytest.approx(us["wall_time"])
+        got = {v.tag: v.simple_value for v in tfe.summary.value}
+        assert got == pytest.approx(us["scalars"])
+    assert {v.tag for v in tf_events[2].summary.value} == {"train/loss",
+                                                           "train/acc"}
+    assert tf_events[3].step == -4
 
 
 def test_frame_layout_is_tfrecord(tmp_path):
