@@ -1,0 +1,316 @@
+"""Continuous-batching generation service (serving runtime core).
+
+The reference has no serving layer (single-process TF1 research code —
+SURVEY §0/§1); this is the TPU-native serving story for the same models,
+built from three measured facts (BASELINE.md):
+
+  * the fused whole-generation kernels amortize the serial sampling chain
+    almost perfectly over the batch axis (B=128 RBM serving runs at the
+    same µs/step as B=1), so a server wants FIXED, LARGE batches;
+  * JAX dispatch is asynchronous — submitting the next batch while the
+    previous executes hides the per-execute host floor (~30 ms through
+    this environment's tunnel; measured +46–53% steady-state throughput,
+    BASELINE "PIPELINED serving" rows);
+  * XLA programs are shape-specialized — a server compiles ONE
+    (batch, n_steps) program up front and never recompiles.
+
+So the service is: a request queue -> a dispatcher thread that coalesces
+up to ``batch`` requests per device call (waiting at most ``max_wait_ms``
+after the first request of a batch; under-full batches run padded — the
+program shape never changes) -> a bounded in-flight window of
+``pipeline_depth`` dispatched batches -> a drainer thread that fetches
+results, decodes the data encoding + post-processing (Generator.finalize
+semantics), and resolves per-request futures.
+
+RNG contract: batch ``i`` samples under ``fold_in(PRNGKey(seed), i)``;
+a request's provenance ``(batch_index, row)`` therefore pins its exact
+sample stream. Per-request reproducibility across server runs requires
+the same arrival order (same batch composition) — documented, not
+promised, serving behavior.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    """Server knobs (CLI-exposed by serve.py)."""
+    batch: int = 0             # 0 = auto: largest fused-gate-admitted batch
+    n_steps: int = 0           # 0 = cfg.generate.n_steps
+    max_wait_ms: float = 5.0   # batching window after the first request
+    pipeline_depth: int = 3    # max dispatched-but-unfetched device batches
+    seed: int = 0              # base RNG seed (batch i uses fold_in(seed, i))
+    history: int = 1024        # latency samples kept for percentile stats
+
+
+@dataclasses.dataclass
+class ServeResult:
+    """Resolved value of one request's future."""
+    roll: np.ndarray           # finalized FRAME pianoroll (n_steps, K, D)
+    batch_index: int           # provenance: which device batch
+    row: int                   # provenance: row within the batch
+    queue_s: float             # enqueue -> dispatch
+    total_s: float             # enqueue -> resolution
+
+
+class _Future:
+    """Minimal thread-safe one-shot future (stdlib-only)."""
+
+    def __init__(self):
+        self._event = threading.Event()
+        self._value: Optional[ServeResult] = None
+        self._error: Optional[BaseException] = None
+
+    def _resolve(self, value: ServeResult) -> None:
+        self._value = value
+        self._event.set()
+
+    def _reject(self, error: BaseException) -> None:
+        self._error = error
+        self._event.set()
+
+    def result(self, timeout: Optional[float] = None) -> ServeResult:
+        if not self._event.wait(timeout):
+            raise TimeoutError("generation request timed out")
+        if self._error is not None:
+            raise self._error
+        return self._value
+
+
+class _Request:
+    __slots__ = ("future", "t_enqueue")
+
+    def __init__(self):
+        self.future = _Future()
+        self.t_enqueue = time.time()
+
+
+def auto_batch(cfg, n_steps: int) -> int:
+    """Largest fused-kernel-gate-admitted serving batch for this config on
+    this device (the gates measure real VMEM byte counts — ops/gen_fused);
+    8 when nothing is admitted (the scan path still serves, just slower)."""
+    from multinn_tpu.ops import gen_fused
+    if cfg.model.decoder_type == "rnn-nade":
+        cands = (8, 16, 32, 48, 64, 128)
+        gate = lambda b: gen_fused.supported_nade(cfg.model, b, n_steps)
+    else:
+        cands = (8, 16, 32, 64, 128, 256)
+        gate = lambda b: gen_fused.supported(cfg.model, b, n_steps)
+    return max((b for b in cands if gate(b)), default=8)
+
+
+class GenerationService:
+    """Continuous-batching generation server core (module docstring).
+
+    Thread model: all jitted dispatches happen on ONE dispatcher thread;
+    all device->host fetches happen on ONE drainer thread (fetching array
+    A while array B dispatches is safe — they are independent JAX arrays);
+    ``submit``/``stats`` are called from any number of front-end threads.
+    """
+
+    def __init__(self, cfg, params, serve_cfg: ServeConfig = None,
+                 mesh=None):
+        import jax
+        from multinn_tpu.training.generator import Generator
+
+        self._jax = jax
+        self.cfg = cfg
+        self.serve_cfg = serve_cfg or ServeConfig()
+        self.n_steps = self.serve_cfg.n_steps or cfg.generate.n_steps
+        self.batch = self.serve_cfg.batch or auto_batch(cfg, self.n_steps)
+        self.generator = Generator(cfg, params, mesh=mesh)
+        self._base_key = jax.random.PRNGKey(self.serve_cfg.seed)
+
+        self._lock = threading.Condition()
+        self._queue: collections.deque[_Request] = collections.deque()
+        self._closed = False
+        self._inflight = threading.Semaphore(self.serve_cfg.pipeline_depth)
+        # (device_array, requests, batch_index, t_dispatch) awaiting fetch
+        self._done_q: collections.deque = collections.deque()
+        self._done_cv = threading.Condition()
+
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_padded_rows = 0
+        self._n_errors = 0
+        self._t_started = time.time()
+        self._latencies = collections.deque(maxlen=self.serve_cfg.history)
+        self._queue_waits = collections.deque(maxlen=self.serve_cfg.history)
+        self._done_times = collections.deque(maxlen=self.serve_cfg.history)
+
+        # compile + warm the single program shape before accepting traffic
+        # (first request must not pay the cold compile)
+        warm = self.generator.generate_async(self._base_key, self.n_steps,
+                                             self.batch)
+        np.asarray(warm)    # value fetch = the provable completion barrier
+
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            name="multinn-serve-dispatch",
+                                            daemon=True)
+        self._drainer = threading.Thread(target=self._drain_loop,
+                                         name="multinn-serve-drain",
+                                         daemon=True)
+        self._dispatcher.start()
+        self._drainer.start()
+
+    # -- front end -----------------------------------------------------------
+
+    def submit(self) -> _Future:
+        """Enqueue one generation request; returns its future."""
+        req = _Request()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.append(req)
+            self._lock.notify()
+        with self._stats_lock:
+            self._n_requests += 1
+        return req.future
+
+    def stats(self) -> dict:
+        """Service counters + latency percentiles over the recent window."""
+        with self._stats_lock:
+            lat = np.asarray(self._latencies, np.float64)
+            qw = np.asarray(self._queue_waits, np.float64)
+            uptime = time.time() - self._t_started
+            out = {
+                "batch": self.batch,
+                "n_steps": self.n_steps,
+                "pipeline_depth": self.serve_cfg.pipeline_depth,
+                "requests": self._n_requests,
+                "batches": self._n_batches,
+                "padded_rows": self._n_padded_rows,
+                "errors": self._n_errors,
+                "uptime_s": round(uptime, 3),
+                "queued": len(self._queue),
+            }
+            if lat.size:
+                out["latency_ms"] = {
+                    "p50": round(float(np.percentile(lat, 50)) * 1e3, 2),
+                    "p95": round(float(np.percentile(lat, 95)) * 1e3, 2),
+                    "p99": round(float(np.percentile(lat, 99)) * 1e3, 2),
+                    "window": int(lat.size),
+                }
+                out["queue_wait_ms_p50"] = round(
+                    float(np.percentile(qw, 50)) * 1e3, 2)
+                # steady-state throughput over the recent completion window
+                # (first->last completion timestamp; NOT uptime, which an
+                # idle server would dilute to a meaningless number)
+                if len(self._done_times) >= 2:
+                    span = self._done_times[-1] - self._done_times[0]
+                    out["songs_per_s"] = round(
+                        (len(self._done_times) - 1) / max(span, 1e-9), 2)
+            return out
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop accepting requests, drain in-flight work, join threads.
+        Queued-but-undispatched requests are rejected. Idempotent."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            pending = list(self._queue)
+            self._queue.clear()
+            self._lock.notify_all()
+        for req in pending:
+            req.future._reject(RuntimeError("service closed"))
+        with self._done_cv:
+            self._done_cv.notify_all()
+        self._dispatcher.join(timeout)
+        self._drainer.join(timeout)
+
+    # -- dispatcher thread ----------------------------------------------------
+
+    def _take_batch(self) -> Optional[List[_Request]]:
+        """Block until >=1 request; then wait up to max_wait_ms for the
+        batch to fill. Returns None on shutdown."""
+        deadline = None
+        with self._lock:
+            while True:
+                if self._queue:
+                    if deadline is None:
+                        deadline = (self._queue[0].t_enqueue
+                                    + self.serve_cfg.max_wait_ms / 1e3)
+                    if (len(self._queue) >= self.batch
+                            or time.time() >= deadline):
+                        reqs = [self._queue.popleft()
+                                for _ in range(min(self.batch,
+                                                   len(self._queue)))]
+                        return reqs
+                    self._lock.wait(max(deadline - time.time(), 0.0))
+                elif self._closed:
+                    return None
+                else:
+                    deadline = None
+                    self._lock.wait(0.1)
+
+    def _dispatch_loop(self) -> None:
+        jax = self._jax
+        while True:
+            reqs = self._take_batch()
+            if reqs is None:
+                return
+            self._inflight.acquire()           # bound dispatched-unfetched
+            with self._stats_lock:
+                bi = self._n_batches
+                self._n_batches += 1
+                self._n_padded_rows += self.batch - len(reqs)
+            key = jax.random.fold_in(self._base_key, bi)
+            t_dispatch = time.time()
+            try:
+                out = self.generator.generate_async(key, self.n_steps,
+                                                    self.batch)
+            except Exception as e:            # pragma: no cover - defensive
+                self._inflight.release()
+                with self._stats_lock:
+                    self._n_errors += len(reqs)
+                for r in reqs:
+                    r.future._reject(e)
+                continue
+            with self._done_cv:
+                self._done_q.append((out, reqs, bi, t_dispatch))
+                self._done_cv.notify()
+
+    # -- drainer thread --------------------------------------------------------
+
+    def _drain_loop(self) -> None:
+        while True:
+            with self._done_cv:
+                while not self._done_q:
+                    if self._closed and not self._dispatcher.is_alive():
+                        return
+                    self._done_cv.wait(0.1)
+                out, reqs, bi, t_dispatch = self._done_q.popleft()
+            try:
+                # value fetch forces device completion (Generator.generate's
+                # host contract: binary uint8 rolls)
+                rolls = np.asarray(out).astype(np.uint8)
+                rolls = self.generator.finalize(rolls)
+            except Exception as e:            # pragma: no cover - defensive
+                self._inflight.release()
+                with self._stats_lock:
+                    self._n_errors += len(reqs)
+                for r in reqs:
+                    r.future._reject(e)
+                continue
+            self._inflight.release()
+            t_done = time.time()
+            with self._stats_lock:
+                for r in reqs:
+                    self._latencies.append(t_done - r.t_enqueue)
+                    self._queue_waits.append(t_dispatch - r.t_enqueue)
+                    self._done_times.append(t_done)
+            for row, r in enumerate(reqs):
+                r.future._resolve(ServeResult(
+                    roll=rolls[row], batch_index=bi, row=row,
+                    queue_s=t_dispatch - r.t_enqueue,
+                    total_s=t_done - r.t_enqueue))

@@ -123,6 +123,18 @@ class Generator:
         with sampling.partitionable_ctx(self.mesh):
             return self._jit_impl(self.params, key, seed, n_steps, batch)
 
+    def generate_async(self, key: jax.Array, n_steps: int,
+                       batch: int = 1) -> jax.Array:
+        """Dispatch one unseeded generation WITHOUT blocking on the result:
+        returns the lazy device array (model-space roll, (batch, n_steps,
+        K, D)); materialize with np.asarray when needed. This is the
+        serving building block (multinn_tpu/serving): JAX dispatch is
+        asynchronous, so a serving loop that submits batches back-to-back
+        pipelines the host dispatch floor behind device work (the measured
+        +~50% steady-state throughput — BASELINE.md pipelined-serving
+        rows)."""
+        return self._generate_impl(key, None, n_steps, batch)
+
     def generate(self, key: jax.Array, n_steps: int,
                  seed: Optional[np.ndarray] = None,
                  batch: int = 1) -> np.ndarray:

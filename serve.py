@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Serving entry point: an HTTP generation service over a trained model.
+
+    python serve.py --run runs/jsb_rnnrbm --port 8787
+    python serve.py --config configs/jsb_rnnrbm.json --fresh   # no ckpt (smoke)
+
+Restores the trainer/generator checkpoint artifact (best by default) and
+serves continuous-batching generation (multinn_tpu/serving): requests
+coalesce into fixed-shape device batches over the fused whole-generation
+kernels, with async-dispatch pipelining (BASELINE.md pipelined-serving
+rows). Stdlib-only HTTP (the reference has no serving layer — SURVEY §1).
+
+API:
+  GET  /healthz    -> {"ok": true, "batch": B, "n_steps": N}
+  GET  /stats      -> service counters + latency percentiles
+  POST /generate   body (optional JSON): {"format": "midi"|"roll",
+                                          "bpm": 120.0}
+    -> {"format": ..., "shape": [T, K, D], "provenance": {...},
+        "latency_ms": {...},
+        "midi_b64": ... | "roll_b64": ...(npz, key "roll")}
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
+    p.add_argument("--run", help="run dir (reads its config.json + ckpt/)")
+    p.add_argument("--config", help="explicit config JSON (alternative)")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: best, else latest)")
+    p.add_argument("--latest", action="store_true",
+                   help="use latest instead of best checkpoint")
+    p.add_argument("--fresh", action="store_true",
+                   help="serve freshly-initialized params (no checkpoint; "
+                        "smoke/load-testing)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--batch", type=int, default=0,
+                   help="serving batch (0 = largest fused-gate batch)")
+    p.add_argument("--n-steps", type=int, default=0,
+                   help="steps per generation (0 = config generate.n_steps)")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="batching window after the first queued request")
+    p.add_argument("--pipeline-depth", type=int, default=3,
+                   help="max dispatched-but-unfetched device batches")
+    p.add_argument("--timeout-s", type=float, default=120.0,
+                   help="per-request generation timeout")
+    return p.parse_known_args(argv)
+
+
+def build_service(args, overrides):
+    """Config + params -> GenerationService (checkpoint restore mirrors
+    generate.py: same artifact, three consumers — SURVEY §5.4)."""
+    from multinn_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    from multinn_tpu.utils import config as cfg_mod
+    cfg = cfg_mod.load_run_config(args.run, args.config, overrides)
+
+    import jax
+    from multinn_tpu.models import multinn
+    from multinn_tpu.serving import GenerationService, ServeConfig
+
+    if args.fresh:
+        params = multinn.init(jax.random.PRNGKey(cfg.train.seed), cfg.model)
+    else:
+        from multinn_tpu.data.datasets import Dataset
+        from multinn_tpu.training.trainer import Trainer
+        trainer = Trainer(cfg, dataset=Dataset(cfg.data))
+        step = args.step
+        if step is None and not args.latest:
+            step = trainer.ckpt.best_step()
+        trainer.restore(step=step)
+        params = trainer.params
+        trainer.close()
+
+    serve_cfg = ServeConfig(batch=args.batch, n_steps=args.n_steps,
+                            max_wait_ms=args.max_wait_ms,
+                            pipeline_depth=args.pipeline_depth,
+                            seed=cfg.train.seed)
+    return cfg, GenerationService(cfg, params, serve_cfg)
+
+
+def make_handler(cfg, service, timeout_s: float):
+    from multinn_tpu.data import midi as midi_mod
+    from multinn_tpu.data import pianoroll as pr
+    spec = cfg.data.spec()
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):          # quiet (stats has the counters)
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True, "batch": service.batch,
+                                 "n_steps": service.n_steps})
+            elif self.path == "/stats":
+                self._send(200, service.stats())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except ValueError:
+                self._send(400, {"error": "body must be JSON"})
+                return
+            fmt = req.get("format", "midi")
+            if fmt not in ("midi", "roll"):
+                self._send(400, {"error": "format must be 'midi' or 'roll'"})
+                return
+            try:
+                result = service.submit().result(timeout=timeout_s)
+            except TimeoutError:
+                self._send(504, {"error": "generation timed out"})
+                return
+            except RuntimeError as e:
+                self._send(503, {"error": str(e)})
+                return
+            roll = result.roll
+            out = {
+                "format": fmt,
+                "shape": list(roll.shape),
+                "provenance": {"batch": result.batch_index,
+                               "row": result.row},
+                "latency_ms": {"queue": round(result.queue_s * 1e3, 2),
+                               "total": round(result.total_s * 1e3, 2)},
+            }
+            if fmt == "midi":
+                bpm = float(req.get("bpm", cfg.generate.bpm))
+                mid = pr.roll_to_midi(roll, spec, bpm=bpm)
+                out["midi_b64"] = base64.b64encode(
+                    midi_mod.dumps(mid)).decode()
+            else:
+                buf = io.BytesIO()
+                np.savez_compressed(buf, roll=roll)
+                out["roll_b64"] = base64.b64encode(buf.getvalue()).decode()
+            self._send(200, out)
+
+    return Handler
+
+
+def serve(args, overrides, ready_event: threading.Event = None,
+          server_box: list = None) -> int:
+    cfg, service = build_service(args, overrides)
+    handler = make_handler(cfg, service, args.timeout_s)
+    httpd = ThreadingHTTPServer((args.host, args.port), handler)
+    if server_box is not None:
+        server_box.append((httpd, service))
+    print(f"serving {cfg.name} on http://{args.host}:{httpd.server_port}  "
+          f"(batch={service.batch}, n_steps={service.n_steps}, "
+          f"pipeline_depth={service.serve_cfg.pipeline_depth})")
+    if ready_event is not None:
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        service.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    args, overrides = parse_args(argv)
+    try:
+        return serve(args, overrides)
+    except FileNotFoundError as e:
+        print(e, file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

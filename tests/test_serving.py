@@ -1,0 +1,206 @@
+"""Serving runtime tests (multinn_tpu/serving + serve.py): continuous
+batching coalesces requests into fixed-shape device batches, pipelining
+bounds in-flight work, per-request futures resolve with finalized rolls +
+provenance, and the stdlib HTTP front end round-trips MIDI/roll payloads.
+The reference has no serving layer (SURVEY §1) — this is a beyond-parity
+subsystem; tests run the real service on the CPU backend."""
+
+import base64
+import http.client
+import io
+import json
+import os
+import sys
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multinn_tpu.models import multinn
+from multinn_tpu.models.multinn import MultINNConfig
+from multinn_tpu.serving import GenerationService, ServeConfig
+from multinn_tpu.utils import config as cfg_mod
+
+
+def tiny_cfg(mode="per-track", decoder="rnn-nade", encoding="frame",
+             n_steps=8):
+    data = cfg_mod.DataConfig.from_preset(
+        "synthetic", n_tracks=2, pitch_min=40, pitch_max=63, window=16,
+        batch_size=4, synthetic_songs=8, synthetic_steps=64,
+        encoding=encoding)
+    model = MultINNConfig(n_tracks=2, n_pitches=data.frame_dim, mode=mode,
+                          decoder_type=decoder, n_hidden=16, n_rnn=12,
+                          gen_k=2)
+    gen = cfg_mod.GenerateConfig(n_steps=n_steps, n_samples=1, seed_steps=0)
+    return cfg_mod.ExperimentConfig(name="serve", data=data, model=model,
+                                    generate=gen).validate()
+
+
+def make_service(cfg, **kw):
+    params = multinn.init(jax.random.PRNGKey(0), cfg.model)
+    serve_cfg = ServeConfig(**{"batch": 4, "max_wait_ms": 20.0, **kw})
+    return GenerationService(cfg, params, serve_cfg)
+
+
+def test_service_resolves_requests_with_finalized_rolls():
+    cfg = tiny_cfg()
+    svc = make_service(cfg)
+    try:
+        futures = [svc.submit() for _ in range(6)]
+        results = [f.result(timeout=60) for f in futures]
+        for r in results:
+            assert r.roll.shape == (cfg.generate.n_steps, 2,
+                                    cfg.model.n_pitches)
+            assert r.roll.dtype == np.uint8
+            assert set(np.unique(r.roll)) <= {0, 1}
+            assert r.total_s >= r.queue_s >= 0
+        # 6 requests at batch=4 => exactly 2 batches, 2 padded rows
+        st = svc.stats()
+        assert st["requests"] == 6
+        assert st["batches"] == 2
+        assert st["padded_rows"] == 2
+        assert st["errors"] == 0
+        assert st["latency_ms"]["window"] == 6
+        # provenance: rows within a batch are distinct; batch ids consistent
+        by_batch = {}
+        for r in results:
+            by_batch.setdefault(r.batch_index, []).append(r.row)
+        assert sorted(by_batch) == [0, 1]
+        assert sorted(by_batch[0]) == [0, 1, 2, 3]
+        assert sorted(by_batch[1]) == [0, 1]
+    finally:
+        svc.close()
+
+
+def test_service_rng_contract_is_reproducible():
+    """Batch i samples under fold_in(PRNGKey(seed), i): same submission
+    pattern => bit-identical rolls across two service instances."""
+    cfg = tiny_cfg()
+    rolls = []
+    for _ in range(2):
+        svc = make_service(cfg, seed=7)
+        try:
+            futures = [svc.submit() for _ in range(4)]
+            rolls.append(np.stack([f.result(60).roll for f in futures]))
+        finally:
+            svc.close()
+    np.testing.assert_array_equal(rolls[0], rolls[1])
+    # and the batch key differs from batch 0's on a later batch: generate
+    # twice on one service => different batches are (overwhelmingly) distinct
+    svc = make_service(cfg, seed=7)
+    try:
+        a = svc.submit().result(60)
+        b = svc.submit().result(60)
+        assert a.batch_index != b.batch_index
+        assert not np.array_equal(a.roll, b.roll)
+    finally:
+        svc.close()
+
+
+def test_service_onset_hold_finalize_decodes_to_frame_space():
+    """data.encoding=onset_hold: the service resolves FRAME rolls (D =
+    n_pitches/2 after decode), mirroring Generator.finalize."""
+    cfg = tiny_cfg(encoding="onset_hold")
+    assert cfg.model.n_pitches == 48          # 24 pitches x (onset, hold)
+    svc = make_service(cfg)
+    try:
+        r = svc.submit().result(60)
+        assert r.roll.shape == (cfg.generate.n_steps, 2, 24)
+    finally:
+        svc.close()
+
+
+def test_service_close_rejects_queued_and_is_idempotent():
+    cfg = tiny_cfg()
+    svc = make_service(cfg, max_wait_ms=10_000.0, batch=8)
+    fut = svc.submit()                         # parked in the wait window
+    svc.close()
+    svc.close()                                # idempotent
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=5)
+    with pytest.raises(RuntimeError):
+        svc.submit()
+
+
+def test_service_pipeline_depth_bounds_inflight():
+    """With pipeline_depth=1 and many single-row batches the service still
+    completes everything (the semaphore serializes; no deadlock)."""
+    cfg = tiny_cfg()
+    svc = make_service(cfg, batch=1, pipeline_depth=1, max_wait_ms=0.0)
+    try:
+        futures = [svc.submit() for _ in range(5)]
+        for f in futures:
+            f.result(timeout=60)
+        assert svc.stats()["batches"] == 5
+    finally:
+        svc.close()
+
+
+def test_auto_batch_picks_gate_or_fallback():
+    from multinn_tpu.serving import service as svc_mod
+    cfg = tiny_cfg()
+    b = svc_mod.auto_batch(cfg, cfg.generate.n_steps)
+    assert b >= 8                              # fallback floor
+
+
+@pytest.mark.slow
+def test_http_server_roundtrip(tmp_path):
+    """serve.py end to end in-process: --fresh service, /healthz, /stats,
+    /generate in both formats; the MIDI payload parses with the first-party
+    reader and the roll payload round-trips the npz."""
+    import serve as serve_mod
+    from multinn_tpu.data import midi as midi_mod
+
+    cfg_path = tmp_path / "serve_cfg.json"
+    cfg = tiny_cfg()
+    cfg_path.write_text(json.dumps(cfg_mod.to_dict(cfg)))
+    args, overrides = serve_mod.parse_args(
+        ["--config", str(cfg_path), "--fresh", "--port", "0",
+         "--batch", "2", "--max-wait-ms", "5"])
+    ready = threading.Event()
+    box = []
+    t = threading.Thread(target=serve_mod.serve,
+                         args=(args, overrides, ready, box), daemon=True)
+    t.start()
+    assert ready.wait(timeout=300), "server failed to start"
+    httpd, service = box[0]
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", httpd.server_port,
+                                          timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["batch"] == 2
+
+        body = json.dumps({"format": "midi", "bpm": 100.0})
+        conn.request("POST", "/generate", body=body)
+        out = json.loads(conn.getresponse().read())
+        assert out["format"] == "midi" and "midi_b64" in out
+        mid = midi_mod.loads(base64.b64decode(out["midi_b64"]))
+        assert mid.ticks_per_quarter > 0
+
+        conn.request("POST", "/generate", body=json.dumps({"format": "roll"}))
+        out = json.loads(conn.getresponse().read())
+        with np.load(io.BytesIO(base64.b64decode(out["roll_b64"]))) as z:
+            roll = z["roll"]
+        assert list(roll.shape) == out["shape"]
+        assert roll.shape[0] == cfg.generate.n_steps
+
+        conn.request("POST", "/generate", body=json.dumps({"format": "x"}))
+        resp = conn.getresponse()
+        resp.read()                     # drain before keep-alive reuse
+        assert resp.status == 400
+        conn.request("GET", "/stats")
+        st = json.loads(conn.getresponse().read())
+        assert st["requests"] >= 2 and st["errors"] == 0
+        conn.request("GET", "/nope")
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 404
+        conn.close()
+    finally:
+        httpd.shutdown()
+        service.close()
+        t.join(timeout=30)
