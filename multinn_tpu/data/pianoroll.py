@@ -196,6 +196,17 @@ def decode_rolls(rolls: np.ndarray, encoding: str) -> np.ndarray:
     raise ValueError(f"unknown encoding '{encoding}'")
 
 
+def encode_rolls(rolls: np.ndarray, encoding: str) -> np.ndarray:
+    """Frame-space pianoroll (T, K, D) -> model-space per ``data.encoding``
+    (inverse of decode_rolls; used when user-supplied frame rolls enter the
+    model, e.g. serving's priming seeds)."""
+    if encoding == "frame":
+        return np.asarray(rolls)
+    if encoding == "onset_hold":
+        return encode_onset_hold(rolls)
+    raise ValueError(f"unknown encoding '{encoding}'")
+
+
 def postprocess_roll(roll: np.ndarray, gap_fill_steps: int = 0,
                      min_note_steps: int = 0) -> np.ndarray:
     """Opt-in generation clean-up on a FRAME roll (..., T, K, D) — the

@@ -22,6 +22,12 @@ program shape never changes) -> a bounded in-flight window of
 results, decodes the data encoding + post-processing (Generator.finalize
 semantics), and resolves per-request futures.
 
+With ``seed_steps > 0`` requests may carry a priming seed roll (the
+continuation use-case): seeds normalize to ONE fixed shape (crop/left-pad
+to seed_steps model-space frames), so seeded serving adds exactly one more
+compiled program; seeded and unseeded requests coalesce into separate
+batches (different programs), each keeping its queue position.
+
 RNG contract: batch ``i`` samples under ``fold_in(PRNGKey(seed), i)``;
 a request's provenance ``(batch_index, row)`` therefore pins its exact
 sample stream. Per-request reproducibility across server runs requires
@@ -49,6 +55,13 @@ class ServeConfig:
     pipeline_depth: int = 3    # max dispatched-but-unfetched device batches
     seed: int = 0              # base RNG seed (batch i uses fold_in(seed, i))
     history: int = 1024        # latency samples kept for percentile stats
+    seed_steps: int = 0        # >0 enables PRIMED requests: a request may
+    #                            carry a frame-space seed roll, normalized to
+    #                            exactly this many model-space frames (crop
+    #                            to the last seed_steps / left-pad zeros), so
+    #                            seeded serving is ONE more compiled program
+    #                            shape, not one per request. Requests
+    #                            coalesce per kind (seeded vs unseeded).
 
 
 @dataclasses.dataclass
@@ -86,11 +99,12 @@ class _Future:
 
 
 class _Request:
-    __slots__ = ("future", "t_enqueue")
+    __slots__ = ("future", "t_enqueue", "seed")
 
-    def __init__(self):
+    def __init__(self, seed: Optional[np.ndarray] = None):
         self.future = _Future()
         self.t_enqueue = time.time()
+        self.seed = seed       # normalized model-space (seed_steps, K, D)
 
 
 def auto_batch(cfg, n_steps: int) -> int:
@@ -140,6 +154,7 @@ class GenerationService:
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._n_batches = 0
+        self._n_seeded_batches = 0
         self._n_padded_rows = 0
         self._n_errors = 0
         self._t_started = time.time()
@@ -147,11 +162,23 @@ class GenerationService:
         self._queue_waits = collections.deque(maxlen=self.serve_cfg.history)
         self._done_times = collections.deque(maxlen=self.serve_cfg.history)
 
-        # compile + warm the single program shape before accepting traffic
-        # (first request must not pay the cold compile)
+        # user-facing seed rolls are FRAME space; the model may be onset_hold
+        self._frame_dim = (cfg.model.n_pitches // 2
+                           if cfg.data.encoding == "onset_hold"
+                           else cfg.model.n_pitches)
+
+        # compile + warm every program shape the server can dispatch before
+        # accepting traffic (first request must not pay the cold compile):
+        # one unseeded program, plus one seeded program iff seed_steps > 0
         warm = self.generator.generate_async(self._base_key, self.n_steps,
                                              self.batch)
         np.asarray(warm)    # value fetch = the provable completion barrier
+        if self.serve_cfg.seed_steps > 0:
+            zeros = np.zeros((self.batch, self.serve_cfg.seed_steps,
+                              cfg.model.n_tracks, cfg.model.n_pitches),
+                             np.float32)
+            np.asarray(self.generator.generate_async(
+                self._base_key, self.n_steps, self.batch, seed=zeros))
 
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             name="multinn-serve-dispatch",
@@ -164,9 +191,38 @@ class GenerationService:
 
     # -- front end -----------------------------------------------------------
 
-    def submit(self) -> _Future:
-        """Enqueue one generation request; returns its future."""
-        req = _Request()
+    def _normalize_seed(self, seed: np.ndarray) -> np.ndarray:
+        """User frame-space seed roll (T, K, D_frame) -> model-space
+        (seed_steps, K, D_model) float32: validate, encode the FULL roll
+        (hold continuity across the crop boundary matches how training
+        windows are encoded — datasets encode whole songs, then chop),
+        keep the LAST seed_steps frames, left-pad zeros."""
+        if self.serve_cfg.seed_steps <= 0:
+            raise ValueError("this service has seed_steps=0: seeded "
+                             "requests are disabled (restart serve.py "
+                             "with --seed-steps N)")
+        from multinn_tpu.data import pianoroll as pr
+        seed = np.asarray(seed)
+        k, d = self.cfg.model.n_tracks, self._frame_dim
+        if seed.ndim != 3 or seed.shape[1:] != (k, d) or seed.shape[0] < 1:
+            raise ValueError(f"seed roll must be (T>=1, {k}, {d}) "
+                             f"frame-space, got {seed.shape}")
+        enc = pr.encode_rolls((seed > 0).astype(np.uint8),
+                              self.cfg.data.encoding)
+        s = self.serve_cfg.seed_steps
+        enc = enc[-s:]
+        if enc.shape[0] < s:
+            pad = np.zeros((s - enc.shape[0],) + enc.shape[1:], enc.dtype)
+            enc = np.concatenate([pad, enc], axis=0)
+        return enc.astype(np.float32)
+
+    def submit(self, seed: Optional[np.ndarray] = None) -> _Future:
+        """Enqueue one generation request; returns its future. ``seed``:
+        optional frame-space pianoroll (T, K, D_frame) to prime the model
+        state on (requires ServeConfig.seed_steps > 0; see
+        _normalize_seed for the fixed-shape normalization)."""
+        req = _Request(self._normalize_seed(seed) if seed is not None
+                       else None)
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
@@ -188,6 +244,8 @@ class GenerationService:
                 "pipeline_depth": self.serve_cfg.pipeline_depth,
                 "requests": self._n_requests,
                 "batches": self._n_batches,
+                "seeded_batches": self._n_seeded_batches,
+                "seed_steps": self.serve_cfg.seed_steps,
                 "padded_rows": self._n_padded_rows,
                 "errors": self._n_errors,
                 "uptime_s": round(uptime, 3),
@@ -232,19 +290,26 @@ class GenerationService:
 
     def _take_batch(self) -> Optional[List[_Request]]:
         """Block until >=1 request; then wait up to max_wait_ms for the
-        batch to fill. Returns None on shutdown."""
+        batch to fill. A device batch holds ONE kind of request (seeded or
+        unseeded — they are different compiled programs): the head request
+        picks the kind, and only its kind coalesces behind it (others keep
+        their queue position for the next batch). Returns None on
+        shutdown."""
         deadline = None
         with self._lock:
             while True:
                 if self._queue:
+                    seeded = self._queue[0].seed is not None
+                    same = [r for r in self._queue
+                            if (r.seed is not None) == seeded]
                     if deadline is None:
                         deadline = (self._queue[0].t_enqueue
                                     + self.serve_cfg.max_wait_ms / 1e3)
-                    if (len(self._queue) >= self.batch
+                    if (len(same) >= self.batch
                             or time.time() >= deadline):
-                        reqs = [self._queue.popleft()
-                                for _ in range(min(self.batch,
-                                                   len(self._queue)))]
+                        reqs = same[:self.batch]
+                        for r in reqs:
+                            self._queue.remove(r)
                         return reqs
                     self._lock.wait(max(deadline - time.time(), 0.0))
                 elif self._closed:
@@ -260,15 +325,24 @@ class GenerationService:
             if reqs is None:
                 return
             self._inflight.acquire()           # bound dispatched-unfetched
+            seeded = reqs[0].seed is not None
             with self._stats_lock:
                 bi = self._n_batches
                 self._n_batches += 1
+                self._n_seeded_batches += int(seeded)
                 self._n_padded_rows += self.batch - len(reqs)
             key = jax.random.fold_in(self._base_key, bi)
+            seed_arr = None
+            if seeded:                         # pad rows prime on zeros
+                seed_arr = np.zeros(
+                    (self.batch,) + reqs[0].seed.shape, np.float32)
+                for row, r in enumerate(reqs):
+                    seed_arr[row] = r.seed
             t_dispatch = time.time()
             try:
                 out = self.generator.generate_async(key, self.n_steps,
-                                                    self.batch)
+                                                    self.batch,
+                                                    seed=seed_arr)
             except Exception as e:            # pragma: no cover - defensive
                 self._inflight.release()
                 with self._stats_lock:

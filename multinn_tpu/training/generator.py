@@ -124,16 +124,22 @@ class Generator:
             return self._jit_impl(self.params, key, seed, n_steps, batch)
 
     def generate_async(self, key: jax.Array, n_steps: int,
-                       batch: int = 1) -> jax.Array:
-        """Dispatch one unseeded generation WITHOUT blocking on the result:
-        returns the lazy device array (model-space roll, (batch, n_steps,
-        K, D)); materialize with np.asarray when needed. This is the
-        serving building block (multinn_tpu/serving): JAX dispatch is
-        asynchronous, so a serving loop that submits batches back-to-back
-        pipelines the host dispatch floor behind device work (the measured
-        +~50% steady-state throughput — BASELINE.md pipelined-serving
-        rows)."""
-        return self._generate_impl(key, None, n_steps, batch)
+                       batch: int = 1,
+                       seed: Optional[np.ndarray] = None) -> jax.Array:
+        """Dispatch one generation WITHOUT blocking on the result: returns
+        the lazy device array (model-space roll, (batch, n_steps, K, D));
+        materialize with np.asarray when needed. ``seed``: optional
+        (batch, T_seed, K, D) model-space priming roll (one compiled
+        program per seed shape). This is the serving building block
+        (multinn_tpu/serving): JAX dispatch is asynchronous, so a serving
+        loop that submits batches back-to-back pipelines the host dispatch
+        floor behind device work (the measured +~50% steady-state
+        throughput — BASELINE.md pipelined-serving rows)."""
+        seed_dev = (None if seed is None
+                    else jnp.asarray(seed).astype(jnp.float32))
+        if seed_dev is not None and seed_dev.shape[0] != batch:
+            raise ValueError(f"seed batch {seed_dev.shape[0]} != {batch}")
+        return self._generate_impl(key, seed_dev, n_steps, batch)
 
     def generate(self, key: jax.Array, n_steps: int,
                  seed: Optional[np.ndarray] = None,

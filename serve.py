@@ -14,7 +14,10 @@ API:
   GET  /healthz    -> {"ok": true, "batch": B, "n_steps": N}
   GET  /stats      -> service counters + latency percentiles
   POST /generate   body (optional JSON): {"format": "midi"|"roll",
-                                          "bpm": 120.0}
+                                          "bpm": 120.0,
+                                          "seed_b64": npz(key "roll") of a
+                                            frame-space (T, K, D) pianoroll
+                                            to prime on (needs --seed-steps)}
     -> {"format": ..., "shape": [T, K, D], "provenance": {...},
         "latency_ms": {...},
         "midi_b64": ... | "roll_b64": ...(npz, key "roll")}
@@ -54,6 +57,9 @@ def parse_args(argv=None):
                    help="batching window after the first queued request")
     p.add_argument("--pipeline-depth", type=int, default=3,
                    help="max dispatched-but-unfetched device batches")
+    p.add_argument("--seed-steps", type=int, default=0,
+                   help="enable seeded (priming) requests, normalized to "
+                        "this many frames (0 = unseeded-only service)")
     p.add_argument("--timeout-s", type=float, default=120.0,
                    help="per-request generation timeout")
     return p.parse_known_args(argv)
@@ -87,7 +93,8 @@ def build_service(args, overrides):
     serve_cfg = ServeConfig(batch=args.batch, n_steps=args.n_steps,
                             max_wait_ms=args.max_wait_ms,
                             pipeline_depth=args.pipeline_depth,
-                            seed=cfg.train.seed)
+                            seed=cfg.train.seed,
+                            seed_steps=args.seed_steps)
     return cfg, GenerationService(cfg, params, serve_cfg)
 
 
@@ -133,8 +140,21 @@ def make_handler(cfg, service, timeout_s: float):
             if fmt not in ("midi", "roll"):
                 self._send(400, {"error": "format must be 'midi' or 'roll'"})
                 return
+            seed = None
+            if "seed_b64" in req:
+                try:
+                    with np.load(io.BytesIO(
+                            base64.b64decode(req["seed_b64"]))) as z:
+                        seed = z["roll"]
+                except Exception:
+                    self._send(400, {"error": "seed_b64 must be base64 of "
+                                              "an npz with key 'roll'"})
+                    return
             try:
-                result = service.submit().result(timeout=timeout_s)
+                result = service.submit(seed=seed).result(timeout=timeout_s)
+            except ValueError as e:            # seed validation
+                self._send(400, {"error": str(e)})
+                return
             except TimeoutError:
                 self._send(504, {"error": "generation timed out"})
                 return

@@ -26,14 +26,14 @@ from multinn_tpu.utils import config as cfg_mod
 
 
 def tiny_cfg(mode="per-track", decoder="rnn-nade", encoding="frame",
-             n_steps=8):
+             n_steps=8, w_std=0.01):
     data = cfg_mod.DataConfig.from_preset(
         "synthetic", n_tracks=2, pitch_min=40, pitch_max=63, window=16,
         batch_size=4, synthetic_songs=8, synthetic_steps=64,
         encoding=encoding)
     model = MultINNConfig(n_tracks=2, n_pitches=data.frame_dim, mode=mode,
                           decoder_type=decoder, n_hidden=16, n_rnn=12,
-                          gen_k=2)
+                          gen_k=2, w_std=w_std)
     gen = cfg_mod.GenerateConfig(n_steps=n_steps, n_samples=1, seed_steps=0)
     return cfg_mod.ExperimentConfig(name="serve", data=data, model=model,
                                     generate=gen).validate()
@@ -139,6 +139,91 @@ def test_service_pipeline_depth_bounds_inflight():
         svc.close()
 
 
+def test_service_seeded_requests_prime_state():
+    """seed_steps>0: seeded requests resolve; the seed influences the
+    sample (same base RNG, different seeds => different rolls; identical
+    submission pattern across service instances => identical rolls);
+    seeded and unseeded requests coalesce into separate batches."""
+    # big init weights: FRESH params must condition strongly enough on the
+    # primed state that different seeds visibly shift the sampled rolls
+    # (at w_std=0.01 the per-dim probability shift is ~1e-3 and 384
+    # Bernoulli draws can come out identical)
+    cfg = tiny_cfg(w_std=0.8)
+    d = cfg.model.n_pitches
+    rng = np.random.RandomState(0)
+    seed_a = (rng.rand(20, 2, d) < 0.1).astype(np.uint8)
+    seed_b = (rng.rand(4, 2, d) < 0.4).astype(np.uint8)  # short: left-pad
+
+    def run_once():
+        # wide batching window: all three requests MUST be queued before
+        # the first dispatch for the batch-composition asserts to hold
+        # (20 ms can elapse between submits on a loaded 1-core box)
+        svc = make_service(cfg, seed=3, seed_steps=8, max_wait_ms=500.0)
+        try:
+            futs = [svc.submit(seed=seed_a), svc.submit(seed=seed_b),
+                    svc.submit()]
+            res = [f.result(timeout=60) for f in futs]
+            st = svc.stats()
+            return res, st
+        finally:
+            svc.close()
+
+    res, st = run_once()
+    for r in res:
+        assert r.roll.shape == (cfg.generate.n_steps, 2, d)
+    # one seeded batch (both seeded requests coalesce) + one unseeded
+    assert st["batches"] == 2 and st["seeded_batches"] == 1
+    assert res[0].batch_index == res[1].batch_index != res[2].batch_index
+    # different seeds produce different continuations (same device batch,
+    # different rows -> different RNG streams anyway; so compare across
+    # services: same row, same batch key, seed_a vs seed_b)
+    svc = make_service(cfg, seed=3, seed_steps=8)
+    try:
+        only_b = svc.submit(seed=seed_b).result(60)
+    finally:
+        svc.close()
+    assert only_b.batch_index == 0 and only_b.row == 0
+    assert not np.array_equal(res[0].roll, only_b.roll)
+    # reproducibility: identical submission pattern => identical rolls
+    res2, _ = run_once()
+    for r1, r2 in zip(res, res2):
+        np.testing.assert_array_equal(r1.roll, r2.roll)
+
+
+def test_service_seed_validation():
+    cfg = tiny_cfg()
+    d = cfg.model.n_pitches
+    svc = make_service(cfg)                    # seed_steps=0
+    try:
+        with pytest.raises(ValueError, match="seed_steps=0"):
+            svc.submit(seed=np.zeros((4, 2, d), np.uint8))
+    finally:
+        svc.close()
+    svc = make_service(cfg, seed_steps=8)
+    try:
+        with pytest.raises(ValueError, match="frame-space"):
+            svc.submit(seed=np.zeros((4, 2, d + 1), np.uint8))
+        with pytest.raises(ValueError, match="frame-space"):
+            svc.submit(seed=np.zeros((2, d), np.uint8))
+    finally:
+        svc.close()
+
+
+def test_service_seeded_onset_hold_encodes_seed():
+    """onset_hold model: the service accepts FRAME-space seeds (D = half
+    the model dim), encodes internally, and still resolves frame rolls."""
+    cfg = tiny_cfg(encoding="onset_hold")
+    d_frame = cfg.model.n_pitches // 2
+    svc = make_service(cfg, seed_steps=8)
+    try:
+        seed = np.zeros((6, 2, d_frame), np.uint8)
+        seed[:, :, 5] = 1                      # one held note
+        r = svc.submit(seed=seed).result(60)
+        assert r.roll.shape == (cfg.generate.n_steps, 2, d_frame)
+    finally:
+        svc.close()
+
+
 def test_auto_batch_picks_gate_or_fallback():
     from multinn_tpu.serving import service as svc_mod
     cfg = tiny_cfg()
@@ -159,7 +244,7 @@ def test_http_server_roundtrip(tmp_path):
     cfg_path.write_text(json.dumps(cfg_mod.to_dict(cfg)))
     args, overrides = serve_mod.parse_args(
         ["--config", str(cfg_path), "--fresh", "--port", "0",
-         "--batch", "2", "--max-wait-ms", "5"])
+         "--batch", "2", "--max-wait-ms", "5", "--seed-steps", "4"])
     ready = threading.Event()
     box = []
     t = threading.Thread(target=serve_mod.serve,
@@ -187,6 +272,22 @@ def test_http_server_roundtrip(tmp_path):
             roll = z["roll"]
         assert list(roll.shape) == out["shape"]
         assert roll.shape[0] == cfg.generate.n_steps
+
+        # seeded request: npz seed roll primes the model state
+        seed = np.zeros((6, 2, cfg.model.n_pitches), np.uint8)
+        seed[:, :, 3] = 1
+        buf = io.BytesIO()
+        np.savez_compressed(buf, roll=seed)
+        conn.request("POST", "/generate", body=json.dumps(
+            {"format": "roll",
+             "seed_b64": base64.b64encode(buf.getvalue()).decode()}))
+        out = json.loads(conn.getresponse().read())
+        assert out["shape"][0] == cfg.generate.n_steps
+        conn.request("POST", "/generate", body=json.dumps(
+            {"format": "roll", "seed_b64": "not-base64-npz!"}))
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 400
 
         conn.request("POST", "/generate", body=json.dumps({"format": "x"}))
         resp = conn.getresponse()
