@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Serving load test: saturated-throughput + latency percentiles for the
+continuous-batching generation service (multinn_tpu/serving).
+
+Measures the END-TO-END serving story the kernel-level BASELINE rows
+("PIPELINED serving") cannot: request coalescing, the bounded async
+pipeline, drain/finalize on the host, and (optionally) the stdlib HTTP
+front end — under a closed-loop load of N concurrent clients.
+
+    python scripts/serve_loadtest.py --config configs/jsb_rnnrbm.json \
+        --requests 256 --clients 32                  # service-level (direct)
+    python scripts/serve_loadtest.py ... --http      # through serve.py HTTP
+    python scripts/serve_loadtest.py ... --seed-steps 32 --seeded-frac 0.5
+
+Prints ONE JSON line: songs/s over the completion window, latency
+percentiles, and the service's own counters. Fresh params by default
+(--run to restore a checkpoint): load numbers do not depend on weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import http.client
+import io
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
+    p.add_argument("--config", default="configs/jsb_rnnrbm.json")
+    p.add_argument("--run", default=None, help="run dir w/ checkpoint")
+    p.add_argument("--requests", type=int, default=256)
+    p.add_argument("--clients", type=int, default=32,
+                   help="closed-loop concurrent clients")
+    p.add_argument("--batch", type=int, default=0)
+    p.add_argument("--n-steps", type=int, default=0)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--pipeline-depth", type=int, default=3)
+    p.add_argument("--seed-steps", type=int, default=0)
+    p.add_argument("--seeded-frac", type=float, default=0.0,
+                   help="fraction of requests carrying a priming seed")
+    p.add_argument("--http", action="store_true",
+                   help="drive through serve.py's HTTP front end instead "
+                        "of the in-process service API")
+    return p.parse_known_args(argv)
+
+
+def percentiles(xs):
+    xs = np.asarray(xs, np.float64)
+    return {f"p{q}": round(float(np.percentile(xs, q)) * 1e3, 2)
+            for q in (50, 95, 99)}
+
+
+def run_direct(service, n_requests, n_clients, seed_roll, seeded_frac):
+    """Closed loop over the in-process service API."""
+    lat, lock = [], threading.Lock()
+    counter = [0]
+
+    def client():
+        while True:
+            with lock:
+                i = counter[0]
+                if i >= n_requests:
+                    return
+                counter[0] += 1
+            seed = seed_roll if (seed_roll is not None
+                                 and (i % 100) < seeded_frac * 100) else None
+            t0 = time.time()
+            service.submit(seed=seed).result(timeout=600)
+            with lock:
+                lat.append(time.time() - t0)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return time.time() - t0, lat
+
+
+def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
+    """Closed loop through serve.py's ThreadingHTTPServer on localhost."""
+    import serve as serve_mod
+    sargs, soverrides = serve_mod.parse_args(
+        ["--config", args.config, "--port", "0",
+         "--batch", str(args.batch), "--n-steps", str(args.n_steps),
+         "--max-wait-ms", str(args.max_wait_ms),
+         "--pipeline-depth", str(args.pipeline_depth),
+         "--seed-steps", str(args.seed_steps)]
+        + (["--run", args.run] if args.run else ["--fresh"])
+        + overrides)
+    ready, box = threading.Event(), []
+    t = threading.Thread(target=serve_mod.serve,
+                         args=(sargs, soverrides, ready, box), daemon=True)
+    t.start()
+    if not ready.wait(timeout=1200):
+        raise RuntimeError("server failed to start")
+    httpd, service = box[0]
+    port = httpd.server_port
+
+    seed_b64 = None
+    if seed_roll is not None:
+        buf = io.BytesIO()
+        np.savez_compressed(buf, roll=seed_roll)
+        seed_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    lat, lock = [], threading.Lock()
+    counter = [0]
+
+    def client():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        while True:
+            with lock:
+                i = counter[0]
+                if i >= n_requests:
+                    conn.close()
+                    return
+                counter[0] += 1
+            body = {"format": "roll"}
+            if seed_b64 is not None and (i % 100) < seeded_frac * 100:
+                body["seed_b64"] = seed_b64
+            t0 = time.time()
+            conn.request("POST", "/generate", body=json.dumps(body))
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.status == 200, resp.status
+            with lock:
+                lat.append(time.time() - t0)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.time() - t0
+    stats = service.stats()
+    httpd.shutdown()
+    service.close()
+    t.join(timeout=30)
+    return wall, lat, stats
+
+
+def main(argv=None) -> int:
+    args, overrides = parse_args(argv)
+    from multinn_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    from multinn_tpu.utils import config as cfg_mod
+    cfg = cfg_mod.load_run_config(args.run, args.config, overrides)
+
+    seed_roll = None
+    if args.seed_steps > 0 and args.seeded_frac > 0:
+        d = (cfg.model.n_pitches // 2 if cfg.data.encoding == "onset_hold"
+             else cfg.model.n_pitches)
+        rng = np.random.RandomState(0)
+        seed_roll = (rng.rand(args.seed_steps, cfg.model.n_tracks, d)
+                     < 0.05).astype(np.uint8)
+
+    if args.http:
+        wall, lat, stats = run_http(args, overrides, args.requests,
+                                    args.clients, seed_roll,
+                                    args.seeded_frac)
+        mode = "http"
+    else:
+        import jax
+        from multinn_tpu.models import multinn
+        from multinn_tpu.serving import GenerationService, ServeConfig
+        params = multinn.init(jax.random.PRNGKey(cfg.train.seed), cfg.model)
+        if args.run:
+            from multinn_tpu.data.datasets import Dataset
+            from multinn_tpu.training.trainer import Trainer
+            trainer = Trainer(cfg, dataset=Dataset(cfg.data))
+            trainer.restore(step=trainer.ckpt.best_step())
+            params = trainer.params
+            trainer.close()
+        service = GenerationService(cfg, params, ServeConfig(
+            batch=args.batch, n_steps=args.n_steps,
+            max_wait_ms=args.max_wait_ms,
+            pipeline_depth=args.pipeline_depth, seed=cfg.train.seed,
+            seed_steps=args.seed_steps))
+        wall, lat = run_direct(service, args.requests, args.clients,
+                               seed_roll, args.seeded_frac)
+        stats = service.stats()
+        service.close()
+        mode = "direct"
+
+    out = {
+        "mode": mode,
+        "config": cfg.name,
+        "requests": args.requests,
+        "clients": args.clients,
+        "batch": stats["batch"],
+        "n_steps": stats["n_steps"],
+        "seeded_batches": stats.get("seeded_batches", 0),
+        "wall_s": round(wall, 3),
+        "songs_per_s": round(args.requests / wall, 1),
+        "latency_ms": percentiles(lat),
+        "padded_rows": stats["padded_rows"],
+        "errors": stats["errors"],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
