@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--http", action="store_true",
                    help="drive through serve.py's HTTP front end instead "
                         "of the in-process service API")
+    p.add_argument("--open-loop", action="store_true",
+                   help="submit ALL requests upfront from one thread "
+                        "(service-ceiling measurement: no client-thread "
+                        "GIL noise; --clients ignored; direct mode only)")
     return p.parse_known_args(argv)
 
 
@@ -58,6 +62,19 @@ def percentiles(xs):
     xs = np.asarray(xs, np.float64)
     return {f"p{q}": round(float(np.percentile(xs, q)) * 1e3, 2)
             for q in (50, 95, 99)}
+
+
+def run_open_loop(service, n_requests, seed_roll, seeded_frac):
+    """Submit everything upfront; the dispatcher coalesces full batches
+    back-to-back — the service's ceiling on this host."""
+    t0 = time.time()
+    futures = []
+    for i in range(n_requests):
+        seed = seed_roll if (seed_roll is not None
+                             and (i % 100) < seeded_frac * 100) else None
+        futures.append((time.time(), service.submit(seed=seed)))
+    lat = [f.result(timeout=600).total_s for _, f in futures]
+    return time.time() - t0, lat
 
 
 def run_direct(service, n_requests, n_clients, seed_roll, seeded_frac):
@@ -188,11 +205,16 @@ def main(argv=None) -> int:
             max_wait_ms=args.max_wait_ms,
             pipeline_depth=args.pipeline_depth, seed=cfg.train.seed,
             seed_steps=args.seed_steps))
-        wall, lat = run_direct(service, args.requests, args.clients,
-                               seed_roll, args.seeded_frac)
+        if args.open_loop:
+            wall, lat = run_open_loop(service, args.requests, seed_roll,
+                                      args.seeded_frac)
+            mode = "open-loop"
+        else:
+            wall, lat = run_direct(service, args.requests, args.clients,
+                                   seed_roll, args.seeded_frac)
+            mode = "direct"
         stats = service.stats()
         service.close()
-        mode = "direct"
 
     out = {
         "mode": mode,
