@@ -365,9 +365,10 @@ class GenerationService:
                     self._done_cv.wait(0.1)
                 out, reqs, bi, t_dispatch = self._done_q.popleft()
             try:
-                # value fetch forces device completion (Generator.generate's
-                # host contract: binary uint8 rolls)
-                rolls = np.asarray(out).astype(np.uint8)
+                # value fetch forces device completion; the roll is already
+                # uint8 on device (Generator casts before it leaves the
+                # chip), so this is a straight byte copy
+                rolls = np.asarray(out)
                 rolls = self.generator.finalize(rolls)
             except Exception as e:            # pragma: no cover - defensive
                 self._inflight.release()

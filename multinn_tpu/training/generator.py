@@ -71,7 +71,10 @@ class Generator:
             # generate.gibbs_k overrides the model's gen_k (0 = model default)
             _, roll = multinn.generate(params, key, state, n_steps,
                                        fused=fused, k=gibbs_k)
-            return roll
+            # binary {0,1} roll leaves the device as uint8: 4x fewer
+            # device->host bytes than f32 (the serving drain fetch and the
+            # tunnel are the generation path's host bottleneck)
+            return roll.astype(jnp.uint8)
 
         # one compiled program per (n_steps, batch, seed-shape) combination
         self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch"))
@@ -151,7 +154,7 @@ class Generator:
         if seed_dev is not None:
             batch = seed_dev.shape[0]
         roll = self._generate_impl(key, seed_dev, n_steps, batch)
-        return np.asarray(jax.device_get(roll)).astype(np.uint8)
+        return np.asarray(jax.device_get(roll))   # uint8 on device already
 
     def finalize(self, rolls: np.ndarray) -> np.ndarray:
         """Model-space rolls -> user-facing FRAME pianorolls: decode the
