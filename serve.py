@@ -15,12 +15,18 @@ API:
   GET  /stats      -> service counters + latency percentiles
   POST /generate   body (optional JSON): {"format": "midi"|"roll",
                                           "bpm": 120.0,
+                                          "n": 1,   # songs per request (bulk
+                                            requests amortize HTTP overhead;
+                                            all n coalesce into device batches)
                                           "seed_b64": npz(key "roll") of a
                                             frame-space (T, K, D) pianoroll
-                                            to prime on (needs --seed-steps)}
+                                            to prime on (needs --seed-steps;
+                                            with n>1, primes every song)}
     -> {"format": ..., "shape": [T, K, D], "provenance": {...},
         "latency_ms": {...},
         "midi_b64": ... | "roll_b64": ...(npz, key "roll")}
+    n>1: "roll_b64" npz holds (n, T, K, D); "midi_b64" becomes a list;
+         "provenance"/"latency_ms" become lists
 """
 
 from __future__ import annotations
@@ -150,8 +156,13 @@ def make_handler(cfg, service, timeout_s: float):
                     self._send(400, {"error": "seed_b64 must be base64 of "
                                               "an npz with key 'roll'"})
                     return
+            n = req.get("n", 1)
+            if not isinstance(n, int) or not 1 <= n <= 1024:
+                self._send(400, {"error": "n must be an int in [1, 1024]"})
+                return
             try:
-                result = service.submit(seed=seed).result(timeout=timeout_s)
+                futures = [service.submit(seed=seed) for _ in range(n)]
+                results = [f.result(timeout=timeout_s) for f in futures]
             except ValueError as e:            # seed validation
                 self._send(400, {"error": str(e)})
                 return
@@ -161,24 +172,29 @@ def make_handler(cfg, service, timeout_s: float):
             except RuntimeError as e:
                 self._send(503, {"error": str(e)})
                 return
-            roll = result.roll
+            prov = [{"batch": r.batch_index, "row": r.row} for r in results]
+            lat = [{"queue": round(r.queue_s * 1e3, 2),
+                    "total": round(r.total_s * 1e3, 2)} for r in results]
             out = {
                 "format": fmt,
-                "shape": list(roll.shape),
-                "provenance": {"batch": result.batch_index,
-                               "row": result.row},
-                "latency_ms": {"queue": round(result.queue_s * 1e3, 2),
-                               "total": round(result.total_s * 1e3, 2)},
+                "shape": list(results[0].roll.shape),
+                "provenance": prov[0] if n == 1 else prov,
+                "latency_ms": lat[0] if n == 1 else lat,
             }
             if fmt == "midi":
                 bpm = float(req.get("bpm", cfg.generate.bpm))
-                mid = pr.roll_to_midi(roll, spec, bpm=bpm)
-                out["midi_b64"] = base64.b64encode(
-                    midi_mod.dumps(mid)).decode()
+                mids = [base64.b64encode(midi_mod.dumps(
+                    pr.roll_to_midi(r.roll, spec, bpm=bpm))).decode()
+                    for r in results]
+                out["midi_b64"] = mids[0] if n == 1 else mids
             else:
                 buf = io.BytesIO()
+                roll = (results[0].roll if n == 1
+                        else np.stack([r.roll for r in results]))
                 np.savez_compressed(buf, roll=roll)
                 out["roll_b64"] = base64.b64encode(buf.getvalue()).decode()
+                if n > 1:
+                    out["shape"] = list(roll.shape)
             self._send(200, out)
 
     return Handler

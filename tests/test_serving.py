@@ -332,6 +332,27 @@ def test_http_server_roundtrip(tmp_path):
         assert list(roll.shape) == out["shape"]
         assert roll.shape[0] == cfg.generate.n_steps
 
+        # bulk request: n songs in one HTTP round trip, stacked npz
+        conn.request("POST", "/generate",
+                     body=json.dumps({"format": "roll", "n": 3}))
+        out = json.loads(conn.getresponse().read())
+        with np.load(io.BytesIO(base64.b64decode(out["roll_b64"]))) as z:
+            rolls = z["roll"]
+        assert rolls.shape == (3, cfg.generate.n_steps, 2,
+                               cfg.model.n_pitches)
+        assert len(out["provenance"]) == 3 and len(out["latency_ms"]) == 3
+        conn.request("POST", "/generate",
+                     body=json.dumps({"format": "midi", "n": 2}))
+        out = json.loads(conn.getresponse().read())
+        assert isinstance(out["midi_b64"], list) and len(out["midi_b64"]) == 2
+        for m in out["midi_b64"]:
+            midi_mod.loads(base64.b64decode(m))
+        conn.request("POST", "/generate",
+                     body=json.dumps({"format": "roll", "n": 0}))
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 400
+
         # seeded request: npz seed roll primes the model state
         seed = np.zeros((6, 2, cfg.model.n_pitches), np.uint8)
         seed[:, :, 3] = 1
