@@ -41,6 +41,7 @@ import collections
 import dataclasses
 import threading
 import time
+from concurrent.futures import Future
 from typing import List, Optional
 
 import numpy as np
@@ -74,35 +75,14 @@ class ServeResult:
     total_s: float             # enqueue -> resolution
 
 
-class _Future:
-    """Minimal thread-safe one-shot future (stdlib-only)."""
-
-    def __init__(self):
-        self._event = threading.Event()
-        self._value: Optional[ServeResult] = None
-        self._error: Optional[BaseException] = None
-
-    def _resolve(self, value: ServeResult) -> None:
-        self._value = value
-        self._event.set()
-
-    def _reject(self, error: BaseException) -> None:
-        self._error = error
-        self._event.set()
-
-    def result(self, timeout: Optional[float] = None) -> ServeResult:
-        if not self._event.wait(timeout):
-            raise TimeoutError("generation request timed out")
-        if self._error is not None:
-            raise self._error
-        return self._value
-
-
 class _Request:
+    """One queued generation; ``future`` is a stdlib
+    concurrent.futures.Future resolving to a ServeResult (``result(timeout)``
+    raises the builtin TimeoutError on expiry)."""
     __slots__ = ("future", "t_enqueue", "seed")
 
     def __init__(self, seed: Optional[np.ndarray] = None):
-        self.future = _Future()
+        self.future = Future()
         self.t_enqueue = time.time()
         self.seed = seed       # normalized model-space (seed_steps, K, D)
 
@@ -144,7 +124,11 @@ class GenerationService:
         self._base_key = jax.random.PRNGKey(self.serve_cfg.seed)
 
         self._lock = threading.Condition()
-        self._queue: collections.deque[_Request] = collections.deque()
+        # one FIFO per request KIND (unseeded/seeded) — a device batch holds
+        # one kind (different compiled programs), and per-kind deques make
+        # dispatch O(batch) instead of O(queue^2) under a deep backlog
+        self._queues = {False: collections.deque(),
+                        True: collections.deque()}
         self._closed = False
         self._inflight = threading.Semaphore(self.serve_cfg.pipeline_depth)
         # (device_array, requests, batch_index, t_dispatch) awaiting fetch
@@ -216,21 +200,28 @@ class GenerationService:
             enc = np.concatenate([pad, enc], axis=0)
         return enc.astype(np.float32)
 
-    def submit(self, seed: Optional[np.ndarray] = None) -> _Future:
-        """Enqueue one generation request; returns its future. ``seed``:
-        optional frame-space pianoroll (T, K, D_frame) to prime the model
-        state on (requires ServeConfig.seed_steps > 0; see
-        _normalize_seed for the fixed-shape normalization)."""
-        req = _Request(self._normalize_seed(seed) if seed is not None
-                       else None)
+    def submit(self, seed: Optional[np.ndarray] = None) -> Future:
+        """Enqueue one generation request; returns its future (resolving to
+        a ServeResult). ``seed``: optional frame-space pianoroll
+        (T, K, D_frame) to prime the model state on (requires
+        ServeConfig.seed_steps > 0; see _normalize_seed)."""
+        return self.submit_many(1, seed=seed)[0]
+
+    def submit_many(self, n: int,
+                    seed: Optional[np.ndarray] = None) -> List[Future]:
+        """Enqueue ``n`` requests atomically (one lock acquisition, one
+        seed normalization — the bulk front-end path); all carry the same
+        seed (or none). Returns their futures in submission order."""
+        norm = self._normalize_seed(seed) if seed is not None else None
+        reqs = [_Request(norm) for _ in range(n)]
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
-            self._queue.append(req)
+            self._queues[norm is not None].extend(reqs)
             self._lock.notify()
         with self._stats_lock:
-            self._n_requests += 1
-        return req.future
+            self._n_requests += n
+        return [r.future for r in reqs]
 
     def stats(self) -> dict:
         """Service counters + latency percentiles over the recent window."""
@@ -249,7 +240,7 @@ class GenerationService:
                 "padded_rows": self._n_padded_rows,
                 "errors": self._n_errors,
                 "uptime_s": round(uptime, 3),
-                "queued": len(self._queue),
+                "queued": sum(len(q) for q in self._queues.values()),
             }
             if lat.size:
                 out["latency_ms"] = {
@@ -276,11 +267,12 @@ class GenerationService:
             if self._closed:
                 return
             self._closed = True
-            pending = list(self._queue)
-            self._queue.clear()
+            pending = [r for q in self._queues.values() for r in q]
+            for q in self._queues.values():
+                q.clear()
             self._lock.notify_all()
         for req in pending:
-            req.future._reject(RuntimeError("service closed"))
+            req.future.set_exception(RuntimeError("service closed"))
         with self._done_cv:
             self._done_cv.notify_all()
         self._dispatcher.join(timeout)
@@ -291,26 +283,22 @@ class GenerationService:
     def _take_batch(self) -> Optional[List[_Request]]:
         """Block until >=1 request; then wait up to max_wait_ms for the
         batch to fill. A device batch holds ONE kind of request (seeded or
-        unseeded — they are different compiled programs): the head request
-        picks the kind, and only its kind coalesces behind it (others keep
-        their queue position for the next batch). Returns None on
-        shutdown."""
+        unseeded — they are different compiled programs): the OLDEST queued
+        request picks the kind, and only its kind coalesces behind it (the
+        other kind keeps its queue for the next batch). O(batch) per
+        dispatch. Returns None on shutdown."""
         deadline = None
         with self._lock:
             while True:
-                if self._queue:
-                    seeded = self._queue[0].seed is not None
-                    same = [r for r in self._queue
-                            if (r.seed is not None) == seeded]
+                live = [q for q in self._queues.values() if q]
+                if live:
+                    q = min(live, key=lambda q: q[0].t_enqueue)
                     if deadline is None:
-                        deadline = (self._queue[0].t_enqueue
+                        deadline = (q[0].t_enqueue
                                     + self.serve_cfg.max_wait_ms / 1e3)
-                    if (len(same) >= self.batch
-                            or time.time() >= deadline):
-                        reqs = same[:self.batch]
-                        for r in reqs:
-                            self._queue.remove(r)
-                        return reqs
+                    if len(q) >= self.batch or time.time() >= deadline:
+                        return [q.popleft()
+                                for _ in range(min(self.batch, len(q)))]
                     self._lock.wait(max(deadline - time.time(), 0.0))
                 elif self._closed:
                     return None
@@ -348,7 +336,7 @@ class GenerationService:
                 with self._stats_lock:
                     self._n_errors += len(reqs)
                 for r in reqs:
-                    r.future._reject(e)
+                    r.future.set_exception(e)
                 continue
             with self._done_cv:
                 self._done_q.append((out, reqs, bi, t_dispatch))
@@ -375,7 +363,7 @@ class GenerationService:
                 with self._stats_lock:
                     self._n_errors += len(reqs)
                 for r in reqs:
-                    r.future._reject(e)
+                    r.future.set_exception(e)
                 continue
             self._inflight.release()
             t_done = time.time()
@@ -385,7 +373,7 @@ class GenerationService:
                     self._queue_waits.append(t_dispatch - r.t_enqueue)
                     self._done_times.append(t_done)
             for row, r in enumerate(reqs):
-                r.future._resolve(ServeResult(
+                r.future.set_result(ServeResult(
                     roll=rolls[row], batch_index=bi, row=row,
                     queue_s=t_dispatch - r.t_enqueue,
                     total_s=t_done - r.t_enqueue))

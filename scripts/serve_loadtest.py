@@ -55,11 +55,16 @@ def parse_args(argv=None):
                    help="submit ALL requests upfront from one thread "
                         "(service-ceiling measurement: no client-thread "
                         "GIL noise; --clients ignored; direct mode only)")
+    p.add_argument("--bulk-n", type=int, default=1,
+                   help="songs per HTTP POST (the bulk endpoint; --http "
+                        "only). --requests still counts SONGS")
     return p.parse_known_args(argv)
 
 
 def percentiles(xs):
     xs = np.asarray(xs, np.float64)
+    if not xs.size:
+        return {}
     return {f"p{q}": round(float(np.percentile(xs, q)) * 1e3, 2)
             for q in (50, 95, 99)}
 
@@ -73,13 +78,21 @@ def run_open_loop(service, n_requests, seed_roll, seeded_frac):
         seed = seed_roll if (seed_roll is not None
                              and (i % 100) < seeded_frac * 100) else None
         futures.append((time.time(), service.submit(seed=seed)))
-    lat = [f.result(timeout=600).total_s for _, f in futures]
-    return time.time() - t0, lat
+    lat, failed = [], 0
+    for _, f in futures:
+        try:
+            lat.append(f.result(timeout=600).total_s)
+        except Exception as e:
+            failed += 1
+            print(f"request failed: {e!r}", file=sys.stderr)
+    return time.time() - t0, lat, failed
 
 
 def run_direct(service, n_requests, n_clients, seed_roll, seeded_frac):
-    """Closed loop over the in-process service API."""
-    lat, lock = [], threading.Lock()
+    """Closed loop over the in-process service API. A failed request is
+    COUNTED (never silently swallowed — songs/s over partial failures
+    would read as healthy throughput) and ends its client thread."""
+    lat, failed, lock = [], [0], threading.Lock()
     counter = [0]
 
     def client():
@@ -92,7 +105,13 @@ def run_direct(service, n_requests, n_clients, seed_roll, seeded_frac):
             seed = seed_roll if (seed_roll is not None
                                  and (i % 100) < seeded_frac * 100) else None
             t0 = time.time()
-            service.submit(seed=seed).result(timeout=600)
+            try:
+                service.submit(seed=seed).result(timeout=600)
+            except Exception as e:
+                with lock:
+                    failed[0] += 1
+                print(f"request failed: {e!r}", file=sys.stderr)
+                return
             with lock:
                 lat.append(time.time() - t0)
 
@@ -102,7 +121,7 @@ def run_direct(service, n_requests, n_clients, seed_roll, seeded_frac):
         t.start()
     for t in threads:
         t.join()
-    return time.time() - t0, lat
+    return time.time() - t0, lat, failed[0]
 
 
 def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
@@ -131,8 +150,9 @@ def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
         np.savez_compressed(buf, roll=seed_roll)
         seed_b64 = base64.b64encode(buf.getvalue()).decode()
 
-    lat, lock = [], threading.Lock()
-    counter = [0]
+    bulk_n = max(1, args.bulk_n)
+    lat, failed, lock = [], [0], threading.Lock()
+    counter = [0]                              # SONGS claimed so far
 
     def client():
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
@@ -142,17 +162,28 @@ def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
                 if i >= n_requests:
                     conn.close()
                     return
-                counter[0] += 1
+                take = min(bulk_n, n_requests - i)
+                counter[0] += take
             body = {"format": "roll"}
+            if take > 1:
+                body["n"] = take
             if seed_b64 is not None and (i % 100) < seeded_frac * 100:
                 body["seed_b64"] = seed_b64
             t0 = time.time()
-            conn.request("POST", "/generate", body=json.dumps(body))
-            resp = conn.getresponse()
-            resp.read()
-            assert resp.status == 200, resp.status
+            try:
+                conn.request("POST", "/generate", body=json.dumps(body))
+                resp = conn.getresponse()
+                resp.read()
+                if resp.status != 200:
+                    raise RuntimeError(f"HTTP {resp.status}")
+            except Exception as e:
+                with lock:
+                    failed[0] += take
+                print(f"request failed: {e!r}", file=sys.stderr)
+                conn.close()
+                return
             with lock:
-                lat.append(time.time() - t0)
+                lat.extend([time.time() - t0] * take)
 
     t0 = time.time()
     threads = [threading.Thread(target=client) for _ in range(n_clients)]
@@ -165,7 +196,7 @@ def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
     httpd.shutdown()
     service.close()
     t.join(timeout=30)
-    return wall, lat, stats
+    return wall, lat, failed[0], stats
 
 
 def main(argv=None) -> int:
@@ -184,9 +215,9 @@ def main(argv=None) -> int:
                      < 0.05).astype(np.uint8)
 
     if args.http:
-        wall, lat, stats = run_http(args, overrides, args.requests,
-                                    args.clients, seed_roll,
-                                    args.seeded_frac)
+        wall, lat, failed, stats = run_http(args, overrides, args.requests,
+                                            args.clients, seed_roll,
+                                            args.seeded_frac)
         mode = "http"
     else:
         import jax
@@ -206,12 +237,13 @@ def main(argv=None) -> int:
             pipeline_depth=args.pipeline_depth, seed=cfg.train.seed,
             seed_steps=args.seed_steps))
         if args.open_loop:
-            wall, lat = run_open_loop(service, args.requests, seed_roll,
-                                      args.seeded_frac)
+            wall, lat, failed = run_open_loop(service, args.requests,
+                                              seed_roll, args.seeded_frac)
             mode = "open-loop"
         else:
-            wall, lat = run_direct(service, args.requests, args.clients,
-                                   seed_roll, args.seeded_frac)
+            wall, lat, failed = run_direct(service, args.requests,
+                                           args.clients, seed_roll,
+                                           args.seeded_frac)
             mode = "direct"
         stats = service.stats()
         service.close()
@@ -225,13 +257,17 @@ def main(argv=None) -> int:
         "n_steps": stats["n_steps"],
         "seeded_batches": stats.get("seeded_batches", 0),
         "wall_s": round(wall, 3),
-        "songs_per_s": round(args.requests / wall, 1),
+        "songs_per_s": round(len(lat) / wall, 1),   # COMPLETED songs only
+        "completed": len(lat),
+        "failed": failed,
         "latency_ms": percentiles(lat),
         "padded_rows": stats["padded_rows"],
         "errors": stats["errors"],
     }
+    if args.http and args.bulk_n > 1:
+        out["bulk_n"] = args.bulk_n
     print(json.dumps(out))
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -133,18 +133,26 @@ def make_handler(cfg, service, timeout_s: float):
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            # drain the body FIRST, whatever the path: under keep-alive an
+            # unread body desyncs the connection for the next request
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length)
             if self.path != "/generate":
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
-            n = int(self.headers.get("Content-Length") or 0)
             try:
-                req = json.loads(self.rfile.read(n) or b"{}")
+                req = json.loads(body or b"{}")
             except ValueError:
                 self._send(400, {"error": "body must be JSON"})
                 return
             fmt = req.get("format", "midi")
             if fmt not in ("midi", "roll"):
                 self._send(400, {"error": "format must be 'midi' or 'roll'"})
+                return
+            try:
+                bpm = float(req.get("bpm", cfg.generate.bpm))
+            except (TypeError, ValueError):
+                self._send(400, {"error": "bpm must be a number"})
                 return
             seed = None
             if "seed_b64" in req:
@@ -157,20 +165,24 @@ def make_handler(cfg, service, timeout_s: float):
                                               "an npz with key 'roll'"})
                     return
             n = req.get("n", 1)
-            if not isinstance(n, int) or not 1 <= n <= 1024:
+            if type(n) is not int or not 1 <= n <= 1024:
                 self._send(400, {"error": "n must be an int in [1, 1024]"})
                 return
             try:
-                futures = [service.submit(seed=seed) for _ in range(n)]
-                results = [f.result(timeout=timeout_s) for f in futures]
+                futures = service.submit_many(n, seed=seed)
             except ValueError as e:            # seed validation
                 self._send(400, {"error": str(e)})
                 return
+            except RuntimeError as e:          # service closed
+                self._send(503, {"error": str(e)})
+                return
+            try:
+                results = [f.result(timeout=timeout_s) for f in futures]
             except TimeoutError:
                 self._send(504, {"error": "generation timed out"})
                 return
-            except RuntimeError as e:
-                self._send(503, {"error": str(e)})
+            except Exception as e:             # drainer-side failure
+                self._send(500, {"error": f"generation failed: {e}"})
                 return
             prov = [{"batch": r.batch_index, "row": r.row} for r in results]
             lat = [{"queue": round(r.queue_s * 1e3, 2),
@@ -182,7 +194,6 @@ def make_handler(cfg, service, timeout_s: float):
                 "latency_ms": lat[0] if n == 1 else lat,
             }
             if fmt == "midi":
-                bpm = float(req.get("bpm", cfg.generate.bpm))
                 mids = [base64.b64encode(midi_mod.dumps(
                     pr.roll_to_midi(r.roll, spec, bpm=bpm))).decode()
                     for r in results]
