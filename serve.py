@@ -216,6 +216,12 @@ def serve(args, overrides, ready_event: threading.Event = None,
     cfg, service = build_service(args, overrides)
     handler = make_handler(cfg, service, args.timeout_s)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
+    if threading.current_thread() is threading.main_thread():
+        import signal                          # SIGTERM drains like ctrl-C
+
+        def _term(signum, frame):
+            raise KeyboardInterrupt
+        signal.signal(signal.SIGTERM, _term)
     if server_box is not None:
         server_box.append((httpd, service))
     print(f"serving {cfg.name} on http://{args.host}:{httpd.server_port}  "
