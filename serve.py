@@ -220,6 +220,9 @@ def serve(args, overrides, ready_event: threading.Event = None,
         import signal                          # SIGTERM drains like ctrl-C
 
         def _term(signum, frame):
+            # one-shot: impatient supervisors repeat TERM; a second one
+            # must not interrupt the drain below
+            signal.signal(signal.SIGTERM, signal.SIG_IGN)
             raise KeyboardInterrupt
         signal.signal(signal.SIGTERM, _term)
     if server_box is not None:
@@ -234,8 +237,11 @@ def serve(args, overrides, ready_event: threading.Event = None,
     except KeyboardInterrupt:
         pass
     finally:
-        httpd.server_close()
-        service.close()
+        try:                         # repeated ctrl-C must not skip the
+            httpd.server_close()     # in-flight drain mid-way
+            service.close()
+        except KeyboardInterrupt:
+            pass
     return 0
 
 
