@@ -206,6 +206,33 @@ def bench():
         songs_per_sec = 1.0 / per_song_b8
         pipe_songs_per_sec = songs_per_sec
 
+    # serving SERVICE end-to-end (multinn_tpu/serving, r4): the full
+    # runtime — queue -> continuous batching -> bounded async pipeline ->
+    # drain/finalize/futures — open-loop at the gate-max batch. COMPLETED
+    # songs only; kernel-level rows above remain the device ceiling.
+    svc_songs_per_sec = 0.0
+    if b_serve:
+        from multinn_tpu.serving import GenerationService, ServeConfig
+        from multinn_tpu.utils import config as _cfgm
+        _data = _cfgm.DataConfig.from_preset(
+            "synthetic", n_tracks=cfg.n_tracks, pitch_min=21,
+            pitch_max=21 + cfg.n_pitches - 1, window=32, batch_size=8)
+        _ecfg = _cfgm.ExperimentConfig(
+            name="bench_serve", data=_data, model=cfg,
+            generate=_cfgm.GenerateConfig(n_steps=n_steps)).validate()
+        svc = GenerationService(_ecfg, params,
+                                ServeConfig(batch=b_serve, n_steps=n_steps,
+                                            max_wait_ms=2.0))
+        try:
+            n_req = 8 * b_serve
+            t0 = time.time()
+            futs = svc.submit_many(n_req)
+            for f in futs:
+                f.result(timeout=600)
+            svc_songs_per_sec = n_req / (time.time() - t0)
+        finally:
+            svc.close()
+
     # RNN-NADE flagship generation (the second decoder family's fused
     # whole-generation kernel; same slope method for device time)
     cfg_n = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
@@ -328,6 +355,7 @@ def bench():
             "gen_per_song_s_at_batch8": round(per_song_b8, 4),
             "serving_songs_per_sec": round(songs_per_sec, 1),
             "serving_pipelined_songs_per_sec": round(pipe_songs_per_sec, 1),
+            "serving_service_songs_per_sec": round(svc_songs_per_sec, 1),
             "serving_batch": b_serve,
             "serving_nade_songs_per_sec": round(nade_songs_per_sec, 1),
             "serving_nade_pipelined_songs_per_sec":

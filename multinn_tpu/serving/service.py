@@ -155,14 +155,15 @@ class GenerationService:
         # accepting traffic (first request must not pay the cold compile):
         # one unseeded program, plus one seeded program iff seed_steps > 0
         warm = self.generator.generate_async(self._base_key, self.n_steps,
-                                             self.batch)
+                                             self.batch, packed=True)
         np.asarray(warm)    # value fetch = the provable completion barrier
         if self.serve_cfg.seed_steps > 0:
             zeros = np.zeros((self.batch, self.serve_cfg.seed_steps,
                               cfg.model.n_tracks, cfg.model.n_pitches),
                              np.float32)
             np.asarray(self.generator.generate_async(
-                self._base_key, self.n_steps, self.batch, seed=zeros))
+                self._base_key, self.n_steps, self.batch, seed=zeros,
+                packed=True))
 
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             name="multinn-serve-dispatch",
@@ -330,7 +331,8 @@ class GenerationService:
             try:
                 out = self.generator.generate_async(key, self.n_steps,
                                                     self.batch,
-                                                    seed=seed_arr)
+                                                    seed=seed_arr,
+                                                    packed=True)
             except Exception as e:            # pragma: no cover - defensive
                 self._inflight.release()
                 with self._stats_lock:
@@ -353,10 +355,13 @@ class GenerationService:
                     self._done_cv.wait(0.1)
                 out, reqs, bi, t_dispatch = self._done_q.popleft()
             try:
-                # value fetch forces device completion; the roll is already
-                # uint8 on device (Generator casts before it leaves the
-                # chip), so this is a straight byte copy
-                rolls = np.asarray(out)
+                # value fetch forces device completion; the roll ships
+                # BIT-PACKED (ops/bitpack — 8x fewer device->host bytes;
+                # the drain fetch is the serving bottleneck at full 64-bar
+                # payloads) and unpacks at numpy C speed here
+                from multinn_tpu.ops import bitpack
+                rolls = bitpack.unpack_rolls(np.asarray(out),
+                                             self.cfg.model.n_pitches)
                 rolls = self.generator.finalize(rolls)
             except Exception as e:            # pragma: no cover - defensive
                 self._inflight.release()

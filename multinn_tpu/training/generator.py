@@ -58,7 +58,8 @@ class Generator:
 
         gibbs_k = getattr(cfg.generate, "gibbs_k", 0) or None
 
-        def _impl(params, key, seed, n_steps: int, batch: int):
+        def _impl(params, key, seed, n_steps: int, batch: int,
+                  packed: bool):
             state = multinn.init_state(params, batch)
             if seed is not None:
                 state = multinn.prime(params, state, seed)
@@ -71,13 +72,19 @@ class Generator:
             # generate.gibbs_k overrides the model's gen_k (0 = model default)
             _, roll = multinn.generate(params, key, state, n_steps,
                                        fused=fused, k=gibbs_k)
-            # binary {0,1} roll leaves the device as uint8: 4x fewer
-            # device->host bytes than f32 (the serving drain fetch and the
-            # tunnel are the generation path's host bottleneck)
+            # binary {0,1} roll leaves the device as uint8 (4x fewer
+            # device->host bytes than f32); ``packed`` bit-packs the pitch
+            # axis on device for another 8x (ops/bitpack) — generation is
+            # compute-cheap enough that the DRAIN is the serving
+            # bottleneck, so transport bytes are the currency here
+            if packed:
+                from multinn_tpu.ops import bitpack
+                return bitpack.pack_rolls(roll)
             return roll.astype(jnp.uint8)
 
-        # one compiled program per (n_steps, batch, seed-shape) combination
-        self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch"))
+        # one compiled program per (n_steps, batch, packed, seed-shape)
+        self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch",
+                                                         "packed"))
 
     def _constrain_state_batch(self, state, batch: int):
         """Trace-time sharding constraint pinning an UNSEEDED generation
@@ -105,7 +112,8 @@ class Generator:
                 self.mesh, mesh_mod.P(mesh_mod.DATA_AXIS)))
         return state.replace(decoder=decoder, ctx=ctx)
 
-    def _generate_impl(self, key, seed, n_steps: int, batch: int):
+    def _generate_impl(self, key, seed, n_steps: int, batch: int,
+                       packed: bool = False):
         if self.mesh is not None and seed is not None:
             from multinn_tpu.parallel import mesh as mesh_mod
             n_data = self.mesh.shape[mesh_mod.DATA_AXIS]
@@ -124,25 +132,29 @@ class Generator:
         # per shape traces; later calls hit the jit cache)
         from multinn_tpu.ops import sampling
         with sampling.partitionable_ctx(self.mesh):
-            return self._jit_impl(self.params, key, seed, n_steps, batch)
+            return self._jit_impl(self.params, key, seed, n_steps, batch,
+                                  packed)
 
     def generate_async(self, key: jax.Array, n_steps: int,
                        batch: int = 1,
-                       seed: Optional[np.ndarray] = None) -> jax.Array:
+                       seed: Optional[np.ndarray] = None,
+                       packed: bool = False) -> jax.Array:
         """Dispatch one generation WITHOUT blocking on the result: returns
-        the lazy device array (model-space roll, (batch, n_steps, K, D));
-        materialize with np.asarray when needed. ``seed``: optional
-        (batch, T_seed, K, D) model-space priming roll (one compiled
-        program per seed shape). This is the serving building block
-        (multinn_tpu/serving): JAX dispatch is asynchronous, so a serving
-        loop that submits batches back-to-back pipelines the host dispatch
-        floor behind device work (the measured +~50% steady-state
-        throughput — BASELINE.md pipelined-serving rows)."""
+        the lazy device array (model-space roll, (batch, n_steps, K, D)
+        uint8 — or (batch, n_steps, K, ceil(D/8)) bit-packed when
+        ``packed``, see ops/bitpack.unpack_rolls); materialize with
+        np.asarray when needed. ``seed``: optional (batch, T_seed, K, D)
+        model-space priming roll (one compiled program per seed shape).
+        This is the serving building block (multinn_tpu/serving): JAX
+        dispatch is asynchronous, so a serving loop that submits batches
+        back-to-back pipelines the host dispatch floor behind device work,
+        and ``packed`` cuts the drain's device->host bytes 8x (the serving
+        bottleneck at full 64-bar payloads — BASELINE.md)."""
         seed_dev = (None if seed is None
                     else jnp.asarray(seed).astype(jnp.float32))
         if seed_dev is not None and seed_dev.shape[0] != batch:
             raise ValueError(f"seed batch {seed_dev.shape[0]} != {batch}")
-        return self._generate_impl(key, seed_dev, n_steps, batch)
+        return self._generate_impl(key, seed_dev, n_steps, batch, packed)
 
     def generate(self, key: jax.Array, n_steps: int,
                  seed: Optional[np.ndarray] = None,

@@ -224,6 +224,34 @@ def test_service_seeded_onset_hold_encodes_seed():
         svc.close()
 
 
+def test_bitpack_roundtrip_matches_numpy_packbits():
+    """ops/bitpack: the device pack matches np.packbits bit-exactly and
+    unpack inverts it, incl. a pitch dim that is not a multiple of 8."""
+    from multinn_tpu.ops import bitpack
+    rng = np.random.RandomState(0)
+    for d in (84, 88, 1, 8, 13):
+        roll = (rng.rand(3, 5, 2, d) < 0.3).astype(np.uint8)
+        packed = np.asarray(bitpack.pack_rolls(roll))
+        assert packed.shape == (3, 5, 2, (d + 7) // 8)
+        np.testing.assert_array_equal(packed,
+                                      np.packbits(roll, axis=-1))
+        np.testing.assert_array_equal(bitpack.unpack_rolls(packed, d), roll)
+
+
+def test_generate_async_packed_matches_unpacked():
+    """Generator.generate_async(packed=True) ships the same roll bits."""
+    from multinn_tpu.ops import bitpack
+    cfg = tiny_cfg()
+    params = multinn.init(jax.random.PRNGKey(0), cfg.model)
+    from multinn_tpu.training.generator import Generator
+    gen = Generator(cfg, params)
+    key = jax.random.PRNGKey(7)
+    plain = np.asarray(gen.generate_async(key, 8, 4))
+    packed = np.asarray(gen.generate_async(key, 8, 4, packed=True))
+    np.testing.assert_array_equal(
+        bitpack.unpack_rolls(packed, cfg.model.n_pitches), plain)
+
+
 def test_auto_batch_picks_gate_or_fallback():
     from multinn_tpu.serving import service as svc_mod
     cfg = tiny_cfg()
