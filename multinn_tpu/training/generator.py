@@ -165,8 +165,14 @@ class Generator:
                     else jnp.asarray(seed).astype(jnp.float32))
         if seed_dev is not None:
             batch = seed_dev.shape[0]
-        roll = self._generate_impl(key, seed_dev, n_steps, batch)
-        return np.asarray(jax.device_get(roll))   # uint8 on device already
+        # transport bit-packed and unpack on host (8x fewer device->host
+        # bytes; bit-exact — ops/bitpack): the fetch, not generation,
+        # dominates wall time for big sample batches
+        from multinn_tpu.ops import bitpack
+        packed = self._generate_impl(key, seed_dev, n_steps, batch,
+                                     packed=True)
+        return bitpack.unpack_rolls(np.asarray(jax.device_get(packed)),
+                                    self.cfg.model.n_pitches)
 
     def finalize(self, rolls: np.ndarray) -> np.ndarray:
         """Model-space rolls -> user-facing FRAME pianorolls: decode the
