@@ -3,8 +3,9 @@
 A generated roll is binary {0,1}, but even as uint8 it ships 8x more
 bytes than information: a 64-bar 5-track batch of 128 songs is 53 MB,
 and the serving drain is BANDWIDTH-bound on the device->host link (on
-this environment's tunneled PJRT, ~9 MB/s — measured r4; on a co-located
-host the same 8x still cuts PCIe/NUMA traffic and egress). Packing on
+this environment's tunneled PJRT, ~6-17 MB/s depending on load —
+measured r4, vs ~1.4 GB/s host->device; on a co-located host the same
+8x still cuts PCIe/NUMA traffic and egress). Packing on
 device is one reshape + dot per roll (VPU-trivial next to generation);
 unpacking on host is numpy's C-speed ``unpackbits``.
 

@@ -356,12 +356,11 @@ class GenerationService:
                 out, reqs, bi, t_dispatch = self._done_q.popleft()
             try:
                 # value fetch forces device completion; the roll ships
-                # BIT-PACKED (ops/bitpack — 8x fewer device->host bytes;
-                # the drain fetch is the serving bottleneck at full 64-bar
-                # payloads) and unpacks at numpy C speed here
-                from multinn_tpu.ops import bitpack
-                rolls = bitpack.unpack_rolls(np.asarray(out),
-                                             self.cfg.model.n_pitches)
+                # BIT-PACKED (8x fewer device->host bytes; the drain fetch
+                # is the serving bottleneck at full 64-bar payloads) —
+                # Generator.fetch_rolls is the transport contract's single
+                # decode point
+                rolls = self.generator.fetch_rolls(out)
                 rolls = self.generator.finalize(rolls)
             except Exception as e:            # pragma: no cover - defensive
                 self._inflight.release()

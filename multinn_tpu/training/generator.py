@@ -168,9 +168,16 @@ class Generator:
         # transport bit-packed and unpack on host (8x fewer device->host
         # bytes; bit-exact — ops/bitpack): the fetch, not generation,
         # dominates wall time for big sample batches
-        from multinn_tpu.ops import bitpack
         packed = self._generate_impl(key, seed_dev, n_steps, batch,
                                      packed=True)
+        return self.fetch_rolls(packed)
+
+    def fetch_rolls(self, packed) -> np.ndarray:
+        """Materialize a ``packed=True`` generation result: value fetch +
+        bit-unpack to (batch, n_steps, K, D) uint8. The transport
+        contract's SINGLE decode point — every consumer of packed rolls
+        (generate() above, the serving drain) goes through here."""
+        from multinn_tpu.ops import bitpack
         return bitpack.unpack_rolls(np.asarray(jax.device_get(packed)),
                                     self.cfg.model.n_pitches)
 

@@ -216,32 +216,41 @@ def serve(args, overrides, ready_event: threading.Event = None,
     cfg, service = build_service(args, overrides)
     handler = make_handler(cfg, service, args.timeout_s)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
-    if threading.current_thread() is threading.main_thread():
-        import signal                          # SIGTERM drains like ctrl-C
-
-        def _term(signum, frame):
-            # one-shot: impatient supervisors repeat TERM; a second one
-            # must not interrupt the drain below
-            signal.signal(signal.SIGTERM, signal.SIG_IGN)
-            raise KeyboardInterrupt
-        signal.signal(signal.SIGTERM, _term)
-    if server_box is not None:
-        server_box.append((httpd, service))
-    print(f"serving {cfg.name} on http://{args.host}:{httpd.server_port}  "
-          f"(batch={service.batch}, n_steps={service.n_steps}, "
-          f"pipeline_depth={service.serve_cfg.pipeline_depth})")
-    if ready_event is not None:
-        ready_event.set()
+    is_main = threading.current_thread() is threading.main_thread()
     try:
+        # handler installed INSIDE the try: a TERM in the ready/print
+        # window below must reach the drain in the finally, not escape
+        # serve() as an uncaught KeyboardInterrupt
+        if is_main:
+            import signal                      # SIGTERM drains like ctrl-C
+
+            def _term(signum, frame):
+                raise KeyboardInterrupt
+            signal.signal(signal.SIGTERM, _term)
+        if server_box is not None:
+            server_box.append((httpd, service))
+        print(f"serving {cfg.name} on http://{args.host}:{httpd.server_port}"
+              f"  (batch={service.batch}, n_steps={service.n_steps}, "
+              f"pipeline_depth={service.serve_cfg.pipeline_depth})")
+        if ready_event is not None:
+            ready_event.set()
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        try:                         # repeated ctrl-C must not skip the
-            httpd.server_close()     # in-flight drain mid-way
+        # shutting down: mask BOTH signals before draining so a repeated
+        # ctrl-C / TERM (impatient operator or supervisor) cannot abort
+        # the in-flight drain or skip service.close()
+        if is_main:
+            import signal
+            signal.signal(signal.SIGTERM, signal.SIG_IGN)
+            signal.signal(signal.SIGINT, signal.SIG_IGN)
+        try:                 # a KI already queued before the masking above
+            httpd.server_close()
             service.close()
         except KeyboardInterrupt:
-            pass
+            httpd.server_close()
+            service.close()
     return 0
 
 
