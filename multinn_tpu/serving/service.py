@@ -362,7 +362,7 @@ class GenerationService:
                 # decode point
                 rolls = self.generator.fetch_rolls(out)
                 rolls = self.generator.finalize(rolls)
-            except Exception as e:            # pragma: no cover - defensive
+            except Exception as e:            # covered: drainer-failure test
                 self._inflight.release()
                 with self._stats_lock:
                     self._n_errors += len(reqs)

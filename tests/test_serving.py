@@ -224,6 +224,35 @@ def test_service_seeded_onset_hold_encodes_seed():
         svc.close()
 
 
+def test_service_survives_drainer_failure():
+    """A failing drain (fetch/decode error) rejects THAT batch's futures
+    with the error, counts it, releases the pipeline slot, and the service
+    keeps serving subsequent batches."""
+    cfg = tiny_cfg()
+    svc = make_service(cfg)
+    try:
+        real = svc.generator.fetch_rolls
+        calls = [0]
+
+        def flaky(out):
+            calls[0] += 1
+            if calls[0] == 1:
+                raise RuntimeError("injected drain failure")
+            return real(out)
+
+        svc.generator.fetch_rolls = flaky
+        bad = svc.submit()
+        with pytest.raises(RuntimeError, match="injected"):
+            bad.result(timeout=60)
+        ok = svc.submit()                     # service must still work
+        r = ok.result(timeout=60)
+        assert r.roll.shape[0] == cfg.generate.n_steps
+        st = svc.stats()
+        assert st["errors"] == 1 and st["batches"] == 2
+    finally:
+        svc.close()
+
+
 def test_bitpack_roundtrip_matches_numpy_packbits():
     """ops/bitpack: the device pack matches np.packbits bit-exactly and
     unpack inverts it, incl. a pitch dim that is not a multiple of 8."""
