@@ -41,12 +41,18 @@ PRESETS: Dict[str, dict] = {
                 source="pickle"),
     "nottingham": dict(n_tracks=1, pitch_min=21, pitch_max=108,
                        steps_per_quarter=4, source="pickle"),
+    # multi-track presets exclude track 0 (drums — lpd5_track_index) from
+    # the transposition augmentation; augmentation itself stays opt-in
+    # (transpose_range=0)
     "lpd5": dict(n_tracks=5, pitch_min=24, pitch_max=107,
-                 steps_per_quarter=4, source="midi_dir"),
+                 steps_per_quarter=4, source="midi_dir",
+                 transpose_exclude=(0,)),
     "lakh": dict(n_tracks=5, pitch_min=24, pitch_max=107,
-                 steps_per_quarter=4, source="midi_dir"),
+                 steps_per_quarter=4, source="midi_dir",
+                 transpose_exclude=(0,)),
     "synthetic": dict(n_tracks=5, pitch_min=24, pitch_max=107,
-                      steps_per_quarter=4, source="synthetic"),
+                      steps_per_quarter=4, source="synthetic",
+                      transpose_exclude=(0,)),
 }
 
 
@@ -73,12 +79,36 @@ class DataConfig:
     # doubles the per-track visible width to frame_dim, fixes the
     # note-fragmentation quality limit; beyond the reference).
     encoding: str = "frame"
+    # TRAIN-time pitch-transposition augmentation (classic for symbolic
+    # music — Boulanger-Lewandowski 2012 trained on transposed corpora):
+    # each training window is shifted by a uniform random number of
+    # semitones in [-transpose_range, +transpose_range] (0 = off), zero-fill
+    # at the range edges (shifted-out notes drop). Deterministic per
+    # (seed, epoch); eval/test batches and seed windows are NEVER
+    # augmented. transpose_exclude lists track indices left unshifted
+    # (drums — their pitch axis indexes instruments, not semitones).
+    transpose_range: int = 0
+    transpose_exclude: Tuple[int, ...] = ()
 
     def __post_init__(self):
         if self.encoding not in ("frame", "onset_hold"):
             raise ValueError(
                 f"data.encoding must be 'frame' or 'onset_hold', "
                 f"got {self.encoding!r}")
+        if self.transpose_range < 0:
+            raise ValueError(
+                f"data.transpose_range must be >= 0, "
+                f"got {self.transpose_range}")
+        if self.transpose_range >= self.n_pitches:
+            raise ValueError(
+                f"data.transpose_range={self.transpose_range} must be < "
+                f"n_pitches={self.n_pitches}")
+        bad = [k for k in self.transpose_exclude
+               if not 0 <= k < self.n_tracks]
+        if bad:
+            raise ValueError(
+                f"data.transpose_exclude indices {bad} out of range for "
+                f"n_tracks={self.n_tracks}")
 
     @staticmethod
     def from_preset(dataset: str, **overrides) -> "DataConfig":
@@ -387,14 +417,40 @@ class Dataset:
         if shuffle:
             rng = np.random.default_rng((self.cfg.seed, epoch))
             rng.shuffle(idx)
+        # train-time transposition augmentation (host-side, uint8 — cheap
+        # next to the device step). Gated on the TRAIN split only so eval
+        # likelihoods/metrics stay on the true corpus.
+        aug_rng = (np.random.default_rng((self.cfg.seed, epoch, 0xA46))
+                   if self.cfg.transpose_range > 0 and split == "train"
+                   else None)
         masks = self.masks.get(split) if with_masks else None
+
+        def emit(sel):
+            batch = data[sel]
+            if aug_rng is not None:
+                batch = self._transpose_batch(batch, aug_rng)
+            return (batch, masks[sel]) if with_masks else batch
         n_full = len(data) // bs
         for i in range(n_full):
-            sel = idx[i * bs:(i + 1) * bs]
-            yield (data[sel], masks[sel]) if with_masks else data[sel]
+            yield emit(idx[i * bs:(i + 1) * bs])
         if not drop_remainder and len(data) % bs:
-            sel = idx[n_full * bs:]
-            yield (data[sel], masks[sel]) if with_masks else data[sel]
+            yield emit(idx[n_full * bs:])
+
+    def _transpose_batch(self, batch: np.ndarray,
+                         rng: np.random.Generator) -> np.ndarray:
+        """Per-window uniform shift in [-R, R] semitones (R =
+        cfg.transpose_range), grouped by shift value so each distinct shift
+        is one vectorized pianoroll.transpose_roll pass."""
+        r = self.cfg.transpose_range
+        shifts = rng.integers(-r, r + 1, size=len(batch))
+        out = batch.copy()
+        for s in np.unique(shifts):
+            if s == 0:
+                continue
+            m = shifts == s
+            out[m] = pr.transpose_roll(batch[m], int(s), self.cfg.n_pitches,
+                                       exclude=self.cfg.transpose_exclude)
+        return out
 
     def seed_windows(self, split: str = "valid", n: int = 1) -> np.ndarray:
         """Seed pianorolls for the generator (C14 priming)."""

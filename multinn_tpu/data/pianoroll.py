@@ -160,6 +160,38 @@ def encode_onset_hold(roll: np.ndarray) -> np.ndarray:
     return np.concatenate([roll & ~prev & 1, roll & prev], axis=-1)
 
 
+def transpose_roll(roll: np.ndarray, shift: int, n_pitches: int,
+                   exclude: tuple = ()) -> np.ndarray:
+    """Shift the pitch axis of a (..., K, F) roll by ``shift`` semitones,
+    zero-filling — notes shifted outside [0, n_pitches) are DROPPED (the
+    standard symbolic-music transposition augmentation). F may be
+    ``n_pitches`` (frame encoding) or a multiple (onset_hold's [onset|hold]
+    blocks): each n_pitches-wide block shifts independently, which is exact
+    because the onset/hold encoding is pointwise per pitch. Track indices
+    in ``exclude`` are returned UNSHIFTED — drum tracks' "pitch" axis
+    indexes percussion instruments, not semitones (lpd5_track_index puts
+    drums at track 0)."""
+    roll = np.asarray(roll)
+    f = roll.shape[-1]
+    if f % n_pitches:
+        raise ValueError(f"roll last dim {f} not a multiple of {n_pitches}")
+    if abs(shift) >= n_pitches:
+        raise ValueError(f"|shift|={abs(shift)} >= n_pitches={n_pitches}")
+    if shift == 0:
+        return roll
+    out = np.zeros_like(roll)
+    for b0 in range(0, f, n_pitches):
+        if shift > 0:
+            out[..., b0 + shift:b0 + n_pitches] = (
+                roll[..., b0:b0 + n_pitches - shift])
+        else:
+            out[..., b0:b0 + n_pitches + shift] = (
+                roll[..., b0 - shift:b0 + n_pitches])
+    for k in exclude:
+        out[..., k, :] = roll[..., k, :]
+    return out
+
+
 def decode_onset_hold(oh: np.ndarray) -> np.ndarray:
     """(..., T, K, 2D) onset/hold roll -> (..., T, K, D) frame roll.
 

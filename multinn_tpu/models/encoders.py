@@ -105,12 +105,26 @@ def features(params: Params, x: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient((h >= 0.5).astype(h.dtype))
 
 
-def decode(params: Params, h: jax.Array) -> jax.Array:
-    """Downward pass to pianoroll-space probabilities."""
+def decode_logits(params: Params, h: jax.Array) -> jax.Array:
+    """Downward pass returning the FINAL layer's pre-sigmoid logits (the
+    pianoroll-space decode conditional p(v|·) = σ(logits); intermediate
+    layers still pass mean-field probabilities downward). Exposed so
+    generation-time temperature can scale the sampled conditional's logits
+    (multinn._decode_sample) without touching the shared layer weights —
+    scaling ``layer.w`` would also perturb the upward encode pass."""
     v = h
-    for layer in reversed(params):
+    for layer in reversed(params[1:]):
         v = jax.nn.sigmoid(precision.mm(v, layer.w.T) + layer.bv)
-    return v
+    first = params[0]
+    return precision.mm(v, first.w.T) + first.bv
+
+
+def decode(params: Params, h: jax.Array) -> jax.Array:
+    """Downward pass to pianoroll-space probabilities (identity for the
+    pass-through encoder, matching encode)."""
+    if not params:
+        return h
+    return jax.nn.sigmoid(decode_logits(params, h))
 
 
 def init_visible_biases(params: Params, x: jax.Array,

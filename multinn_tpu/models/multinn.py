@@ -330,30 +330,65 @@ def prime(params: MultINNParams, state: MultINNState,
     return MultINNState(decoder=states, ctx=None)
 
 
-def _decode_sample(encoder, key: jax.Array, lat: jax.Array) -> jax.Array:
+def tempered_params(params: MultINNParams,
+                    temperature: float) -> MultINNParams:
+    """Sampling-temperature transform on the DECODER params (exact — see
+    rnn_rbm/rnn_nade.tempered_params for the per-family math; the transform
+    is elementwise, so it applies unchanged to track-stacked params).
+    Encoder params are untouched: priming/encoding must stay calibrated,
+    and the DBN decode conditional is tempered at its logits instead
+    (_decode_sample). T=1 returns ``params`` unchanged (bit-exact)."""
+    if temperature == 1.0:
+        return params
+    dec = _dec(params.cfg)
+    return params.replace(
+        decoder=dec.tempered_params(params.decoder, temperature))
+
+
+def _decode_sample(encoder, key: jax.Array, lat: jax.Array,
+                   beta: float = 1.0) -> jax.Array:
     """Latent -> binary pianoroll by SAMPLING the DBN decode conditional
     p(v | h) — the RBM's generative downward direction. Thresholding the
     probabilities at 0.5 is NOT equivalent for sparse music: CD training
     matches the decode probabilities' MEAN to the data marginal, so at
     density ~0.01 the per-pitch probabilities sit far below 0.5 and a
     threshold emits silence (measured r4: density 0.0); sampling realizes
-    the marginal exactly."""
+    the marginal exactly. ``beta`` = 1/temperature scales the conditional's
+    logits (generation temperature; static float, 1.0 = untempered)."""
     from multinn_tpu.ops import sampling
-    return sampling.bernoulli(key, enc_mod.decode(encoder, lat))
+    logits = enc_mod.decode_logits(encoder, lat)
+    if beta != 1.0:
+        logits = logits * beta
+    return sampling.bernoulli(key, jax.nn.sigmoid(logits))
 
 
 def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
-                k: Optional[int] = None) -> Tuple[MultINNState, jax.Array]:
+                k: Optional[int] = None, temperature: float = 1.0
+                ) -> Tuple[MultINNState, jax.Array]:
     """One generation step over all tracks -> (state, frame (B, K, D) binary
     pianoroll). The feedback mode threads the cross-track context — on a
-    track-sharded mesh the context assembly is the per-step all_gather."""
+    track-sharded mesh the context assembly is the per-step all_gather.
+    ``temperature`` (static float): sampling temperature — applied as the
+    exact decoder-param transform plus the DBN decode-logit scale. When
+    stepping in your own loop, hoist with ``tempered_params`` once and call
+    ``_sample_step`` with the decode beta instead of re-scaling per step
+    (multinn.generate does)."""
+    return _sample_step(tempered_params(params, temperature), key, state,
+                        k, 1.0 / temperature)
+
+
+def _sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
+                 k: Optional[int] = None, dec_beta: float = 1.0
+                 ) -> Tuple[MultINNState, jax.Array]:
+    """sample_step body: ``params`` are already temperature-transformed;
+    ``dec_beta`` tempers only the DBN decode conditional."""
     cfg = params.cfg
     dec = _dec(cfg)
     if cfg.mode == "joint":
         key, kd = jax.random.split(key)
         st, v = dec.sample_step(params.decoder, key, state.decoder, k=k)
         if cfg.encoder_hidden:
-            roll = _decode_sample(params.encoder, kd, v)
+            roll = _decode_sample(params.encoder, kd, v, beta=dec_beta)
         else:
             roll = v
         frame = roll.reshape(roll.shape[0], cfg.n_tracks, cfg.n_pitches)
@@ -375,18 +410,19 @@ def sample_step(params: MultINNParams, key: jax.Array, state: MultINNState,
     if not cfg.encoder_hidden:
         return new_state, jnp.moveaxis(vs, 0, 1)         # (B, K, D)
     if cfg.shared_encoder:              # feedback/hybrid: one decode
-        rolls = _decode_sample(params.encoder, kd, vs)
+        rolls = _decode_sample(params.encoder, kd, vs, beta=dec_beta)
     else:                               # per-track encoders under vmap
         kds = jax.random.split(kd, cfg.n_tracks)
         rolls = jax.vmap(
-            lambda p, kk, v: _decode_sample(p, kk, v)
+            lambda p, kk, v: _decode_sample(p, kk, v, beta=dec_beta)
         )(params.encoder, kds, vs)
     return new_state, jnp.moveaxis(rolls, 0, 1)          # (B, K, D)
 
 
 def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
              n_steps: int, fused: Optional[bool] = None,
-             k: Optional[int] = None) -> Tuple[MultINNState, jax.Array]:
+             k: Optional[int] = None, temperature: float = 1.0
+             ) -> Tuple[MultINNState, jax.Array]:
     """Autoregressive multi-track generation as ONE device program.
     Returns (state, pianoroll (B, n_steps, K, D)).
 
@@ -399,7 +435,13 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
     cells of any stack depth; any inter-track mode — joint enters as one
     track of the joint feature width; rnn-rbm any batch the VMEM gate
     admits, rnn-nade batch 1 or a multiple of 8). Both paths sample the
-    same distribution; RNG streams differ (ops/sampling.py contract)."""
+    same distribution; RNG streams differ (ops/sampling.py contract).
+
+    ``temperature`` (static float, default 1.0 = the model distribution):
+    sampling temperature. Implemented as an EXACT decoder-param transform
+    (tempered_params — the fused kernels need no changes and temper
+    identically to the scan path) plus a logit scale on the DBN decode
+    conditional; the transform is applied ONCE here, outside the scan."""
     cfg = params.cfg
     batch = (state.decoder.v_prev.shape[1] if cfg.mode != "joint"
              else state.decoder.v_prev.shape[0])
@@ -408,13 +450,16 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
         fused = (jax.default_backend() == "tpu"
                  and (gen_fused.supported(cfg, batch, n_steps, gen_k=k)
                       or gen_fused.supported_nade(cfg, batch, n_steps)))
+    params = tempered_params(params, temperature)
+    dec_beta = 1.0 / temperature
     if fused:
-        return _generate_fused(params, key, state, n_steps, k=k)
+        return _generate_fused(params, key, state, n_steps, k=k,
+                               dec_beta=dec_beta)
 
     keys = jax.random.split(key, n_steps)
 
     def body(st, kk):
-        return sample_step(params, kk, st, k=k)
+        return _sample_step(params, kk, st, k=k, dec_beta=dec_beta)
 
     final, frames = jax.lax.scan(body, state, keys)      # (T, B, K, D)
     return final, jnp.moveaxis(frames, 0, 1)
@@ -423,10 +468,13 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
 def _generate_fused(params: MultINNParams, key: jax.Array,
                     state: MultINNState, n_steps: int,
                     interpret: bool = False,
-                    k: Optional[int] = None
+                    k: Optional[int] = None,
+                    dec_beta: float = 1.0
                     ) -> Tuple[MultINNState, jax.Array]:
     """Dispatch to the whole-generation fused kernel (see ops/gen_fused.py)
-    and rebuild the MultINNState contract from the kernel outputs."""
+    and rebuild the MultINNState contract from the kernel outputs.
+    ``params`` arrive already temperature-transformed (generate());
+    ``dec_beta`` tempers the XLA decode-conditional pass only."""
     from multinn_tpu.models import rnn_nade, rnn_rbm
     from multinn_tpu.nn import rnn as rnn_nn
     from multinn_tpu.ops import gen_fused
@@ -474,7 +522,7 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
             # stream is independent of the kernel's key_to_seeds stream
             roll = _decode_sample(params.encoder,
                                   jax.random.fold_in(key, 0x5eed),
-                                  roll[:, :, 0])[:, :, None]
+                                  roll[:, :, 0], beta=dec_beta)[:, :, None]
         roll = roll.reshape(b, n_steps, cfg.n_tracks, cfg.n_pitches)
         return MultINNState(decoder=new_dec, ctx=None), roll
     new_dec = state_cls(
@@ -489,10 +537,10 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
         lat_k = jnp.moveaxis(roll, 2, 0)                 # (K, B, T, F)
         kd = jax.random.fold_in(key, 0x5eed)
         if cfg.shared_encoder:
-            out = _decode_sample(params.encoder, kd, lat_k)
+            out = _decode_sample(params.encoder, kd, lat_k, beta=dec_beta)
         else:
             out = jax.vmap(
-                lambda p, kk, v: _decode_sample(p, kk, v)
+                lambda p, kk, v: _decode_sample(p, kk, v, beta=dec_beta)
             )(params.encoder, jax.random.split(kd, cfg.n_tracks), lat_k)
         roll = jnp.moveaxis(out, 0, 2)
     return MultINNState(decoder=new_dec, ctx=ctx), roll

@@ -174,6 +174,27 @@ def prime(params: Params, state: State, x: jax.Array,
     return base.prime_state(State, params, state, x, ctx)
 
 
+def tempered_params(params: Params, temperature: float) -> Params:
+    """EXACT per-conditional sampling temperature as a parameter transform:
+    each ancestral conditional is p(v_i|v_<i) = σ(bv_i(t) + V_i·h_i) with
+    h_i = σ(bh(t) + Σ_{j<i} W_j v_j); scaling {v, bv, wuv} by 1/T scales
+    exactly that output logit (h_i is untouched — it depends only on
+    w/bh/wuh), giving σ(logit/T), the standard autoregressive temperature.
+    Because it lives in the params, the lax.scan sweep, the per-step Pallas
+    sweep and the speculative whole-generation kernel are all tempered
+    identically with zero kernel changes. Unlike the RBM transform this
+    tempers each CONDITIONAL, not the joint (the AR convention).
+    ``temperature`` must be a static Python float; T=1 returns ``params``
+    unchanged (bit-exact default)."""
+    if temperature == 1.0:
+        return params
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    b = 1.0 / temperature
+    return params.replace(v=params.v * b, bv=params.bv * b,
+                          wuv=params.wuv * b)
+
+
 def sample_step(params: Params, key: jax.Array, state: State,
                 ctx: Optional[jax.Array] = None,
                 k: Optional[int] = None) -> Tuple[State, jax.Array]:

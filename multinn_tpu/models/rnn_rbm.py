@@ -160,6 +160,27 @@ def prime(params: Params, state: State, x: jax.Array,
     return base.prime_state(State, params, state, x, ctx)
 
 
+def tempered_params(params: Params, temperature: float) -> Params:
+    """EXACT sampling temperature as a parameter transform: scaling
+    {w, bv, bh, wuv, wuh} by β = 1/T makes every Gibbs conditional
+    σ(β·logit), i.e. the chain samples the inverse-temperature-β joint
+    p_β(v,h) ∝ exp(−β·E(v,h)) — including the RNN-conditioned biases, since
+    bv(t) = β·bv + u·(β·wuv) = β·bv(t). The RNN cell itself is untouched
+    (it conditions, it does not sample). Because temperature lives in the
+    params, EVERY sampling path — lax.scan, the per-step Pallas chain and
+    the whole-generation fused kernel — is tempered identically with zero
+    kernel changes. ``temperature`` must be a static Python float; T=1
+    returns ``params`` unchanged (bit-exact default)."""
+    if temperature == 1.0:
+        return params
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    b = 1.0 / temperature
+    return params.replace(w=params.w * b, bv=params.bv * b,
+                          bh=params.bh * b, wuv=params.wuv * b,
+                          wuh=params.wuh * b)
+
+
 def sample_step(params: Params, key: jax.Array, state: State,
                 ctx: Optional[jax.Array] = None,
                 k: Optional[int] = None) -> Tuple[State, jax.Array]:

@@ -57,6 +57,10 @@ class Generator:
         fused = False if multi_device else None
 
         gibbs_k = getattr(cfg.generate, "gibbs_k", 0) or None
+        # sampling temperature (static float -> baked into the compiled
+        # program; priming stays untempered — multinn.generate tempers only
+        # the decoder params/decode conditional, never the encode pass)
+        temperature = float(getattr(cfg.generate, "temperature", 1.0))
 
         def _impl(params, key, seed, n_steps: int, batch: int,
                   packed: bool):
@@ -71,7 +75,8 @@ class Generator:
                 state = self._constrain_state_batch(state, batch)
             # generate.gibbs_k overrides the model's gen_k (0 = model default)
             _, roll = multinn.generate(params, key, state, n_steps,
-                                       fused=fused, k=gibbs_k)
+                                       fused=fused, k=gibbs_k,
+                                       temperature=temperature)
             # binary {0,1} roll leaves the device as uint8 (4x fewer
             # device->host bytes than f32); ``packed`` bit-packs the pitch
             # axis on device for another 8x (ops/bitpack) — generation is

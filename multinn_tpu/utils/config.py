@@ -55,6 +55,12 @@ class GenerateConfig:
     n_samples: int = 2
     seed_steps: int = 32
     gibbs_k: int = 0                   # 0 = use model cfg gen_k
+    # sampling temperature (1.0 = the model distribution). Exact
+    # decoder-param transform (multinn.tempered_params): RBM = inverse
+    # temperature on the joint, NADE = per-conditional logit/T, DBN decode
+    # conditional = logit/T. Static per compiled program (one program per
+    # temperature value — serving picks it at service construction).
+    temperature: float = 1.0
     bpm: float = 120.0
     out_dir: str = "samples"
     # opt-in frame-roll clean-up (pianoroll.postprocess_roll): close silent
