@@ -6,6 +6,14 @@
 
 Restores the checkpoint (best by default, latest with --latest), primes on
 validation seed windows, samples, writes .mid files + an .npz of pianorolls.
+
+Accompaniment (track-conditional generation — fix some tracks to given
+music, sample the rest; conditioning binds in the feedback architecture):
+
+    python generate.py --run runs/lpd5 --accompany melody.npz \
+        --accompany-tracks 1,3
+        # melody.npz key "roll": FRAME-space (T, K, D) or (B, T, K, D)
+        # pianoroll; only the --accompany-tracks slices are read
 """
 
 from __future__ import annotations
@@ -27,6 +35,12 @@ def parse_args(argv=None):
                    help="use latest instead of best checkpoint")
     p.add_argument("--no-seed", action="store_true",
                    help="generate from scratch (no priming)")
+    p.add_argument("--accompany", default=None,
+                   help="npz (key 'roll') with a FRAME-space (T, K, D) or "
+                        "(B, T, K, D) pianoroll whose --accompany-tracks "
+                        "slices are fixed; the other tracks are sampled")
+    p.add_argument("--accompany-tracks", default="",
+                   help="comma-separated track indices fixed to --accompany")
     return p.parse_known_args(argv)
 
 
@@ -61,9 +75,35 @@ def main(argv=None) -> int:
         seed = seed[:, :gcfg.seed_steps]
     key = jax.random.PRNGKey(cfg.train.seed + 7)
     out_dir = os.path.join(cfg.train.run_dir, gcfg.out_dir)
-    rolls, paths = gen.generate_to_files(
-        key, out_dir, n_samples=gcfg.n_samples, n_steps=gcfg.n_steps,
-        seed=seed, bpm=gcfg.bpm)
+    if args.accompany:
+        from multinn_tpu.data import pianoroll as pr
+        tracks = tuple(int(t) for t in args.accompany_tracks.split(",")
+                       if t.strip() != "")
+        if not tracks:
+            print("--accompany needs --accompany-tracks", file=sys.stderr)
+            return 2
+        given = np.load(args.accompany)["roll"]
+        if given.ndim == 3:
+            given = given[None]
+        if cfg.data.encoding == "onset_hold":    # frame -> model space
+            given = np.stack([pr.encode_onset_hold(g) for g in given])
+        if seed is not None:                     # match the given batch
+            reps = -(-given.shape[0] // seed.shape[0])
+            seed = np.concatenate([seed] * reps)[:given.shape[0]]
+        rolls = gen.accompany(key, given, tracks, seed=seed)
+        rolls = gen.finalize(rolls)
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i in range(rolls.shape[0]):
+            pth = os.path.join(out_dir, f"accompany_{i:03d}.mid")
+            gen.to_midi(rolls[i], pth, bpm=gcfg.bpm)
+            paths.append(pth)
+        from multinn_tpu.utils.images import save_sample_grid
+        save_sample_grid(rolls, out_dir)
+    else:
+        rolls, paths = gen.generate_to_files(
+            key, out_dir, n_samples=gcfg.n_samples, n_steps=gcfg.n_steps,
+            seed=seed, bpm=gcfg.bpm)
     np.savez_compressed(os.path.join(out_dir, "pianorolls.npz"),
                         rolls=rolls)
     print(f"wrote {len(paths)} MIDI files to {out_dir} "

@@ -141,6 +141,19 @@ def prime_state(state_cls, params, state, x: jax.Array,
     return state_cls(cell=final, v_prev=x[:, -1, :])
 
 
+def forced_step(state_cls, params, state, v: jax.Array,
+                ctx: Optional[jax.Array] = None):
+    """Advance the RNN state ONE step with a GIVEN frame v (..., F) —
+    teacher-forcing a single generation step (sample_step = sample_frame +
+    forced_step; the accompaniment path feeds conditioned tracks' given
+    frames through here instead of sampled ones)."""
+    from multinn_tpu.nn import rnn as rnn_nn
+    cfg = params.cfg
+    new_cell = rnn_nn.stacked_step(cfg.cell, params.cell, state.cell,
+                                   rnn_input(v, ctx))
+    return state_cls(cell=new_cell, v_prev=v)
+
+
 def generate_scan(sample_step_fn, params, key, state, n_steps: int,
                   ctx: Optional[jax.Array] = None, k: Optional[int] = None):
     """Autoregressive generation as ONE lax.scan program over

@@ -465,6 +465,97 @@ def generate(params: MultINNParams, key: jax.Array, state: MultINNState,
     return final, jnp.moveaxis(frames, 0, 1)
 
 
+def generate_accompaniment(params: MultINNParams, key: jax.Array,
+                           state: MultINNState, given: jax.Array,
+                           given_tracks: Tuple[int, ...],
+                           k: Optional[int] = None,
+                           temperature: float = 1.0
+                           ) -> Tuple[MultINNState, jax.Array]:
+    """Track-conditional generation ("accompaniment"): fix the tracks in
+    ``given_tracks`` to the frames of ``given`` (B, T, K, D) and sample the
+    remaining tracks — give a melody, generate the band. Returns
+    (state, roll (B, T, K, D)) with roll[:, :, given_tracks] == given's
+    slices BIT-EXACTLY (model-space passthrough, never re-encoded).
+
+    Conditioning semantics per inter-track mode: in ``feedback`` the given
+    tracks' (encoder) latents enter every other track's cross-track context
+    each step — the sampled tracks genuinely CONDITION on the given music.
+    In ``per-track``/``hybrid`` the decoders are independent, so this
+    merely merges given tracks into the output (documented, still useful
+    for assembling stems); ``joint`` has one decoder over all tracks and
+    would need within-frame conditional RBM/NADE sampling — not supported,
+    raises.
+
+    Mechanics: one lax.scan; per step every track runs the decoder's
+    ``sample_frame`` (uniform vmap), given tracks' frames are replaced by
+    their teacher-forced features, and ALL tracks advance via
+    ``forced_step`` — so given tracks' RNNs see exactly the priming
+    semantics. ``temperature`` tempers only the SAMPLED tracks' conditionals
+    (given tracks are passthrough). ``given_tracks`` is static."""
+    cfg = params.cfg
+    if cfg.mode == "joint":
+        raise ValueError(
+            "accompaniment needs per-track decoders; joint mode has one "
+            "decoder over all tracks (within-frame conditional sampling "
+            "is not supported)")
+    given_tracks = tuple(sorted(set(int(i) for i in given_tracks)))
+    if not given_tracks:
+        raise ValueError("given_tracks is empty — use generate()")
+    if any(not 0 <= i < cfg.n_tracks for i in given_tracks):
+        raise ValueError(f"given_tracks {given_tracks} out of range for "
+                         f"n_tracks={cfg.n_tracks}")
+    if len(given_tracks) == cfg.n_tracks:
+        raise ValueError("all tracks given — nothing to sample")
+    b, n_steps, kk, d = given.shape
+    if kk != cfg.n_tracks or d != cfg.n_pitches:
+        raise ValueError(f"given roll (B, T, K, D)={given.shape} does not "
+                         f"match model (K={cfg.n_tracks}, D={cfg.n_pitches})")
+    dec = _dec(cfg)
+    params = tempered_params(params, temperature)
+    dec_beta = 1.0 / temperature
+    given = given.astype(jnp.float32)
+    # teacher-forced decoder-facing features of the given roll (identity
+    # for pass-through encoders; binary frozen DBN features otherwise) —
+    # only the given tracks' rows are consumed
+    feats_g = _encode_tracks(params, given)              # (K, B, T, F)
+    feats_tm = jnp.moveaxis(feats_g, 2, 0)               # (T, K, B, F)
+    given_tm = jnp.transpose(given, (1, 2, 0, 3))        # (T, K, B, D)
+    mask = jnp.zeros((cfg.n_tracks, 1, 1), jnp.float32).at[
+        jnp.asarray(given_tracks), 0, 0].set(1.0)        # (K, 1, 1)
+    keys = jax.random.split(key, n_steps)
+    feedback = cfg.mode == "feedback"
+
+    def body(st, inp):
+        kk_key, feats_t, given_t = inp                   # (K,B,F), (K,B,D)
+        key1, kd = jax.random.split(kk_key)
+        tkeys = jax.random.split(key1, cfg.n_tracks)
+        vs = jax.vmap(
+            lambda p, kx, s: dec.sample_frame(p, kx, s, k=k)
+        )(params.decoder, tkeys, st.decoder)             # (K, B, F)
+        v_final = mask * feats_t + (1.0 - mask) * vs
+        ctx_arg = st.ctx if feedback else None
+        states = jax.vmap(
+            lambda p, s, v: dec.forced_step(p, s, v, ctx_arg)
+        )(params.decoder, st.decoder, v_final)
+        new_ctx = _flatten_latents(v_final) if feedback else None
+        if not cfg.encoder_hidden:                       # features ARE rolls
+            roll_t = v_final
+        else:
+            if cfg.shared_encoder:
+                dec_roll = _decode_sample(params.encoder, kd, v_final,
+                                          beta=dec_beta)
+            else:
+                kds = jax.random.split(kd, cfg.n_tracks)
+                dec_roll = jax.vmap(
+                    lambda p, kx, v: _decode_sample(p, kx, v, beta=dec_beta)
+                )(params.encoder, kds, v_final)
+            roll_t = mask * given_t + (1.0 - mask) * dec_roll
+        return MultINNState(decoder=states, ctx=new_ctx), roll_t
+
+    final, rolls = jax.lax.scan(body, state, (keys, feats_tm, given_tm))
+    return final, jnp.transpose(rolls, (2, 0, 1, 3))     # (B, T, K, D)
+
+
 def _generate_fused(params: MultINNParams, key: jax.Array,
                     state: MultINNState, n_steps: int,
                     interpret: bool = False,

@@ -195,20 +195,32 @@ def tempered_params(params: Params, temperature: float) -> Params:
                           wuv=params.wuv * b)
 
 
+def sample_frame(params: Params, key: jax.Array, state: State,
+                 k: Optional[int] = None) -> jax.Array:
+    """Ancestral NADE sample at biases from u(t-1) WITHOUT advancing the
+    state (the frame conditional depends only on u(t-1); any cross-track
+    ctx conditions the RNN advance, not this conditional). ``k`` is
+    ignored (NADE sampling is exact)."""
+    del k
+    u_prev = rnn_nn.state_h(state.cell[-1])
+    bv_t, bh_t = _biases(params, u_prev)
+    return nade_ops.nade_sample(key, params.w, params.v, bv_t, bh_t,
+                                batch_shape=u_prev.shape[:-1])
+
+
+def forced_step(params: Params, state: State, v: jax.Array,
+                ctx: Optional[jax.Array] = None) -> State:
+    """Advance the cell one step with a GIVEN frame (teacher-forced)."""
+    return base.forced_step(State, params, state, v, ctx)
+
+
 def sample_step(params: Params, key: jax.Array, state: State,
                 ctx: Optional[jax.Array] = None,
                 k: Optional[int] = None) -> Tuple[State, jax.Array]:
     """One generation step: ancestral NADE sample at biases from u(t-1),
-    then advance the cell. ``k`` is ignored (NADE sampling is exact)."""
-    del k
-    cfg = params.cfg
-    u_prev = rnn_nn.state_h(state.cell[-1])
-    bv_t, bh_t = _biases(params, u_prev)
-    v = nade_ops.nade_sample(key, params.w, params.v, bv_t, bh_t,
-                             batch_shape=u_prev.shape[:-1])
-    new_cell = rnn_nn.stacked_step(cfg.cell, params.cell, state.cell,
-                                   rnn_input(v, ctx))
-    return State(cell=new_cell, v_prev=v), v
+    then advance the cell. ctx: (..., C) for this step."""
+    v = sample_frame(params, key, state, k=k)
+    return forced_step(params, state, v, ctx), v
 
 
 def generate(params: Params, key: jax.Array, state: State, n_steps: int,

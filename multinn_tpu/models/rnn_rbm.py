@@ -181,20 +181,34 @@ def tempered_params(params: Params, temperature: float) -> Params:
                           wuh=params.wuh * b)
 
 
+def sample_frame(params: Params, key: jax.Array, state: State,
+                 k: Optional[int] = None) -> jax.Array:
+    """Gibbs-sample v(t) at biases from u(t-1), chain initialized at v(t-1)
+    (paper §2.3), WITHOUT advancing the state (the frame conditional
+    depends only on u(t-1) and v(t-1); any cross-track ctx conditions the
+    RNN advance, not this conditional)."""
+    cfg = params.cfg
+    k = cfg.gen_k if k is None else k
+    u_prev = rnn_nn.state_h(state.cell[-1])
+    bv_t, bh_t = _biases(params, u_prev)
+    return gibbs_ops.gibbs_chain(key, state.v_prev, params.w, bv_t, bh_t,
+                                 k=k)
+
+
+def forced_step(params: Params, state: State, v: jax.Array,
+                ctx: Optional[jax.Array] = None) -> State:
+    """Advance the cell one step with a GIVEN frame (teacher-forced)."""
+    return base.forced_step(State, params, state, v, ctx)
+
+
 def sample_step(params: Params, key: jax.Array, state: State,
                 ctx: Optional[jax.Array] = None,
                 k: Optional[int] = None) -> Tuple[State, jax.Array]:
     """One generation step: Gibbs-sample v(t) at biases from u(t-1), chain
     initialized at v(t-1) (paper §2.3 sampling procedure), then advance the
     cell. ctx: (..., C) for this step."""
-    cfg = params.cfg
-    k = cfg.gen_k if k is None else k
-    u_prev = rnn_nn.state_h(state.cell[-1])
-    bv_t, bh_t = _biases(params, u_prev)
-    v = gibbs_ops.gibbs_chain(key, state.v_prev, params.w, bv_t, bh_t, k=k)
-    new_cell = rnn_nn.stacked_step(cfg.cell, params.cell, state.cell,
-                                   rnn_input(v, ctx))
-    return State(cell=new_cell, v_prev=v), v
+    v = sample_frame(params, key, state, k=k)
+    return forced_step(params, state, v, ctx), v
 
 
 def generate(params: Params, key: jax.Array, state: State, n_steps: int,

@@ -91,6 +91,18 @@ class Generator:
         self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch",
                                                          "packed"))
 
+        def _accomp_impl(params, key, given, seed, tracks):
+            state = multinn.init_state(params, given.shape[0])
+            if seed is not None:
+                state = multinn.prime(params, state, seed)
+            _, roll = multinn.generate_accompaniment(
+                params, key, state, given, tracks, k=gibbs_k,
+                temperature=temperature)
+            return roll.astype(jnp.uint8)
+
+        # one compiled program per (given-shape, tracks, seed-shape)
+        self._jit_accomp = jax.jit(_accomp_impl, static_argnames=("tracks",))
+
     def _constrain_state_batch(self, state, batch: int):
         """Trace-time sharding constraint pinning an UNSEEDED generation
         state's batch axis to the mesh's ``data`` axis (and, when track-
@@ -176,6 +188,28 @@ class Generator:
         packed = self._generate_impl(key, seed_dev, n_steps, batch,
                                      packed=True)
         return self.fetch_rolls(packed)
+
+    def accompany(self, key: jax.Array, given: np.ndarray,
+                  given_tracks, seed: Optional[np.ndarray] = None
+                  ) -> np.ndarray:
+        """Track-conditional generation: fix ``given_tracks`` to the
+        MODEL-SPACE roll ``given`` (B, T, K, D) and sample the rest
+        (multinn.generate_accompaniment — give a melody, generate the band;
+        conditioning binds in the feedback architecture). ``seed``: optional
+        (B, T_seed, K, D) priming roll, as in generate(). Returns a binary
+        (B, T, K, D) uint8 pianoroll on host whose given-track slices equal
+        ``given`` bit-exactly."""
+        given_dev = jnp.asarray(given).astype(jnp.float32)
+        seed_dev = (None if seed is None
+                    else jnp.asarray(seed).astype(jnp.float32))
+        if seed_dev is not None and seed_dev.shape[0] != given_dev.shape[0]:
+            raise ValueError(f"seed batch {seed_dev.shape[0]} != "
+                             f"given batch {given_dev.shape[0]}")
+        from multinn_tpu.ops import sampling
+        with sampling.partitionable_ctx(self.mesh):
+            roll = self._jit_accomp(self.params, key, given_dev, seed_dev,
+                                    tuple(int(i) for i in given_tracks))
+        return np.asarray(jax.device_get(roll))
 
     def fetch_rolls(self, packed) -> np.ndarray:
         """Materialize a ``packed=True`` generation result: value fetch +
