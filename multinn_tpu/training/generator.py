@@ -205,6 +205,18 @@ class Generator:
         if seed_dev is not None and seed_dev.shape[0] != given_dev.shape[0]:
             raise ValueError(f"seed batch {seed_dev.shape[0]} != "
                              f"given batch {given_dev.shape[0]}")
+        if self.mesh is not None:
+            # batch-shard the given roll (and seed) over the data axis,
+            # mirroring _generate_impl's seed placement — sampling is
+            # per-sequence independent, so DP accompaniment parallelizes
+            from multinn_tpu.parallel import mesh as mesh_mod
+            n_data = self.mesh.shape[mesh_mod.DATA_AXIS]
+            spec = (mesh_mod.P(mesh_mod.DATA_AXIS)
+                    if given_dev.shape[0] % n_data == 0 else mesh_mod.P())
+            sharding = mesh_mod.NamedSharding(self.mesh, spec)
+            given_dev = jax.device_put(given_dev, sharding)
+            if seed_dev is not None:
+                seed_dev = jax.device_put(seed_dev, sharding)
         from multinn_tpu.ops import sampling
         with sampling.partitionable_ctx(self.mesh):
             roll = self._jit_accomp(self.params, key, given_dev, seed_dev,

@@ -157,3 +157,34 @@ def test_generator_accompany_end_to_end():
     with pytest.raises(ValueError):
         gen.accompany(jax.random.PRNGKey(0), g, (1,),
                       seed=given_roll(b=3, t=4))
+
+
+@pytest.mark.slow
+def test_accompany_on_mesh_matches_single_device():
+    """Accompaniment batch-sharded over the data axis must equal
+    single-device accompaniment bit-for-bit (scan path is GSPMD-shardable;
+    same keys, partitionable threefry)."""
+    from multinn_tpu.parallel import mesh as mesh_mod
+    from multinn_tpu.parallel.mesh import MeshConfig
+    from multinn_tpu.training.generator import Generator
+    from multinn_tpu.utils.config import ExperimentConfig
+    from multinn_tpu.data.datasets import DataConfig
+
+    model = cfg_for("rnn-rbm", "feedback")
+    data = DataConfig(n_tracks=K, pitch_min=21, pitch_max=21 + D - 1,
+                      window=8, batch_size=4)
+    params = multinn.init(jax.random.PRNGKey(0), model)
+    cfg = ExperimentConfig(name="accm", data=data, model=model)
+    g = given_roll(b=8, t=10)
+    seed = given_roll(b=8, t=4, key=9)
+
+    r1 = Generator(cfg, params).accompany(jax.random.PRNGKey(0), g, (0,),
+                                          seed=seed)
+    mesh = mesh_mod.make_mesh(MeshConfig(use_mesh=True))
+    gen_mesh = Generator(cfg, params, mesh=mesh)
+    r2 = gen_mesh.accompany(jax.random.PRNGKey(0), g, (0,), seed=seed)
+    np.testing.assert_array_equal(r1, r2)
+    # unshardable batch (not a multiple of the data axis) stays correct
+    r3 = gen_mesh.accompany(jax.random.PRNGKey(1), given_roll(b=3, t=6),
+                            (0,))
+    assert r3.shape == (3, 6, K, D)
