@@ -63,6 +63,16 @@ class ServeConfig:
     #                            seeded serving is ONE more compiled program
     #                            shape, not one per request. Requests
     #                            coalesce per kind (seeded vs unseeded).
+    accompany_tracks: tuple = ()  # non-empty enables ACCOMPANIMENT requests:
+    #                            a request may carry a frame-space roll whose
+    #                            listed tracks are fixed while the rest are
+    #                            sampled (Generator.accompany — conditioning
+    #                            binds in the feedback architecture). The
+    #                            track set is fixed at service construction
+    #                            and rolls normalize to accompany_steps
+    #                            frames, so this too is ONE more compiled
+    #                            program shape.
+    accompany_steps: int = 0   # accompaniment output length (0 = n_steps)
 
 
 @dataclasses.dataclass
@@ -79,12 +89,21 @@ class _Request:
     """One queued generation; ``future`` is a stdlib
     concurrent.futures.Future resolving to a ServeResult (``result(timeout)``
     raises the builtin TimeoutError on expiry)."""
-    __slots__ = ("future", "t_enqueue", "seed")
+    __slots__ = ("future", "t_enqueue", "seed", "given")
 
-    def __init__(self, seed: Optional[np.ndarray] = None):
+    def __init__(self, seed: Optional[np.ndarray] = None,
+                 given: Optional[np.ndarray] = None):
         self.future = Future()
         self.t_enqueue = time.time()
         self.seed = seed       # normalized model-space (seed_steps, K, D)
+        self.given = given     # normalized model-space (accompany_steps,K,D)
+
+    @property
+    def kind(self) -> str:
+        """One compiled device program per kind; batches hold one kind."""
+        if self.given is not None:
+            return "accompany"
+        return "seeded" if self.seed is not None else "plain"
 
 
 def auto_batch(cfg, n_steps: int) -> int:
@@ -123,12 +142,17 @@ class GenerationService:
         self.generator = Generator(cfg, params, mesh=mesh)
         self._base_key = jax.random.PRNGKey(self.serve_cfg.seed)
 
+        self._accompany_tracks = tuple(
+            int(i) for i in self.serve_cfg.accompany_tracks)
+        self._accompany_steps = (self.serve_cfg.accompany_steps
+                                 or self.n_steps)
         self._lock = threading.Condition()
-        # one FIFO per request KIND (unseeded/seeded) — a device batch holds
-        # one kind (different compiled programs), and per-kind deques make
-        # dispatch O(batch) instead of O(queue^2) under a deep backlog
-        self._queues = {False: collections.deque(),
-                        True: collections.deque()}
+        # one FIFO per request KIND (plain/seeded/accompany) — a device
+        # batch holds one kind (different compiled programs), and per-kind
+        # deques make dispatch O(batch) instead of O(queue^2) under backlog
+        self._queues = {"plain": collections.deque(),
+                        "seeded": collections.deque(),
+                        "accompany": collections.deque()}
         self._closed = False
         self._inflight = threading.Semaphore(self.serve_cfg.pipeline_depth)
         # (device_array, requests, batch_index, t_dispatch) awaiting fetch
@@ -139,6 +163,7 @@ class GenerationService:
         self._n_requests = 0
         self._n_batches = 0
         self._n_seeded_batches = 0
+        self._n_accompany_batches = 0
         self._n_padded_rows = 0
         self._n_errors = 0
         self._t_started = time.time()
@@ -164,6 +189,12 @@ class GenerationService:
             np.asarray(self.generator.generate_async(
                 self._base_key, self.n_steps, self.batch, seed=zeros,
                 packed=True))
+        if self._accompany_tracks:
+            zeros = np.zeros((self.batch, self._accompany_steps,
+                              cfg.model.n_tracks, cfg.model.n_pitches),
+                             np.float32)
+            np.asarray(self.generator.accompany_async(
+                self._base_key, zeros, self._accompany_tracks, packed=True))
 
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             name="multinn-serve-dispatch",
@@ -201,24 +232,60 @@ class GenerationService:
             enc = np.concatenate([pad, enc], axis=0)
         return enc.astype(np.float32)
 
-    def submit(self, seed: Optional[np.ndarray] = None) -> Future:
+    def _normalize_given(self, given: np.ndarray) -> np.ndarray:
+        """User frame-space accompaniment roll (T, K, D_frame) ->
+        model-space (accompany_steps, K, D_model) float32: validate, encode
+        the FULL roll, keep the FIRST accompany_steps frames (the given
+        music plays from the start of the generation), right-pad zeros
+        (trailing silence on the given tracks)."""
+        if not self._accompany_tracks:
+            raise ValueError(
+                "this service has no accompany_tracks: accompaniment "
+                "requests are disabled (restart serve.py with "
+                "--accompany-tracks i,j,...)")
+        from multinn_tpu.data import pianoroll as pr
+        given = np.asarray(given)
+        k, d = self.cfg.model.n_tracks, self._frame_dim
+        if given.ndim != 3 or given.shape[1:] != (k, d) or given.shape[0] < 1:
+            raise ValueError(f"accompaniment roll must be (T>=1, {k}, {d}) "
+                             f"frame-space, got {given.shape}")
+        enc = pr.encode_rolls((given > 0).astype(np.uint8),
+                              self.cfg.data.encoding)
+        s = self._accompany_steps
+        enc = enc[:s]
+        if enc.shape[0] < s:
+            pad = np.zeros((s - enc.shape[0],) + enc.shape[1:], enc.dtype)
+            enc = np.concatenate([enc, pad], axis=0)
+        return enc.astype(np.float32)
+
+    def submit(self, seed: Optional[np.ndarray] = None,
+               given: Optional[np.ndarray] = None) -> Future:
         """Enqueue one generation request; returns its future (resolving to
         a ServeResult). ``seed``: optional frame-space pianoroll
         (T, K, D_frame) to prime the model state on (requires
-        ServeConfig.seed_steps > 0; see _normalize_seed)."""
-        return self.submit_many(1, seed=seed)[0]
+        ServeConfig.seed_steps > 0; see _normalize_seed). ``given``:
+        optional frame-space pianoroll whose ServeConfig.accompany_tracks
+        slices are fixed while the other tracks are sampled (requires
+        accompany_tracks; see _normalize_given)."""
+        return self.submit_many(1, seed=seed, given=given)[0]
 
     def submit_many(self, n: int,
-                    seed: Optional[np.ndarray] = None) -> List[Future]:
+                    seed: Optional[np.ndarray] = None,
+                    given: Optional[np.ndarray] = None) -> List[Future]:
         """Enqueue ``n`` requests atomically (one lock acquisition, one
-        seed normalization — the bulk front-end path); all carry the same
-        seed (or none). Returns their futures in submission order."""
-        norm = self._normalize_seed(seed) if seed is not None else None
-        reqs = [_Request(norm) for _ in range(n)]
+        seed/given normalization — the bulk front-end path); all carry the
+        same seed/given (or none). Returns their futures in submission
+        order."""
+        if seed is not None and given is not None:
+            raise ValueError("a request carries either a priming seed or "
+                             "an accompaniment roll, not both")
+        norm_s = self._normalize_seed(seed) if seed is not None else None
+        norm_g = self._normalize_given(given) if given is not None else None
+        reqs = [_Request(norm_s, norm_g) for _ in range(n)]
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
-            self._queues[norm is not None].extend(reqs)
+            self._queues[reqs[0].kind].extend(reqs)
             self._lock.notify()
         with self._stats_lock:
             self._n_requests += n
@@ -237,6 +304,8 @@ class GenerationService:
                 "requests": self._n_requests,
                 "batches": self._n_batches,
                 "seeded_batches": self._n_seeded_batches,
+                "accompany_batches": self._n_accompany_batches,
+                "accompany_tracks": list(self._accompany_tracks),
                 "seed_steps": self.serve_cfg.seed_steps,
                 "padded_rows": self._n_padded_rows,
                 "errors": self._n_errors,
@@ -314,25 +383,34 @@ class GenerationService:
             if reqs is None:
                 return
             self._inflight.acquire()           # bound dispatched-unfetched
-            seeded = reqs[0].seed is not None
+            kind = reqs[0].kind
             with self._stats_lock:
                 bi = self._n_batches
                 self._n_batches += 1
-                self._n_seeded_batches += int(seeded)
+                self._n_seeded_batches += int(kind == "seeded")
+                self._n_accompany_batches += int(kind == "accompany")
                 self._n_padded_rows += self.batch - len(reqs)
             key = jax.random.fold_in(self._base_key, bi)
             seed_arr = None
-            if seeded:                         # pad rows prime on zeros
+            if kind == "seeded":               # pad rows prime on zeros
                 seed_arr = np.zeros(
                     (self.batch,) + reqs[0].seed.shape, np.float32)
                 for row, r in enumerate(reqs):
                     seed_arr[row] = r.seed
             t_dispatch = time.time()
             try:
-                out = self.generator.generate_async(key, self.n_steps,
-                                                    self.batch,
-                                                    seed=seed_arr,
-                                                    packed=True)
+                if kind == "accompany":        # pad rows accompany silence
+                    given_arr = np.zeros(
+                        (self.batch,) + reqs[0].given.shape, np.float32)
+                    for row, r in enumerate(reqs):
+                        given_arr[row] = r.given
+                    out = self.generator.accompany_async(
+                        key, given_arr, self._accompany_tracks, packed=True)
+                else:
+                    out = self.generator.generate_async(key, self.n_steps,
+                                                        self.batch,
+                                                        seed=seed_arr,
+                                                        packed=True)
             except Exception as e:            # pragma: no cover - defensive
                 self._inflight.release()
                 with self._stats_lock:

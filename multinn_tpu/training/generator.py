@@ -91,17 +91,21 @@ class Generator:
         self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch",
                                                          "packed"))
 
-        def _accomp_impl(params, key, given, seed, tracks):
+        def _accomp_impl(params, key, given, seed, tracks, packed: bool):
             state = multinn.init_state(params, given.shape[0])
             if seed is not None:
                 state = multinn.prime(params, state, seed)
             _, roll = multinn.generate_accompaniment(
                 params, key, state, given, tracks, k=gibbs_k,
                 temperature=temperature)
+            if packed:                 # same transport contract as _impl
+                from multinn_tpu.ops import bitpack
+                return bitpack.pack_rolls(roll)
             return roll.astype(jnp.uint8)
 
-        # one compiled program per (given-shape, tracks, seed-shape)
-        self._jit_accomp = jax.jit(_accomp_impl, static_argnames=("tracks",))
+        # one compiled program per (given-shape, tracks, seed-shape, packed)
+        self._jit_accomp = jax.jit(_accomp_impl,
+                                   static_argnames=("tracks", "packed"))
 
     def _constrain_state_batch(self, state, batch: int):
         """Trace-time sharding constraint pinning an UNSEEDED generation
@@ -189,16 +193,17 @@ class Generator:
                                      packed=True)
         return self.fetch_rolls(packed)
 
-    def accompany(self, key: jax.Array, given: np.ndarray,
-                  given_tracks, seed: Optional[np.ndarray] = None
-                  ) -> np.ndarray:
-        """Track-conditional generation: fix ``given_tracks`` to the
-        MODEL-SPACE roll ``given`` (B, T, K, D) and sample the rest
-        (multinn.generate_accompaniment — give a melody, generate the band;
-        conditioning binds in the feedback architecture). ``seed``: optional
-        (B, T_seed, K, D) priming roll, as in generate(). Returns a binary
-        (B, T, K, D) uint8 pianoroll on host whose given-track slices equal
-        ``given`` bit-exactly."""
+    def accompany_async(self, key: jax.Array, given: np.ndarray,
+                        given_tracks, seed: Optional[np.ndarray] = None,
+                        packed: bool = False) -> jax.Array:
+        """Dispatch one track-conditional generation WITHOUT blocking: fix
+        ``given_tracks`` to the MODEL-SPACE roll ``given`` (B, T, K, D) and
+        sample the rest (multinn.generate_accompaniment — conditioning
+        binds in the feedback architecture). ``seed``: optional
+        (B, T_seed, K, D) priming roll. Returns the lazy device array
+        (uint8 roll, or bit-packed when ``packed`` — decode with
+        fetch_rolls); this is the serving building block, mirroring
+        generate_async."""
         given_dev = jnp.asarray(given).astype(jnp.float32)
         seed_dev = (None if seed is None
                     else jnp.asarray(seed).astype(jnp.float32))
@@ -219,9 +224,20 @@ class Generator:
                 seed_dev = jax.device_put(seed_dev, sharding)
         from multinn_tpu.ops import sampling
         with sampling.partitionable_ctx(self.mesh):
-            roll = self._jit_accomp(self.params, key, given_dev, seed_dev,
-                                    tuple(int(i) for i in given_tracks))
-        return np.asarray(jax.device_get(roll))
+            return self._jit_accomp(self.params, key, given_dev, seed_dev,
+                                    tuple(int(i) for i in given_tracks),
+                                    packed)
+
+    def accompany(self, key: jax.Array, given: np.ndarray,
+                  given_tracks, seed: Optional[np.ndarray] = None
+                  ) -> np.ndarray:
+        """Blocking accompany_async: returns a binary (B, T, K, D) uint8
+        pianoroll on host whose given-track slices equal ``given``
+        bit-exactly. Ships bit-packed (8x fewer device->host bytes;
+        fetch_rolls is the single decode point)."""
+        packed = self.accompany_async(key, given, given_tracks, seed=seed,
+                                      packed=True)
+        return self.fetch_rolls(packed)
 
     def fetch_rolls(self, packed) -> np.ndarray:
         """Materialize a ``packed=True`` generation result: value fetch +

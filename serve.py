@@ -21,7 +21,13 @@ API:
                                           "seed_b64": npz(key "roll") of a
                                             frame-space (T, K, D) pianoroll
                                             to prime on (needs --seed-steps;
-                                            with n>1, primes every song)}
+                                            with n>1, primes every song),
+                                          "given_b64": npz(key "roll") of a
+                                            frame-space pianoroll whose
+                                            --accompany-tracks slices are
+                                            FIXED while the other tracks are
+                                            sampled (accompaniment; mutually
+                                            exclusive with seed_b64)}
     -> {"format": ..., "shape": [T, K, D], "provenance": {...},
         "latency_ms": {...},
         "midi_b64": ... | "roll_b64": ...(npz, key "roll")}
@@ -66,6 +72,12 @@ def parse_args(argv=None):
     p.add_argument("--seed-steps", type=int, default=0,
                    help="enable seeded (priming) requests, normalized to "
                         "this many frames (0 = unseeded-only service)")
+    p.add_argument("--accompany-tracks", default="",
+                   help="comma-separated track indices: enable ACCOMPANIMENT "
+                        "requests ('given_b64' npz roll) whose listed tracks "
+                        "are fixed while the rest are sampled")
+    p.add_argument("--accompany-steps", type=int, default=0,
+                   help="accompaniment output length (0 = n-steps)")
     p.add_argument("--timeout-s", type=float, default=120.0,
                    help="per-request generation timeout")
     return p.parse_known_args(argv)
@@ -96,11 +108,15 @@ def build_service(args, overrides):
         params = trainer.params
         trainer.close()
 
+    accompany_tracks = tuple(int(t) for t in args.accompany_tracks.split(",")
+                             if t.strip() != "")
     serve_cfg = ServeConfig(batch=args.batch, n_steps=args.n_steps,
                             max_wait_ms=args.max_wait_ms,
                             pipeline_depth=args.pipeline_depth,
                             seed=cfg.train.seed,
-                            seed_steps=args.seed_steps)
+                            seed_steps=args.seed_steps,
+                            accompany_tracks=accompany_tracks,
+                            accompany_steps=args.accompany_steps)
     return cfg, GenerationService(cfg, params, serve_cfg)
 
 
@@ -164,13 +180,23 @@ def make_handler(cfg, service, timeout_s: float):
                     self._send(400, {"error": "seed_b64 must be base64 of "
                                               "an npz with key 'roll'"})
                     return
+            given = None
+            if "given_b64" in req:             # accompaniment request
+                try:
+                    with np.load(io.BytesIO(
+                            base64.b64decode(req["given_b64"]))) as z:
+                        given = z["roll"]
+                except Exception:
+                    self._send(400, {"error": "given_b64 must be base64 of "
+                                              "an npz with key 'roll'"})
+                    return
             n = req.get("n", 1)
             if type(n) is not int or not 1 <= n <= 1024:
                 self._send(400, {"error": "n must be an int in [1, 1024]"})
                 return
             try:
-                futures = service.submit_many(n, seed=seed)
-            except ValueError as e:            # seed validation
+                futures = service.submit_many(n, seed=seed, given=given)
+            except ValueError as e:            # seed/given validation
                 self._send(400, {"error": str(e)})
                 return
             except RuntimeError as e:          # service closed

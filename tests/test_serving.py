@@ -442,3 +442,95 @@ def test_http_server_roundtrip(tmp_path):
         httpd.shutdown()
         service.close()
         t.join(timeout=30)
+
+
+def test_service_accompaniment_requests():
+    """accompany_tracks: accompaniment requests resolve with the given
+    track passed through bit-exactly; short given rolls right-pad zeros;
+    accompany/plain requests coalesce into separate batches; validation
+    raises on a disabled service and on seed+given together."""
+    cfg = tiny_cfg(mode="feedback", w_std=0.3)
+    d = cfg.model.n_pitches
+    rng = np.random.RandomState(1)
+    given = (rng.rand(10, 2, d) < 0.2).astype(np.uint8)
+    svc = make_service(cfg, accompany_tracks=(0,), accompany_steps=10,
+                       max_wait_ms=500.0)
+    try:
+        futs = [svc.submit(given=given), svc.submit(given=given),
+                svc.submit()]
+        res = [f.result(timeout=120) for f in futs]
+        assert res[0].roll.shape == (10, 2, d)        # accompany_steps
+        assert res[2].roll.shape == (cfg.generate.n_steps, 2, d)
+        np.testing.assert_array_equal(res[0].roll[:, 0], given[:, 0])
+        np.testing.assert_array_equal(res[1].roll[:, 0], given[:, 0])
+        st = svc.stats()
+        assert st["batches"] == 2 and st["accompany_batches"] == 1
+        assert st["accompany_tracks"] == [0]
+        assert res[0].batch_index == res[1].batch_index != res[2].batch_index
+        # short given right-pads silence on the given track
+        short = svc.submit(given=given[:4]).result(timeout=120)
+        np.testing.assert_array_equal(short.roll[:4, 0], given[:4, 0])
+        assert short.roll[4:, 0].sum() == 0
+        with pytest.raises(ValueError, match="either a priming seed or"):
+            svc.submit(seed=np.zeros((4, 2, d), np.uint8), given=given)
+        with pytest.raises(ValueError):
+            svc.submit(given=np.zeros((4, 3, d), np.uint8))  # bad shape
+    finally:
+        svc.close()
+    svc2 = make_service(cfg)                      # accompaniment disabled
+    try:
+        with pytest.raises(ValueError, match="accompany_tracks"):
+            svc2.submit(given=given)
+    finally:
+        svc2.close()
+
+
+@pytest.mark.slow
+def test_http_accompaniment_roundtrip(tmp_path):
+    """serve.py --accompany-tracks end to end in-process: given_b64 request
+    returns a roll whose given track equals the request's."""
+    import serve as serve_mod
+
+    cfg_path = tmp_path / "serve_acc_cfg.json"
+    cfg = tiny_cfg(mode="feedback")
+    cfg_path.write_text(json.dumps(cfg_mod.to_dict(cfg)))
+    args, overrides = serve_mod.parse_args(
+        ["--config", str(cfg_path), "--fresh", "--port", "0",
+         "--batch", "2", "--max-wait-ms", "5",
+         "--accompany-tracks", "1", "--accompany-steps", "8"])
+    ready = threading.Event()
+    box = []
+    t = threading.Thread(target=serve_mod.serve,
+                         args=(args, overrides, ready, box), daemon=True)
+    t.start()
+    assert ready.wait(timeout=300), "server failed to start"
+    httpd, service = box[0]
+    try:
+        d = cfg.model.n_pitches
+        given = np.zeros((8, 2, d), np.uint8)
+        given[:, 1, 5] = 1
+        buf = io.BytesIO()
+        np.savez_compressed(buf, roll=given)
+        conn = http.client.HTTPConnection("127.0.0.1", httpd.server_port,
+                                          timeout=120)
+        conn.request("POST", "/generate", body=json.dumps(
+            {"format": "roll",
+             "given_b64": base64.b64encode(buf.getvalue()).decode()}))
+        out = json.loads(conn.getresponse().read())
+        with np.load(io.BytesIO(base64.b64decode(out["roll_b64"]))) as z:
+            roll = z["roll"]
+        assert roll.shape == (8, 2, d)
+        np.testing.assert_array_equal(roll[:, 1], given[:, 1])
+        st = service.stats()
+        assert st["accompany_batches"] == 1
+        # bad payload -> 400
+        conn.request("POST", "/generate",
+                     body=json.dumps({"given_b64": "!!notbase64npz!!"}))
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 400
+        conn.close()
+    finally:
+        httpd.shutdown()
+        service.close()
+        t.join(timeout=30)
