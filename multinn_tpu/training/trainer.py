@@ -136,6 +136,7 @@ class Trainer:
                 self.params, self.mesh, self.track_sharded)
         elif self.mesh is not None:
             self.params = mesh_mod.put_replicated(self.params, self.mesh)
+        self._imgsum_gen = None            # lazy TB image-summary program
         self._hf = cfg.train.optimizer == "hf"
         if self._hf:
             # Hessian-free truncated Newton (training/hf.py): second-order
@@ -785,6 +786,32 @@ class Trainer:
                     out[f"{name}_{i}"] = float(vi) / denom
         return out
 
+    def _log_image_summaries(self) -> None:
+        """TB pianoroll image summaries at eval time (SURVEY C19): a
+        free-running sample from the current params (tag valid/sample) and,
+        once, a ground-truth validation window (valid/reference). Params are
+        a global pytree in every mesh style, so a plain jitted generate
+        works here; the sample is a picture, not an evaluation metric."""
+        window = int(self.cfg.data.window)
+        if self._imgsum_gen is None:
+            @partial(jax.jit, static_argnames=("n_steps",))
+            def _gen(params, key, n_steps):
+                state = multinn.init_state(params, 1)
+                _, roll = multinn.generate(params, key, state, n_steps,
+                                           fused=False)
+                return roll.astype(jnp.uint8)
+            self._imgsum_gen = _gen
+            ref = np.asarray(self.dataset.windows["valid"][0])
+            self.metrics_log.log_image(
+                "valid/reference", self.dataset.decode(ref[None])[0],
+                self.step)
+        self.rng, k = jax.random.split(self.rng)
+        with self._sampler_ctx():
+            roll = np.asarray(jax.device_get(
+                self._imgsum_gen(self.params, k, window)))[0]
+        self.metrics_log.log_image(
+            "valid/sample", self.dataset.decode(roll[None])[0], self.step)
+
     def train(self) -> Dict[str, float]:
         cfg = self.cfg.train
         self.log.info("training '%s': %d train windows, model=%s/%s mode=%s",
@@ -803,6 +830,8 @@ class Trainer:
                 ev = self.evaluate("valid")
                 final_eval = ev
                 self.metrics_log.log(self.step, ev, "valid")
+                if cfg.image_summaries:
+                    self._log_image_summaries()
                 self.log.info("epoch %d (%.1fs) valid %s", self.epoch,
                               time.time() - t0,
                               format_metrics(ev, ("loss", "f1",

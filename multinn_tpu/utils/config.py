@@ -46,6 +46,11 @@ class TrainConfig:
     pretrain_encoder_epochs: int = 0   # greedy layer-wise DBN pretraining
     pretrain_lr: float = 1e-3
     fault_inject_step: int = -1        # §5.3 debug: raise at this step
+    # TensorBoard pianoroll IMAGE summaries at eval time (SURVEY C19 — the
+    # reference's image summaries): a free-running sample + (once) a
+    # ground-truth validation window. Opt-in: the sample comes from a small
+    # jitted generation program compiled on first use.
+    image_summaries: bool = False
     run_dir: str = "runs/default"
 
 

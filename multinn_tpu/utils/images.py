@@ -43,6 +43,17 @@ def render_pianoroll(roll: np.ndarray, scale: int = 2) -> np.ndarray:
     return img
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """RGB uint8 (H, W, 3) -> PNG bytes (in-memory; feeds the TensorBoard
+    image summaries in utils/tb.py)."""
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(img)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def save_pianoroll_png(roll: np.ndarray, path: str, scale: int = 2) -> str:
     from PIL import Image
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -74,6 +74,22 @@ class MetricsLogger:
             if scalars:
                 self._tb.add_scalars(scalars, step)
 
+    def log_image(self, tag: str, image, step: int) -> bool:
+        """A pianoroll image summary (SURVEY C19 — the reference's TB image
+        summaries). ``image`` is an RGB uint8 (H, W, 3) array or a binary
+        pianoroll ((T, K, D) / (T, D)), rendered via utils/images. Returns
+        False (and writes nothing) when TB output is disabled — the JSONL
+        ledger stays scalars-only by design."""
+        if self._tb is None:
+            return False
+        from multinn_tpu.utils.images import encode_png, render_pianoroll
+        img = np.asarray(image)
+        if not (img.ndim == 3 and img.shape[-1] == 3 and img.dtype == np.uint8):
+            img = render_pianoroll(img)
+        self._tb.add_image(tag, encode_png(img), img.shape[0], img.shape[1],
+                           step)
+        return True
+
     def close(self) -> None:
         self._file.close()
         if self._tb is not None:

@@ -14,8 +14,10 @@ frames, each a protobuf-encoded ``Event`` message::
                                                         2: simple_value } }
 
 Only the handful of varint/fixed-width protobuf encodings those fields need
-are implemented — this is a scalars-only writer by design; richer summaries
-stay in the JSONL ledger and the PNG pipeline (utils/images.py). A reader
+are implemented. Two summary kinds are supported — scalars and images
+(``Value { 1: tag, 4: image -> Image { 1: height, 2: width, 3: colorspace,
+4: encoded_image_string } }``, the reference's pianoroll image summaries
+[SURVEY C19/§5.5]); richer summaries stay in the JSONL ledger. A reader
 (`read_events`) ships alongside so the format is round-trip tested, not
 write-only.
 """
@@ -89,15 +91,20 @@ def _bytes(field: int, v: bytes) -> bytes:
 
 
 def _event(wall_time: float, step: int = 0, file_version: str = None,
-           scalars: List[Tuple[str, float]] = ()) -> bytes:
+           scalars: List[Tuple[str, float]] = (),
+           images: List[Tuple[str, Tuple[int, int, int, bytes]]] = ()
+           ) -> bytes:
     msg = _f64(1, wall_time) + _i64(2, step)
     if file_version is not None:
         msg += _bytes(3, file_version.encode())
-    if scalars:
-        summary = b"".join(
-            _bytes(1, _bytes(1, tag.encode()) + _f32(2, float(val)))
-            for tag, val in scalars)
-        msg += _bytes(5, summary)
+    values = [_bytes(1, _bytes(1, tag.encode()) + _f32(2, float(val)))
+              for tag, val in scalars]
+    for tag, (height, width, colorspace, png) in images:
+        img = (_i64(1, height) + _i64(2, width) + _i64(3, colorspace)
+               + _bytes(4, png))
+        values.append(_bytes(1, _bytes(1, tag.encode()) + _bytes(4, img)))
+    if values:
+        msg += _bytes(5, b"".join(values))
     return msg
 
 
@@ -139,6 +146,13 @@ class EventWriter:
         unit — the common per-step call from MetricsLogger)."""
         self._write(_event(time.time(), step, scalars=list(scalars)))
 
+    def add_image(self, tag: str, png: bytes, height: int, width: int,
+                  step: int, colorspace: int = 3) -> None:
+        """One encoded image (PNG bytes; colorspace 3 = RGB). Rendering and
+        PNG encoding live in utils/images.py — this layer only frames."""
+        self._write(_event(time.time(), step,
+                           images=[(tag, (height, width, colorspace, png))]))
+
     def close(self) -> None:
         if not self._f.closed:
             self._f.close()
@@ -147,7 +161,8 @@ class EventWriter:
 def read_events(path: str) -> Iterator[dict]:
     """Decode an event file back to dicts (the round-trip half of the
     format contract; also handy for tests/tools). Yields
-    {"wall_time", "step", "file_version"?, "scalars": {tag: value}}."""
+    {"wall_time", "step", "file_version"?, "scalars": {tag: value},
+    "images": {tag: {"height", "width", "colorspace", "png"}}}."""
     with open(path, "rb") as f:
         data = f.read()
     pos = 0
@@ -200,8 +215,22 @@ def _fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
         yield field, wire, val
 
 
+def _decode_image(buf: bytes) -> dict:
+    img = {"height": 0, "width": 0, "colorspace": 0, "png": b""}
+    for f, _, v in _fields(buf):
+        if f == 1:
+            img["height"] = v
+        elif f == 2:
+            img["width"] = v
+        elif f == 3:
+            img["colorspace"] = v
+        elif f == 4:
+            img["png"] = v
+    return img
+
+
 def _decode_event(rec: bytes) -> dict:
-    out = {"wall_time": 0.0, "step": 0, "scalars": {}}
+    out = {"wall_time": 0.0, "step": 0, "scalars": {}, "images": {}}
     for field, _, val in _fields(rec):
         if field == 1:
             out["wall_time"] = val
@@ -213,12 +242,16 @@ def _decode_event(rec: bytes) -> dict:
             for f2, _, v2 in _fields(val):
                 if f2 != 1:
                     continue
-                tag, sval = None, None
+                tag, sval, ival = None, None, None
                 for f3, _, v3 in _fields(v2):
                     if f3 == 1:
                         tag = v3.decode()
                     elif f3 == 2:
                         sval = v3
-                if tag is not None:
+                    elif f3 == 4:
+                        ival = _decode_image(v3)
+                if tag is not None and sval is not None:
                     out["scalars"][tag] = sval
+                if tag is not None and ival is not None:
+                    out["images"][tag] = ival
     return out

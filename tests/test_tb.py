@@ -73,6 +73,76 @@ def test_metrics_logger_writes_tb_and_jsonl(tmp_path):
     assert os.path.getsize(ml.path) > 0
 
 
+def test_image_event_roundtrip(tmp_path):
+    """Image summaries (SURVEY C19 — the reference's pianoroll images):
+    PNG bytes, dims, colorspace all survive write->read; scalars and images
+    can share an event stream."""
+    from multinn_tpu.utils.images import encode_png
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    png = encode_png(img)
+    w = tb.EventWriter(str(tmp_path))
+    w.add_scalar("train/loss", 1.0, step=1)
+    w.add_image("valid/sample", png, 12, 20, step=2)
+    w.close()
+    events = list(tb.read_events(w.path))
+    assert events[1]["scalars"] == {"train/loss": 1.0}
+    assert events[1]["images"] == {}
+    got = events[2]["images"]["valid/sample"]
+    assert (got["height"], got["width"], got["colorspace"]) == (12, 20, 3)
+    assert got["png"] == png
+    assert events[2]["step"] == 2
+    # and the PNG decodes back to the exact pixels
+    import io
+
+    from PIL import Image
+    np.testing.assert_array_equal(np.asarray(Image.open(io.BytesIO(
+        got["png"]))), img)
+
+
+def test_metrics_logger_log_image(tmp_path):
+    """log_image accepts a raw pianoroll (rendered via utils/images) or a
+    pre-rendered RGB array; disabled TB returns False and writes nothing."""
+    ml = MetricsLogger(str(tmp_path))
+    roll = np.zeros((16, 2, 8), np.uint8)
+    roll[::2, 0, 3] = 1
+    assert ml.log_image("valid/sample", roll, step=5)
+    ml.close()
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    events = list(tb.read_events(files[0]))
+    imgs = [e for e in events if e["images"]]
+    assert len(imgs) == 1 and imgs[0]["step"] == 5
+    got = imgs[0]["images"]["valid/sample"]
+    # render_pianoroll default scale=2: (D*2, T*2)
+    assert (got["height"], got["width"]) == (16, 32)
+
+    ml2 = MetricsLogger(str(tmp_path / "notb"), tensorboard=False)
+    assert not ml2.log_image("x", roll, step=0)
+    ml2.close()
+    assert not glob.glob(str(tmp_path / "notb" / "tb" / "*"))
+
+
+@pytest.mark.slow
+def test_image_event_parses_with_tensorflows_reader(tmp_path):
+    """TF's authoritative reader decodes our image events: tag, dims,
+    colorspace and the encoded PNG bytes all match."""
+    pytest.importorskip("tensorflow")
+    from tensorflow.python.summary.summary_iterator import summary_iterator
+    from multinn_tpu.utils.images import encode_png
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    png = encode_png(img)
+    w = tb.EventWriter(str(tmp_path))
+    w.add_image("roll", png, 6, 4, step=3)
+    w.close()
+    events = list(summary_iterator(w.path))
+    assert len(events) == 2
+    v = events[1].summary.value[0]
+    assert v.tag == "roll"
+    assert (v.image.height, v.image.width, v.image.colorspace) == (6, 4, 3)
+    assert v.image.encoded_image_string == png
+    assert events[1].step == 3
+
+
 def test_varint_boundaries():
     for n in (0, 1, 127, 128, 300, 2 ** 35, 2 ** 63 - 1):
         buf = tb._varint(n)

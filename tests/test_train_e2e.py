@@ -265,6 +265,31 @@ def test_early_stopping(tmp_path):
     trainer.close()
 
 
+def test_image_summaries_in_tensorboard(tmp_path):
+    """train.image_summaries writes pianoroll IMAGE events at eval time
+    (SURVEY C19 — the reference's TB image summaries): one ground-truth
+    reference image plus one free-running sample per eval epoch."""
+    import glob
+
+    from multinn_tpu.utils import tb
+    cfg = tiny_cfg(tmp_path, name="imgsum", epochs=2, image_summaries=True)
+    trainer = Trainer(cfg)
+    trainer.train()
+    trainer.close()
+    files = glob.glob(os.path.join(cfg.train.run_dir, "tb",
+                                   "events.out.tfevents.*"))
+    assert len(files) == 1
+    images = [(e["step"], tag, im) for e in tb.read_events(files[0])
+              for tag, im in e["images"].items()]
+    tags = [t for _, t, _ in images]
+    assert tags.count("valid/reference") == 1
+    assert tags.count("valid/sample") == 2          # one per eval epoch
+    for _, _, im in images:
+        # rendered at scale=2 from (T=16, K=2, D=24) rolls
+        assert (im["height"], im["width"], im["colorspace"]) == (48, 32, 3)
+        assert im["png"].startswith(b"\x89PNG")
+
+
 @pytest.mark.slow
 def test_steps_per_call_multi_step_training(tmp_path):
     """Fused multi-step programs (steps_per_call>1) must train equivalently:
