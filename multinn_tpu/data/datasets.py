@@ -13,6 +13,11 @@ Sources:
                     distributed publicly).
   * ``synthetic`` — deterministic in-memory corpus generator (no data files
                     on this image; also used by tests/bench — SURVEY §4.3).
+  * ``cache_dir`` — memory-mapped window cache directory written by
+                    ``scripts/prepare_dataset.py cachedir`` (data/cache.py):
+                    the out-of-core path for corpora whose windows exceed
+                    host RAM (full Lakh [B:11]) — batches touch only the
+                    pages they index.
 
 The batcher chops every roll into fixed windows (stateless truncated BPTT,
 SURVEY §5.7), splits train/valid/test, and yields uint8 host batches; the
@@ -61,7 +66,8 @@ class DataConfig:
     """Data-pipeline config (SURVEY C17 feeds this)."""
 
     dataset: str = "synthetic"          # preset name
-    source: str = "synthetic"           # synthetic | midi_dir | npz | pickle
+    # synthetic | midi_dir | npz | pickle | cache_dir
+    source: str = "synthetic"
     path: str = ""
     steps_per_quarter: int = 4
     pitch_min: int = 21
@@ -196,6 +202,28 @@ def synthetic_corpus(cfg: DataConfig) -> List[np.ndarray]:
 # file loaders
 # ---------------------------------------------------------------------------
 
+def list_midi_files(path: str) -> List[str]:
+    """The corpus file list, sorted — ONE definition shared by the in-memory
+    loader and the streaming cache writer so both see the same song set."""
+    return sorted(glob.glob(os.path.join(path, "**", "*.mid"),
+                            recursive=True)
+                  + glob.glob(os.path.join(path, "**", "*.midi"),
+                              recursive=True))
+
+
+def parse_midi_file(f: str, spec: pr.RollSpec,
+                    use_native: bool) -> Optional[np.ndarray]:
+    """One file -> roll, or None for corrupt/unparseable files (the shared
+    skip set — C++ and Python agree on accept/reject, test_native.py)."""
+    from multinn_tpu.data import native
+    try:
+        if use_native:
+            return native.midi_file_to_roll(f, spec)
+        return pr.midi_to_roll(midi_mod.load(f), spec)
+    except (midi_mod.MidiParseError, ValueError, OSError, IndexError):
+        return None
+
+
 def load_midi_dir(path: str, spec: pr.RollSpec,
                   use_native: Optional[bool] = None) -> List[np.ndarray]:
     """Parse every .mid under ``path``. Uses the native C++ fast path
@@ -204,20 +232,29 @@ def load_midi_dir(path: str, spec: pr.RollSpec,
     from multinn_tpu.data import native
     if use_native is None:
         use_native = native.available()
-    files = sorted(glob.glob(os.path.join(path, "**", "*.mid"),
-                             recursive=True)
-                   + glob.glob(os.path.join(path, "**", "*.midi"),
-                               recursive=True))
     rolls = []
-    for f in files:
-        try:
-            if use_native:
-                rolls.append(native.midi_file_to_roll(f, spec))
-            else:
-                rolls.append(pr.midi_to_roll(midi_mod.load(f), spec))
-        except (midi_mod.MidiParseError, ValueError, OSError, IndexError):
-            continue                             # skip corrupt files
+    for f in list_midi_files(path):
+        roll = parse_midi_file(f, spec, use_native)
+        if roll is not None:
+            rolls.append(roll)
     return rolls
+
+
+def assign_splits(n: int, splits, seed: int) -> List[str]:
+    """Seeded permutation split assignment over n songs — the same
+    fractions/minimums as Dataset.__init__'s in-memory re-split below
+    (KEEP THE TWO IN SYNC — test_data.py::test_assign_splits_parity pins
+    the set-equality; Dataset keeps its own id ordering because window
+    concatenation order feeds the golden-pinned batch streams)."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    n_train = max(1, int(splits[0] * n))
+    n_valid = max(1, int(splits[1] * n)) if n > 2 else 0
+    out = [""] * n
+    for rank, idx in enumerate(order):
+        out[idx] = ("train" if rank < n_train
+                    else "valid" if rank < n_train + n_valid else "test")
+    return out
 
 
 def _check_rolls(arrs, spec: pr.RollSpec) -> List[np.ndarray]:
@@ -296,6 +333,13 @@ class Dataset:
                 raise ValueError(
                     f"data.path {cfg.path!r} does not exist "
                     f"(source '{cfg.source}', dataset '{cfg.dataset}')")
+        if cfg.source == "cache_dir":
+            # out-of-core: splits stay memory-mapped on disk; batches()
+            # fancy-indexes them, materializing only the sampled windows
+            from multinn_tpu.data import cache as cache_mod
+            self.windows, self.masks = cache_mod.load_cache(cfg.path, cfg)
+            self._fill_empty_splits()
+            return
         if cfg.source == "synthetic":
             rolls = synthetic_corpus(cfg)
         elif cfg.source == "midi_dir":
@@ -361,6 +405,10 @@ class Dataset:
                 raise ValueError(
                     f"no usable rolls from source={cfg.source} "
                     f"path={cfg.path!r}")
+            # same fractions/minimums as assign_splits (kept in sync — the
+            # streamed cache must partition identically); ids stay in
+            # permutation order here because window concatenation order
+            # feeds the golden-pinned batch streams
             rng = np.random.default_rng(cfg.seed)
             order = rng.permutation(len(rolls))
             n = len(rolls)
@@ -374,12 +422,17 @@ class Dataset:
                 "valid": windows_of([rolls[i] for i in valid_ids], "valid"),
                 "test": windows_of([rolls[i] for i in test_ids], "test"),
             }
-            if not len(self.windows["valid"]):
-                self.windows["valid"] = self.windows["train"][:1]
-                self.masks["valid"] = self.masks["train"][:1]
-            if not len(self.windows["test"]):
-                self.windows["test"] = self.windows["valid"]
-                self.masks["test"] = self.masks["valid"]
+            self._fill_empty_splits()
+
+    def _fill_empty_splits(self) -> None:
+        """Empty valid falls back to one train window; empty test to valid
+        (tiny corpora / fresh caches must still evaluate)."""
+        if not len(self.windows["valid"]):
+            self.windows["valid"] = self.windows["train"][:1]
+            self.masks["valid"] = self.masks["train"][:1]
+        if not len(self.windows["test"]):
+            self.windows["test"] = self.windows["valid"]
+            self.masks["test"] = self.masks["valid"]
 
     @property
     def n_pitches(self) -> int:
@@ -457,5 +510,11 @@ class Dataset:
         data = self.windows[split]
         if not len(data):
             data = self.windows["train"]
+        if n <= len(data):
+            # slice, don't concatenate — keeps cache_dir splits out-of-core
+            # (only the n requested windows materialize from the mmap).
+            # np.array COPIES: callers may mutate seeds, and a writable view
+            # into the dataset would corrupt eval windows in place.
+            return np.array(data[:n])
         reps = -(-n // len(data))
-        return np.concatenate([data] * reps)[:n]
+        return np.concatenate([np.asarray(data)] * reps)[:n]

@@ -6,6 +6,13 @@ Subcommands:
            windowed-roll ``.npz`` cache that ``--data.source=npz`` loads fast:
              python scripts/prepare_dataset.py cache --preset lpd5 \
                  --source midi_dir --path data/lpd5 --out data/lpd5_rolls.npz
+  cachedir — STREAM a corpus into a memory-mapped window-cache DIRECTORY
+           (data/cache.py; O(one song) peak memory at any corpus size — the
+           out-of-core prep for full Lakh, where windows exceed host RAM):
+             python scripts/prepare_dataset.py cachedir --preset lakh \
+                 --source midi_dir --path data/lakh --out data/lakh_cache
+             python train.py --config configs/lakh_16th_128bar.json \
+                 --data.source=cache_dir --data.path=data/lakh_cache
   synth  — render the synthetic corpus to actual .mid files (also exercises
            the first-party MIDI writer end-to-end):
              python scripts/prepare_dataset.py synth --out data/synth --songs 8
@@ -60,6 +67,28 @@ def cmd_cache(args) -> int:
     print(f"wrote {args.out}: {total} windows "
           + " ".join(f"{s}={len(a)}" for s, a in arrays.items())
           + f" ({os.path.getsize(args.out) / 1e6:.1f} MB)")
+    return 0
+
+
+def cmd_cachedir(args) -> int:
+    from multinn_tpu.data import cache as cache_mod
+    cfg = make_cfg(args)
+    if cfg.source == "midi_dir":
+        counts = cache_mod.write_cache(args.out, cfg,
+                                       cache_mod.iter_midi_dir(cfg))
+    elif cfg.source == "synthetic":
+        counts = cache_mod.write_cache(args.out, cfg,
+                                       cache_mod.iter_synthetic(cfg))
+    else:
+        # pickle/npz corpora are small — build in memory, dump exactly
+        # (preserves the pickle's canonical pre-split)
+        from multinn_tpu.data.datasets import Dataset
+        counts = cache_mod.write_cache_from_dataset(Dataset(cfg), args.out)
+    size = sum(os.path.getsize(os.path.join(args.out, f))
+               for f in os.listdir(args.out))
+    print(f"wrote window cache {args.out}: "
+          + " ".join(f"{s}={n}" for s, n in sorted(counts.items()))
+          + f" ({size / 1e6:.1f} MB; load with --data.source=cache_dir)")
     return 0
 
 
@@ -140,11 +169,12 @@ def cmd_stats(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name, fn in (("cache", cmd_cache), ("synth", cmd_synth),
+    for name, fn in (("cache", cmd_cache), ("cachedir", cmd_cachedir),
+                     ("synth", cmd_synth),
                      ("synthpickle", cmd_synthpickle), ("stats", cmd_stats)):
         sp = sub.add_parser(name)
         add_data_args(sp)
-        if name in ("cache", "synth", "synthpickle"):
+        if name in ("cache", "cachedir", "synth", "synthpickle"):
             sp.add_argument("--out", required=True)
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

@@ -571,3 +571,202 @@ def test_dataconfig_transpose_validation():
         DataConfig(pitch_min=24, pitch_max=27, transpose_range=4)
     with pytest.raises(ValueError):
         DataConfig(n_tracks=2, transpose_exclude=(2,))
+
+
+# ---------------------------------------------------------------------------
+# out-of-core window cache (data/cache.py; --data.source=cache_dir)
+# ---------------------------------------------------------------------------
+
+def test_window_cache_exact_dump_roundtrip(tmp_path):
+    """write_cache_from_dataset -> cache_dir Dataset is bit-identical to the
+    in-memory Dataset (windows, masks, batch stream), and the loaded splits
+    stay memory-mapped (the out-of-core contract)."""
+    from multinn_tpu.data import cache as cache_mod
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=10,
+                                 synthetic_steps=96, window=32, batch_size=4)
+    ds = Dataset(cfg)
+    out = str(tmp_path / "cache")
+    counts = cache_mod.write_cache_from_dataset(ds, out)
+    assert counts["train"] == len(ds.windows["train"])
+
+    ds2 = Dataset(dataclasses.replace(cfg, source="cache_dir", path=out))
+    for split in ("train", "valid", "test"):
+        assert isinstance(ds2.windows[split], np.memmap)
+        np.testing.assert_array_equal(np.asarray(ds2.windows[split]),
+                                      ds.windows[split])
+        np.testing.assert_array_equal(np.asarray(ds2.masks[split]),
+                                      ds.masks[split])
+    # identical batch stream (same seed/epoch shuffle), uint8 materialized
+    a = next(iter(ds.batches("train", epoch=1)))
+    b = next(iter(ds2.batches("train", epoch=1)))
+    np.testing.assert_array_equal(a, b)
+    assert isinstance(b, np.ndarray) and b.dtype == np.uint8
+    np.testing.assert_array_equal(ds2.seed_windows("valid", 2),
+                                  ds.seed_windows("valid", 2))
+
+
+def test_window_cache_streamed_matches_inmemory(tmp_path):
+    """The STREAMING writer (O(one-song) memory) over a synthetic corpus
+    produces the same per-split window MULTISET the in-memory Dataset builds
+    (same split fractions/seed; within-split order may differ because the
+    streamer appends in song order, so compare sorted window bytes)."""
+    from multinn_tpu.data import cache as cache_mod
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=9,
+                                 synthetic_steps=80, window=16, batch_size=2)
+    out = str(tmp_path / "cache")
+    counts = cache_mod.write_cache(out, cfg, cache_mod.iter_synthetic(cfg))
+    ds_mem = Dataset(cfg)
+    ds_cache = Dataset(dataclasses.replace(cfg, source="cache_dir",
+                                           path=out))
+    for split in ("train", "valid", "test"):
+        assert counts[split] == len(ds_mem.windows[split])
+        got = np.asarray(ds_cache.windows[split])
+        want = np.asarray(ds_mem.windows[split])
+
+        def keyed(a):
+            return sorted(w.tobytes() for w in a)
+        assert keyed(got) == keyed(want), split
+
+
+def test_window_cache_cli_and_midi_dir_stream(tmp_path):
+    """prepare_dataset.py: synth a tiny MIDI dir, cachedir-stream it, load
+    via source=cache_dir, and iterate a batch."""
+    import scripts.prepare_dataset as prep
+    mididir = str(tmp_path / "mid")
+    assert prep.main(["synth", "--out", mididir, "--songs", "6",
+                      "--window", "16"]) == 0
+    out = str(tmp_path / "cache")
+    assert prep.main(["cachedir", "--source", "midi_dir", "--path", mididir,
+                      "--out", out, "--window", "16", "--preset",
+                      "synthetic"]) == 0
+    cfg = DataConfig.from_preset("synthetic", source="cache_dir", path=out,
+                                 window=16, batch_size=2)
+    ds = Dataset(cfg)
+    assert len(ds.windows["train"]) > 0
+    b = next(iter(ds.batches("train")))
+    assert b.shape == (2, 16, 5, 84) and b.dtype == np.uint8
+    assert b.any()
+
+
+def test_window_cache_manifest_validation(tmp_path):
+    """Mismatched config vs cache manifest fails LOUDLY, naming the field;
+    a non-cache directory is rejected."""
+    from multinn_tpu.data import cache as cache_mod
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=4,
+                                 synthetic_steps=64, window=16)
+    out = str(tmp_path / "cache")
+    cache_mod.write_cache_from_dataset(Dataset(cfg), out)
+    with pytest.raises(ValueError, match="window"):
+        Dataset(dataclasses.replace(cfg, source="cache_dir", path=out,
+                                    window=32))
+    with pytest.raises(ValueError, match="encoding"):
+        Dataset(dataclasses.replace(cfg, source="cache_dir", path=out,
+                                    encoding="onset_hold"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="manifest"):
+        Dataset(dataclasses.replace(cfg, source="cache_dir",
+                                    path=str(empty)))
+
+
+def test_window_cache_onset_hold_encoding(tmp_path):
+    """The cache stores MODEL-space windows: an onset_hold cache round-trips
+    the doubled frame_dim and decode() recovers frame space."""
+    from multinn_tpu.data import cache as cache_mod
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=4,
+                                 synthetic_steps=64, window=16,
+                                 encoding="onset_hold")
+    ds = Dataset(cfg)
+    out = str(tmp_path / "cache")
+    cache_mod.write_cache(out, cfg, cache_mod.iter_synthetic(cfg))
+    ds2 = Dataset(dataclasses.replace(cfg, source="cache_dir", path=out))
+    assert ds2.windows["train"].shape[-1] == cfg.frame_dim == 168
+    def keyed(a):
+        return sorted(w.tobytes() for w in np.asarray(a))
+    assert keyed(ds2.windows["train"]) == keyed(ds.windows["train"])
+    dec = ds2.decode(np.asarray(ds2.windows["train"][:2]))
+    assert dec.shape[-1] == 84
+
+
+def test_assign_splits_parity_with_dataset():
+    """assign_splits must partition song SETS identically to Dataset's
+    in-memory re-split for any corpus size (the streamed cache's core
+    guarantee; the two implementations are pinned to each other here)."""
+    from multinn_tpu.data.cache import song_windows
+    from multinn_tpu.data.datasets import assign_splits, synthetic_corpus
+    for n in (1, 2, 3, 5, 9, 17, 64):
+        cfg = DataConfig.from_preset("synthetic", synthetic_songs=n,
+                                     synthetic_steps=48, window=16)
+        ds = Dataset(cfg)
+        splits = assign_splits(n, cfg.splits, cfg.seed)
+        corpus = synthetic_corpus(cfg)
+        # reconstruct each split's window multiset from the assignment and
+        # compare against the Dataset's re-split windows
+        for split in ("train", "valid", "test"):
+            want = sorted(w.tobytes()
+                          for i, r in enumerate(corpus)
+                          if splits[i] == split
+                          for w in song_windows(r, cfg)[0])
+            got_arr = ds.windows[split]
+            # skip fallback-filled splits (empty split borrowed windows)
+            if split != "train" and not want:
+                continue
+            got = sorted(w.tobytes() for w in np.asarray(got_arr))
+            assert got == want, (n, split)
+
+
+def test_window_cache_patched_npy_headers(tmp_path):
+    """The streamed .npy files (fixed-width patched row count) are valid
+    for BOTH plain np.load and mmap np.load."""
+    from multinn_tpu.data import cache as cache_mod
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=5,
+                                 synthetic_steps=64, window=16)
+    out = str(tmp_path / "c")
+    counts = cache_mod.write_cache(out, cfg, cache_mod.iter_synthetic(cfg))
+    for split, n in counts.items():
+        plain = np.load(f"{out}/{split}.npy")
+        mapped = np.load(f"{out}/{split}.npy", mmap_mode="r")
+        assert plain.shape == mapped.shape == (n, 16, 5, 84)
+        np.testing.assert_array_equal(plain, np.asarray(mapped))
+        # no .part spool left behind
+    assert not [f for f in __import__("os").listdir(out)
+                if f.endswith(".part")]
+
+
+def test_window_cache_failed_rebuild_preserves_old_cache(tmp_path):
+    """A rebuild that dies (unusable corpus) must leave the previous cache
+    loadable; a stale-manifest/fresh-arrays mix is rejected loudly."""
+    import os
+
+    from multinn_tpu.data import cache as cache_mod
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=5,
+                                 synthetic_steps=64, window=16)
+    out = str(tmp_path / "c")
+    cache_mod.write_cache(out, cfg, cache_mod.iter_synthetic(cfg))
+
+    with pytest.raises(ValueError, match="no train windows"):
+        cache_mod.write_cache(out, cfg, iter(()))      # empty corpus
+    # old cache fully intact and loadable
+    ds = Dataset(dataclasses.replace(cfg, source="cache_dir", path=out))
+    assert len(ds.windows["train"]) > 0
+    assert not [f for f in os.listdir(out) if f.endswith(".part")]
+
+    # stale manifest + fresh arrays (crash between finalize and manifest):
+    # simulate by truncating one array to a different row count
+    arr = np.load(f"{out}/train.npy")
+    np.save(f"{out}/train.npy", arr[:-1])
+    with pytest.raises(ValueError, match="inconsistent"):
+        Dataset(dataclasses.replace(cfg, source="cache_dir", path=out))
+
+
+def test_seed_windows_returns_a_copy():
+    """Mutating returned seeds must never write through into the dataset's
+    windows (in-memory) nor crash on read-only mmaps (cache_dir)."""
+    cfg = DataConfig.from_preset("synthetic", synthetic_songs=6,
+                                 synthetic_steps=64, window=16, batch_size=2)
+    ds = Dataset(cfg)
+    before = np.asarray(ds.windows["valid"][:1]).copy()
+    seeds = ds.seed_windows("valid", 1)
+    seeds[:] = 0
+    np.testing.assert_array_equal(np.asarray(ds.windows["valid"][:1]),
+                                  before)

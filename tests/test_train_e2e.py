@@ -265,6 +265,31 @@ def test_early_stopping(tmp_path):
     trainer.close()
 
 
+def test_train_from_window_cache_matches_inmemory(tmp_path):
+    """Out-of-core training (--data.source=cache_dir): a trainer fed from
+    the memory-mapped window cache takes the EXACT same steps as one fed
+    from the in-memory dataset (same seed, same windows, same shuffle)."""
+    import dataclasses
+
+    from multinn_tpu.data import cache as cache_mod
+    cfg = tiny_cfg(tmp_path, name="cachemem", epochs=1)
+    ds = Dataset(cfg.data)
+    out = str(tmp_path / "wcache")
+    cache_mod.write_cache_from_dataset(ds, out)
+    cfg2 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, source="cache_dir",
+                                      path=out),
+        train=dataclasses.replace(cfg.train,
+                                  run_dir=str(tmp_path / "cachedir")))
+    t1, t2 = Trainer(cfg), Trainer(cfg2)
+    t1.train(), t2.train()
+    ev1, ev2 = t1.evaluate("valid"), t2.evaluate("valid")
+    assert ev1["loss"] == pytest.approx(ev2["loss"], rel=1e-6)
+    p1, p2 = jax.tree.leaves(t1.params)[0], jax.tree.leaves(t2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+    t1.close(), t2.close()
+
+
 def test_image_summaries_in_tensorboard(tmp_path):
     """train.image_summaries writes pianoroll IMAGE events at eval time
     (SURVEY C19 — the reference's TB image summaries): one ground-truth
