@@ -78,6 +78,15 @@ class MeshConfig:
     seq_microbatches: int = 0   # 0 = auto (seqpipe picks from local batch)
     style: str = "gspmd"
 
+    def __post_init__(self):
+        # loud, like unknown optimizer/lr_schedule — a typo'd style would
+        # otherwise silently select the explicit shard_map path (different
+        # batch placement, RNG folding, sampler-kernel selection)
+        if self.style not in ("gspmd", "shard_map", "seqpipe"):
+            raise ValueError(
+                f"unknown mesh.style '{self.style}' "
+                "(expected gspmd | shard_map | seqpipe)")
+
     def resolved_data(self, n_devices: int) -> int:
         if self.data > 0:
             return self.data
@@ -232,4 +241,5 @@ def put_multinn_sharded(params, mesh: Optional[Mesh],
     if mesh is None:
         return params
     shardings = multinn_param_shardings(params, mesh, track_sharded)
-    return jax.tree.map(jax.device_put, params, shardings)
+    # one pytree device_put (batched transfer), not one dispatch per leaf
+    return jax.device_put(params, shardings)

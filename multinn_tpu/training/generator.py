@@ -179,13 +179,21 @@ class Generator:
 
     def generate(self, key: jax.Array, n_steps: int,
                  seed: Optional[np.ndarray] = None,
-                 batch: int = 1) -> np.ndarray:
+                 batch: Optional[int] = None) -> np.ndarray:
         """Returns a binary pianoroll (batch, n_steps, K, D) on host.
-        ``seed``: optional (batch, T_seed, K, D) priming pianoroll."""
+        ``seed``: optional (batch, T_seed, K, D) priming pianoroll; when
+        given, batch defaults to the seed's — an EXPLICIT conflicting batch
+        raises, same contract as generate_async (silently returning a
+        different sample count than asked is worse than the error)."""
         seed_dev = (None if seed is None
                     else jnp.asarray(seed).astype(jnp.float32))
         if seed_dev is not None:
+            if batch is not None and batch != seed_dev.shape[0]:
+                raise ValueError(
+                    f"seed batch {seed_dev.shape[0]} != batch {batch}")
             batch = seed_dev.shape[0]
+        elif batch is None:
+            batch = 1
         # transport bit-packed and unpack on host (8x fewer device->host
         # bytes; bit-exact — ops/bitpack): the fetch, not generation,
         # dominates wall time for big sample batches

@@ -74,6 +74,11 @@ def make_optimizer(cfg, steps_per_epoch: int = 0, freeze_encoder: bool = False
         else:
             chain.append(optax.adam(lr))
     elif cfg.optimizer == "sgd":
+        if cfg.weight_decay:
+            # classic L2 (decay folded into the momentum update) — sgd has
+            # no decoupled variant; silently dropping the knob would make a
+            # weight-decay sweep under sgd a no-op
+            chain.append(optax.add_decayed_weights(cfg.weight_decay))
         chain.append(optax.sgd(lr, momentum=0.9))
     else:
         raise ValueError(f"unknown optimizer '{cfg.optimizer}'")
@@ -209,7 +214,7 @@ class Trainer:
             key = jax.random.fold_in(key, jax.lax.axis_index(ax))
         return key
 
-    def _sampler_ctx(self):
+    def _sampler_ctx(self, manual: Optional[bool] = None):
         """Trace-time contexts entered INSIDE every jitted step body (so any
         caller that traces a step — tests, __graft_entry__, future code — is
         covered regardless of call site; both contexts resolve at trace
@@ -221,13 +226,20 @@ class Trainer:
           Generator: ops.sampling). shard_map/seqpipe bodies are per-shard
           (manual-mode) programs where Pallas custom calls are legal, so
           they keep the kernels (partitionable_ctx(manual=...)).
+          ``manual`` defaults to the mesh STYLE's step programs; pass
+          manual=False from paths that trace a plain GLOBAL-VIEW jit even
+          under the explicit styles (encoder pre-training, image-summary
+          generation) — those programs span the mesh like GSPMD ones and
+          must force the XLA samplers too.
         * matmul precision: MultINNConfig.matmul_dtype routes the hot-path
           matmul feeds (ops/precision.py)."""
         import contextlib
         from multinn_tpu.ops import precision, sampling
+        if manual is None:
+            manual = self._explicit_axes is not None
         stack = contextlib.ExitStack()
         stack.enter_context(sampling.partitionable_ctx(
-            self.mesh, manual=self._explicit_axes is not None))
+            self.mesh, manual=manual))
         stack.enter_context(precision.matmul_precision(
             self.cfg.model.matmul_dtype))
         return stack
@@ -486,7 +498,8 @@ class Trainer:
 
         @partial(jax.jit, static_argnames=("layer",))
         def pre_step(enc_params, opt_state, batch, key, layer):
-            with self._sampler_ctx():
+            # plain global-view jit: XLA samplers on any multi-device mesh
+            with self._sampler_ctx(manual=False):
                 x = batch.astype(jnp.float32)
                 if cfg.model.mode == "joint":
                     b, t, k, d = x.shape
@@ -634,7 +647,14 @@ class Trainer:
         trace_dir = os.path.join(self.cfg.train.run_dir, "trace")
         batch = next(iter(self.dataset.batches("train", epoch=0)))
         dev_batch = self._put_batch(batch)
-        params, opt_state = self.params, self.opt_state
+        # profiling must not perturb training: the traced steps run on
+        # COPIES (the step donates its params/opt_state buffers, so the
+        # trainer's own state would otherwise advance n_steps+1 optimizer
+        # updates on one repeated batch without self.step moving — LR
+        # schedule, Adam bias correction, and the checkpoint ledger would
+        # all desynchronize)
+        params, opt_state = jax.tree.map(jnp.copy,
+                                         (self.params, self.opt_state))
         # warm the compile outside the trace
         params, opt_state, m = self._train_step(
             params, opt_state, dev_batch, jax.random.PRNGKey(0))
@@ -646,8 +666,6 @@ class Trainer:
             profiling.force(m["loss"])
         self.log.info("wrote device trace of %d steps to %s",
                       n_steps, trace_dir)
-        # donated buffers: keep the advanced state
-        self.params, self.opt_state = params, opt_state
         return trace_dir
 
     def _post_step(self, metrics, timing, n_steps: int) -> Dict[str, Any]:
@@ -806,7 +824,8 @@ class Trainer:
                 "valid/reference", self.dataset.decode(ref[None])[0],
                 self.step)
         self.rng, k = jax.random.split(self.rng)
-        with self._sampler_ctx():
+        # plain global-view jit: XLA samplers on any multi-device mesh
+        with self._sampler_ctx(manual=False):
             roll = np.asarray(jax.device_get(
                 self._imgsum_gen(self.params, k, window)))[0]
         self.metrics_log.log_image(

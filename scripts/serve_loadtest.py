@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--http", action="store_true",
                    help="drive through serve.py's HTTP front end instead "
                         "of the in-process service API")
+    p.add_argument("--soak", type=float, default=0.0,
+                   help="sustained-load SOAK for this many seconds "
+                        "(bounded in-flight open loop) sampling RSS/fd "
+                        "stability — overrides --requests/--open-loop")
     p.add_argument("--open-loop", action="store_true",
                    help="submit ALL requests upfront from one thread "
                         "(service-ceiling measurement: no client-thread "
@@ -86,6 +90,80 @@ def run_open_loop(service, n_requests, seed_roll, seeded_frac):
             failed += 1
             print(f"request failed: {e!r}", file=sys.stderr)
     return time.time() - t0, lat, failed
+
+
+def _proc_rss_fds():
+    rss = 0
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                rss = int(line.split()[1]) * 1024
+                break
+    return rss, len(os.listdir("/proc/self/fd"))
+
+
+def run_soak(service, duration_s, seed_roll, seeded_frac, depth=256):
+    """Sustained load for ``duration_s``: keep up to ``depth`` requests in
+    flight, sampling process RSS / open-fd counts as it runs. The stability
+    report (memory growth after warmup, fd drift, first-vs-last-quarter
+    latency drift) is the long-running-service leak check a one-shot
+    loadtest can't provide."""
+    t0 = time.time()
+    lat, failed, samples = [], 0, []
+    inflight = []
+    i = 0
+    next_sample = t0
+
+    def sample(now):
+        rss, fds = _proc_rss_fds()
+        samples.append({"t_s": round(now - t0, 1),
+                        "rss_mb": round(rss / 1e6, 1), "fds": fds,
+                        "done": len(lat)})
+
+    while True:
+        now = time.time()
+        if now >= next_sample:
+            sample(now)
+            next_sample = now + 2.0
+        live = now - t0 < duration_s
+        while live and len(inflight) < depth:
+            seed = seed_roll if (seed_roll is not None
+                                 and (i % 100) < seeded_frac * 100) else None
+            inflight.append(service.submit(seed=seed))
+            i += 1
+        if not inflight:
+            break
+        f = inflight.pop(0)
+        try:
+            lat.append(f.result(timeout=600).total_s)
+        except Exception as e:
+            failed += 1
+            print(f"request failed: {e!r}", file=sys.stderr)
+    sample(time.time())
+    return time.time() - t0, lat, failed, samples
+
+
+def soak_report(lat, samples):
+    """Stability summary: RSS growth AFTER the first sample window (startup
+    allocations and compiles are expected; steady-state growth is the leak
+    signal), fd drift, and latency drift between the first and last quarter
+    of completed requests."""
+    rss = [s["rss_mb"] for s in samples]
+    fds = [s["fds"] for s in samples]
+    q = max(1, len(lat) // 4)
+    drift = (float(np.mean(lat[-q:])) / float(np.mean(lat[:q]))
+             if len(lat) >= 4 else 1.0)
+    return {
+        "samples": len(samples),
+        "rss_mb_first": rss[0] if rss else 0.0,
+        "rss_mb_max": max(rss) if rss else 0.0,
+        "rss_mb_last": rss[-1] if rss else 0.0,
+        "rss_growth_after_warmup_mb": round(
+            (rss[-1] - rss[1]) if len(rss) > 1 else 0.0, 1),
+        "fds_first": fds[0] if fds else 0,
+        "fds_last": fds[-1] if fds else 0,
+        "latency_drift_last_vs_first_quarter": round(drift, 3),
+    }
 
 
 def run_direct(service, n_requests, n_clients, seed_roll, seeded_frac):
@@ -214,6 +292,7 @@ def main(argv=None) -> int:
         seed_roll = (rng.rand(args.seed_steps, cfg.model.n_tracks, d)
                      < 0.05).astype(np.uint8)
 
+    soak = None
     if args.http:
         wall, lat, failed, stats = run_http(args, overrides, args.requests,
                                             args.clients, seed_roll,
@@ -236,7 +315,13 @@ def main(argv=None) -> int:
             max_wait_ms=args.max_wait_ms,
             pipeline_depth=args.pipeline_depth, seed=cfg.train.seed,
             seed_steps=args.seed_steps))
-        if args.open_loop:
+        if args.soak > 0:
+            wall, lat, failed, samples = run_soak(service, args.soak,
+                                                  seed_roll,
+                                                  args.seeded_frac)
+            soak = soak_report(lat, samples)
+            mode = "soak"
+        elif args.open_loop:
             wall, lat, failed = run_open_loop(service, args.requests,
                                               seed_roll, args.seeded_frac)
             mode = "open-loop"
@@ -266,6 +351,8 @@ def main(argv=None) -> int:
     }
     if args.http and args.bulk_n > 1:
         out["bulk_n"] = args.bulk_n
+    if soak is not None:
+        out["soak"] = soak
     print(json.dumps(out))
     return 1 if failed else 0
 

@@ -603,3 +603,65 @@ def test_dbn_masked_optimizer_gspmd_matches_single_device(tmp_path):
         np.testing.assert_array_equal(a, np.asarray(b))
     t_single.close()
     t_mesh.close()
+
+
+def test_mesh_style_validated():
+    """A typo'd mesh.style must raise, not silently select the explicit
+    shard_map path (round-4 review)."""
+    with pytest.raises(ValueError, match="unknown mesh.style"):
+        MeshConfig(use_mesh=True, style="spmd")
+    with pytest.raises(ValueError, match="unknown mesh.style"):
+        MeshConfig(style="GSPMD")
+
+
+def test_sampler_ctx_global_view_forces_xla(tmp_path):
+    """Global-view jits traced under an EXPLICIT style (encoder pretraining,
+    image-summary generation) must force the partitionable XLA samplers:
+    they span the mesh like GSPMD programs, where a Mosaic custom call
+    cannot be partitioned (round-4 review)."""
+    from multinn_tpu.ops import sampling
+    cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=True, style="shard_map"),
+                  name="samplerctx")
+    t = Trainer(cfg)
+    with t._sampler_ctx():                      # step bodies: per-shard
+        assert sampling.forced_impl() is None
+    with t._sampler_ctx(manual=False):          # global-view programs
+        assert sampling.forced_impl() == "xla"
+    t.close()
+
+
+def test_profile_steps_does_not_perturb_training_state(tmp_path):
+    """profile_steps traces on COPIES: params, opt_state and the step
+    counter are bit-identical before/after (an earlier version advanced the
+    optimizer n+1 updates on one repeated batch, desynchronizing the LR
+    schedule from self.step — round-4 review)."""
+    cfg = exp_cfg(tmp_path, MeshConfig(use_mesh=False), name="profsteps")
+    t = Trainer(cfg)
+    p_before = jax.tree.map(lambda x: np.asarray(x).copy(), t.params)
+    o_before = jax.tree.map(lambda x: np.asarray(x).copy(), t.opt_state)
+    t.profile_steps(2)
+    assert t.step == 0
+    for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(t.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(jax.tree.leaves(o_before),
+                    jax.tree.leaves(t.opt_state)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    t.close()
+
+
+def test_sgd_weight_decay_applies():
+    """optimizer=sgd with weight_decay must actually shrink weights
+    (an earlier version silently dropped the knob — round-4 review)."""
+    from multinn_tpu.training.trainer import make_optimizer
+    import optax
+    tc = cfg_mod.TrainConfig(optimizer="sgd", weight_decay=0.1,
+                             grad_clip=0.0, lr=1.0)
+    tc0 = dataclasses.replace(tc, weight_decay=0.0)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.zeros((3,))}
+    for cfg_i, expect_move in ((tc, True), (tc0, False)):
+        opt = make_optimizer(cfg_i)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        moved = bool(np.any(np.asarray(updates["w"]) != 0))
+        assert moved == expect_move, cfg_i.weight_decay

@@ -604,3 +604,21 @@ def test_build_config_resyncs_n_pitches_on_encoding_override():
     with _pytest.raises(ValueError, match="onset_hold doubles"):
         train_cli.build_config(args, ["--data.encoding=onset_hold",
                                       "--model.n_pitches=84"])
+
+
+def test_generate_explicit_batch_conflicts_with_seed(tmp_path):
+    """generate() and generate_async() share one contract: an explicit
+    batch that contradicts the seed's raises (generate() used to silently
+    return seed-many samples — round-4 review)."""
+    cfg = tiny_cfg(tmp_path, name="batchconflict", epochs=0)
+    t = Trainer(cfg)
+    gen = Generator(cfg, t.params)
+    seed = t.dataset.seed_windows("valid", 2).astype(np.float32)
+    with pytest.raises(ValueError, match="seed batch"):
+        gen.generate(jax.random.PRNGKey(0), 4, seed=seed, batch=5)
+    with pytest.raises(ValueError, match="seed batch"):
+        gen.generate_async(jax.random.PRNGKey(0), 4, seed=seed, batch=5)
+    # batch defaulting still works both ways
+    assert gen.generate(jax.random.PRNGKey(0), 4, seed=seed).shape[0] == 2
+    assert gen.generate(jax.random.PRNGKey(0), 4, batch=3).shape[0] == 3
+    t.close()
