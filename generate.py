@@ -85,6 +85,10 @@ def main(argv=None) -> int:
         given = np.load(args.accompany)["roll"]
         if given.ndim == 3:
             given = given[None]
+        # binarize BEFORE any encoding (same normalization as the serving
+        # path's _normalize_given): a velocity or float roll would feed the
+        # bitwise onset/hold ops garbage or crash them
+        given = (np.asarray(given) > 0).astype(np.uint8)
         if cfg.data.encoding == "onset_hold":    # frame -> model space
             given = np.stack([pr.encode_onset_hold(g) for g in given])
         if seed is not None:                     # match the given batch
@@ -92,14 +96,8 @@ def main(argv=None) -> int:
             seed = np.concatenate([seed] * reps)[:given.shape[0]]
         rolls = gen.accompany(key, given, tracks, seed=seed)
         rolls = gen.finalize(rolls)
-        os.makedirs(out_dir, exist_ok=True)
-        paths = []
-        for i in range(rolls.shape[0]):
-            pth = os.path.join(out_dir, f"accompany_{i:03d}.mid")
-            gen.to_midi(rolls[i], pth, bpm=gcfg.bpm)
-            paths.append(pth)
-        from multinn_tpu.utils.images import save_sample_grid
-        save_sample_grid(rolls, out_dir)
+        paths = gen.write_files(rolls, out_dir, prefix="accompany",
+                                bpm=gcfg.bpm)
     else:
         rolls, paths = gen.generate_to_files(
             key, out_dir, n_samples=gcfg.n_samples, n_steps=gcfg.n_steps,

@@ -457,13 +457,18 @@ class Dataset:
     def batches(self, split: str = "train", epoch: int = 0,
                 shuffle: bool = True,
                 drop_remainder: bool = True,
-                with_masks: bool = False) -> Iterator[np.ndarray]:
+                with_masks: bool = False,
+                augment: bool = False) -> Iterator[np.ndarray]:
         """Yield (batch, window, K, D) uint8 host arrays. Deterministic order
         per (seed, epoch). Short final batch is dropped when training (static
         shapes — one XLA program per run, SURVEY L0 rules); with
         drop_remainder=False the tail is yielded SHORT (never zero-padded —
         fabricated windows would bias evaluation metrics; the one extra
-        compile for the tail shape is the evaluator's cost to pay)."""
+        compile for the tail shape is the evaluator's cost to pay).
+        ``augment`` opts IN to train-time transposition: only the training
+        loops request it, so evaluating the train split (evaluate.py
+        --split train) measures the true corpus — gating on the split name
+        alone would silently transpose those eval batches too."""
         data = self.windows[split]
         bs = self.cfg.batch_size
         idx = np.arange(len(data))
@@ -471,10 +476,9 @@ class Dataset:
             rng = np.random.default_rng((self.cfg.seed, epoch))
             rng.shuffle(idx)
         # train-time transposition augmentation (host-side, uint8 — cheap
-        # next to the device step). Gated on the TRAIN split only so eval
-        # likelihoods/metrics stay on the true corpus.
+        # next to the device step); caller-opt-in, see docstring
         aug_rng = (np.random.default_rng((self.cfg.seed, epoch, 0xA46))
-                   if self.cfg.transpose_range > 0 and split == "train"
+                   if self.cfg.transpose_range > 0 and augment
                    else None)
         masks = self.masks.get(split) if with_masks else None
 

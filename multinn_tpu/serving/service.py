@@ -282,6 +282,8 @@ class GenerationService:
         norm_s = self._normalize_seed(seed) if seed is not None else None
         norm_g = self._normalize_given(given) if given is not None else None
         reqs = [_Request(norm_s, norm_g) for _ in range(n)]
+        if not reqs:            # n=0: graceful no-op (kind is undecidable)
+            return []
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")

@@ -281,6 +281,24 @@ class Generator:
         from multinn_tpu.data import midi as midi_mod
         midi_mod.save(mid, path)
 
+    def write_files(self, rolls: np.ndarray, out_dir: str,
+                    prefix: str = "sample", bpm: float = 120.0,
+                    write_images: bool = True) -> list:
+        """Write finalized frame rolls (batch, T, K, D) as MIDI files (+ a
+        pianoroll PNG grid, C19) into ``out_dir``; returns the MIDI paths.
+        The single output-layout point for generate_to_files AND the
+        accompaniment CLI path."""
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i in range(rolls.shape[0]):
+            p = os.path.join(out_dir, f"{prefix}_{i:03d}.mid")
+            self.to_midi(rolls[i], p, bpm=bpm)
+            paths.append(p)
+        if write_images:
+            from multinn_tpu.utils.images import save_sample_grid
+            save_sample_grid(rolls, out_dir)
+        return paths
+
     def generate_to_files(self, key: jax.Array, out_dir: str,
                           n_samples: int, n_steps: int,
                           seed: Optional[np.ndarray] = None,
@@ -291,13 +309,6 @@ class Generator:
                               batch=(seed.shape[0] if seed is not None
                                      else n_samples))
         rolls = self.finalize(rolls)
-        os.makedirs(out_dir, exist_ok=True)
-        paths = []
-        for i in range(min(n_samples, rolls.shape[0])):
-            p = os.path.join(out_dir, f"sample_{i:03d}.mid")
-            self.to_midi(rolls[i], p, bpm=bpm)
-            paths.append(p)
-        if write_images:                       # pianoroll PNG summaries (C19)
-            from multinn_tpu.utils.images import save_sample_grid
-            save_sample_grid(rolls[:n_samples], out_dir)
+        paths = self.write_files(rolls[:n_samples], out_dir, bpm=bpm,
+                                 write_images=write_images)
         return rolls, paths

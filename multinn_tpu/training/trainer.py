@@ -535,7 +535,8 @@ class Trainer:
             opt_state = opt.init(enc_params)
             for ep in range(self.cfg.train.pretrain_encoder_epochs):
                 losses = []
-                for batch in self.dataset.batches("train", epoch=ep):
+                for batch in self.dataset.batches("train", epoch=ep,
+                                                  augment=True):
                     self.rng, k = jax.random.split(self.rng)
                     enc_params, opt_state, loss = pre_step(
                         enc_params, opt_state, jnp.asarray(batch), k, layer)
@@ -736,7 +737,8 @@ class Trainer:
             self.log.info("resuming epoch %d at batch %d", self.epoch, skip)
         pending: list = []
         for i, batch in enumerate(
-                self.dataset.batches("train", epoch=self.epoch)):
+                self.dataset.batches("train", epoch=self.epoch,
+                                     augment=True)):
             if i < skip:
                 continue
             if not fuse:

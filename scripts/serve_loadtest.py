@@ -279,6 +279,12 @@ def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
 
 def main(argv=None) -> int:
     args, overrides = parse_args(argv)
+    if args.http and args.soak > 0:
+        # refusing beats silently running a short closed-loop test labeled
+        # as a soak: the leak check the user asked for would never run
+        print("--soak drives the in-process service API; it is not "
+              "implemented over --http", file=sys.stderr)
+        return 2
     from multinn_tpu.utils.platform import apply_platform_env
     apply_platform_env()
     from multinn_tpu.utils import config as cfg_mod

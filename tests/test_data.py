@@ -522,29 +522,37 @@ def test_transpose_roll_validates():
 
 
 def test_dataset_transpose_augmentation():
-    cfg = DataConfig(n_tracks=2, pitch_min=24, pitch_max=71, window=8,
+    # n_tracks=5 so the EXCLUDED track 0 (drums) is nonempty — with an
+    # empty excluded track the bit-equality assert would pass even if the
+    # Dataset dropped the exclude wiring entirely (round-4 review)
+    cfg = DataConfig(n_tracks=5, pitch_min=24, pitch_max=71, window=8,
                      batch_size=4, synthetic_songs=8, synthetic_steps=64,
                      transpose_range=3, transpose_exclude=(0,))
     ds = Dataset(cfg)
     plain = dataclasses.replace(cfg, transpose_range=0)
     ds_plain = Dataset(plain)
-    b_aug = next(iter(ds.batches("train", epoch=0)))
-    b_plain = next(iter(ds_plain.batches("train", epoch=0)))
+    b_aug = next(iter(ds.batches("train", epoch=0, augment=True)))
+    b_plain = next(iter(ds_plain.batches("train", epoch=0, augment=True)))
     assert b_aug.shape == b_plain.shape
     # same windows drawn (same shuffle stream), excluded track bit-equal,
     # note mass only ever DROPS under zero-fill transposition
+    assert b_plain[:, :, 0].sum() > 0          # guard: exclude is non-vacuous
     np.testing.assert_array_equal(b_aug[:, :, 0], b_plain[:, :, 0])
-    assert b_aug[:, :, 1].sum() <= b_plain[:, :, 1].sum()
-    # per-window pitch histogram of track 1 is a shift of the original for
-    # at least one nonzero-shift window (R=3 over 4 windows: overwhelmingly
-    # likely; the assert below is deterministic for this seed)
-    assert not np.array_equal(b_aug[:, :, 1], b_plain[:, :, 1])
+    assert b_aug[:, :, 4].sum() <= b_plain[:, :, 4].sum()
+    # per-window pitch histogram of the melody track is a shift of the
+    # original for at least one nonzero-shift window (R=3 over 4 windows:
+    # overwhelmingly likely; the assert below is deterministic for this seed)
+    assert not np.array_equal(b_aug[:, :, 4], b_plain[:, :, 4])
     # deterministic per (seed, epoch)
-    b_again = next(iter(ds.batches("train", epoch=0)))
+    b_again = next(iter(ds.batches("train", epoch=0, augment=True)))
     np.testing.assert_array_equal(b_aug, b_again)
     # different epochs draw different shifts
-    b_e1 = next(iter(ds.batches("train", epoch=1)))
+    b_e1 = next(iter(ds.batches("train", epoch=1, augment=True)))
     assert not np.array_equal(b_aug, b_e1)
+    # augmentation is OPT-IN: the same train split WITHOUT augment=True is
+    # the true corpus (evaluate.py --split train measures clean data)
+    b_noaug = next(iter(ds.batches("train", epoch=0)))
+    np.testing.assert_array_equal(b_noaug, b_plain)
 
 
 def test_dataset_transpose_never_touches_eval_splits():

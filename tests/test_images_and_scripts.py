@@ -138,3 +138,40 @@ def test_cpu_reference_bench_tf1_tiny():
     s, frames, loss = mod.bench_nade_tf1(k_tracks=2, d=6, h=5, u=4, b=2, t=3,
                                          iters=1)
     assert s > 0 and frames == 6 and math.isfinite(loss)
+
+
+def _load_script(name):
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        name, os.path.join(os.path.dirname(__file__), "..", "scripts",
+                           f"{name}.py"))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_soak_report_math():
+    """soak_report: RSS growth measured AFTER the first sample window
+    (startup/compile allocations are expected), latency drift =
+    last-vs-first-quarter mean ratio."""
+    mod = _load_script("serve_loadtest")
+    samples = [{"t_s": 0.0, "rss_mb": 300.0, "fds": 12, "done": 0},
+               {"t_s": 2.0, "rss_mb": 320.0, "fds": 12, "done": 10},
+               {"t_s": 4.0, "rss_mb": 321.0, "fds": 13, "done": 30}]
+    lat = [0.1] * 8 + [0.2] * 8
+    rep = mod.soak_report(lat, samples)
+    assert rep["rss_growth_after_warmup_mb"] == 1.0   # 321 - 320, not -300
+    assert rep["fds_first"] == 12 and rep["fds_last"] == 13
+    assert rep["latency_drift_last_vs_first_quarter"] == 2.0
+    # degenerate inputs don't crash
+    rep = mod.soak_report([0.1], samples[:1])
+    assert rep["latency_drift_last_vs_first_quarter"] == 1.0
+    assert rep["rss_growth_after_warmup_mb"] == 0.0
+
+
+def test_loadtest_rejects_http_soak():
+    """--http --soak must refuse loudly, not silently run a short
+    closed-loop test labeled as a soak (round-4 review)."""
+    mod = _load_script("serve_loadtest")
+    rc = mod.main(["--http", "--soak", "5"])
+    assert rc == 2

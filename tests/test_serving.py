@@ -534,3 +534,17 @@ def test_http_accompaniment_roundtrip(tmp_path):
         httpd.shutdown()
         service.close()
         t.join(timeout=30)
+
+
+def test_submit_many_zero_is_a_graceful_noop():
+    """submit_many(0) returns [] (it used to raise IndexError deriving the
+    queue kind from reqs[0] — round-4 review); the service keeps serving."""
+    cfg = tiny_cfg()
+    svc = make_service(cfg)
+    try:
+        assert svc.submit_many(0) == []
+        assert svc.submit_many(0, seed=None, given=None) == []
+        r = svc.submit().result(timeout=60)    # still alive
+        assert r.roll.dtype == np.uint8
+    finally:
+        svc.close()
