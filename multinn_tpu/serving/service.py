@@ -73,6 +73,16 @@ class ServeConfig:
     #                            frames, so this too is ONE more compiled
     #                            program shape.
     accompany_steps: int = 0   # accompaniment output length (0 = n_steps)
+    transport: str = "auto"    # device->host roll transport: "packed"
+    #                            (bit-packed frames, ops/bitpack) |
+    #                            "sparse" (nonzero packed bytes + packed
+    #                            overflow fallback, ops/sparsebytes —
+    #                            wins when the payload is large and
+    #                            musically sparse) |
+    #                            "auto" (sparse iff the packed batch
+    #                            payload exceeds _SPARSE_AUTO_BYTES — the
+    #                            regime where the drain fetch is the
+    #                            bottleneck, BASELINE "SERVING SERVICE")
 
 
 @dataclasses.dataclass
@@ -104,6 +114,27 @@ class _Request:
         if self.given is not None:
             return "accompany"
         return "seeded" if self.seed is not None else "plain"
+
+
+# "auto" transport switches to sparse bytes once the bit-packed batch
+# payload crosses this many bytes: below it the packed fetch is cheaper
+# than the sparse path's minimum bucket + count round-trip (measured
+# crossover region on this environment's ~6 MB/s link — BASELINE.md
+# sparse-transport row)
+_SPARSE_AUTO_BYTES = 1 << 20
+
+
+def _resolve_transport(choice: str, cfg, batch: int, n_steps: int):
+    """ServeConfig.transport -> the Generator ``packed`` flag."""
+    if choice not in ("auto", "packed", "sparse"):
+        raise ValueError(f"transport must be auto|packed|sparse, "
+                         f"got {choice!r}")
+    if choice == "auto":
+        from multinn_tpu.ops import bitpack
+        packed_bytes = (batch * n_steps * cfg.model.n_tracks
+                        * bitpack.packed_width(cfg.model.n_pitches))
+        return "sparse" if packed_bytes >= _SPARSE_AUTO_BYTES else True
+    return "sparse" if choice == "sparse" else True
 
 
 def auto_batch(cfg, n_steps: int) -> int:
@@ -141,6 +172,13 @@ class GenerationService:
         self.batch = self.serve_cfg.batch or auto_batch(cfg, self.n_steps)
         self.generator = Generator(cfg, params, mesh=mesh)
         self._base_key = jax.random.PRNGKey(self.serve_cfg.seed)
+        # resolved transport flag for every dispatch (True = bit-packed
+        # frames; "sparse" = nonzero packed bytes w/ packed overflow
+        # fallback; sparse fetches feed the previous batch's record
+        # count back as the next fetch's size_hint — saves the count
+        # round-trip in steady state)
+        self._packed = _resolve_transport(self.serve_cfg.transport, cfg,
+                                          self.batch, self.n_steps)
 
         self._accompany_tracks = tuple(
             int(i) for i in self.serve_cfg.accompany_tracks)
@@ -161,6 +199,8 @@ class GenerationService:
 
         self._stats_lock = threading.Lock()
         self._n_requests = 0
+        self._n_sparse_overflows = 0   # consecutive; 2 demote to packed
+        self._transport_demoted = False
         self._n_batches = 0
         self._n_seeded_batches = 0
         self._n_accompany_batches = 0
@@ -178,23 +218,28 @@ class GenerationService:
 
         # compile + warm every program shape the server can dispatch before
         # accepting traffic (first request must not pay the cold compile):
-        # one unseeded program, plus one seeded program iff seed_steps > 0
-        warm = self.generator.generate_async(self._base_key, self.n_steps,
-                                             self.batch, packed=True)
-        np.asarray(warm)    # value fetch = the provable completion barrier
+        # one unseeded program, plus one seeded program iff seed_steps > 0.
+        # Warming goes through fetch_rolls — the transport decode path —
+        # because it is the provable completion barrier for EVERY
+        # transport (np.asarray on the sparse transport's dict output is
+        # a no-op object array, not a fetch) and it also warms the
+        # drain-side slice programs.
+        self.generator.fetch_rolls(self.generator.generate_async(
+            self._base_key, self.n_steps, self.batch, packed=self._packed))
         if self.serve_cfg.seed_steps > 0:
             zeros = np.zeros((self.batch, self.serve_cfg.seed_steps,
                               cfg.model.n_tracks, cfg.model.n_pitches),
                              np.float32)
-            np.asarray(self.generator.generate_async(
+            self.generator.fetch_rolls(self.generator.generate_async(
                 self._base_key, self.n_steps, self.batch, seed=zeros,
-                packed=True))
+                packed=self._packed))
         if self._accompany_tracks:
             zeros = np.zeros((self.batch, self._accompany_steps,
                               cfg.model.n_tracks, cfg.model.n_pitches),
                              np.float32)
-            np.asarray(self.generator.accompany_async(
-                self._base_key, zeros, self._accompany_tracks, packed=True))
+            self.generator.fetch_rolls(self.generator.accompany_async(
+                self._base_key, zeros, self._accompany_tracks,
+                packed=self._packed))
 
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             name="multinn-serve-dispatch",
@@ -302,6 +347,9 @@ class GenerationService:
             out = {
                 "batch": self.batch,
                 "n_steps": self.n_steps,
+                "transport": ("sparse" if self._packed == "sparse"
+                              else "packed"),
+                "transport_demoted": self._transport_demoted,
                 "pipeline_depth": self.serve_cfg.pipeline_depth,
                 "requests": self._n_requests,
                 "batches": self._n_batches,
@@ -349,6 +397,23 @@ class GenerationService:
             self._done_cv.notify_all()
         self._dispatcher.join(timeout)
         self._drainer.join(timeout)
+
+    def _note_sparse_overflow(self, overflowed: bool) -> None:
+        """Adaptive transport demotion: the static "auto" rule sees only
+        payload SIZE; density is a property of the model, observed at
+        runtime. Two consecutive sparse-buffer overflows (each already
+        served correctly through the packed fallback, at the cost of a
+        wasted count round-trip + device compaction) mean this model is
+        too dense for the sparse codec — switch the service to the
+        packed transport permanently (the flag is read by the dispatcher
+        thread; a benign race costs at most one more sparse batch)."""
+        if not overflowed:
+            self._n_sparse_overflows = 0
+            return
+        self._n_sparse_overflows += 1
+        if self._n_sparse_overflows >= 2 and self._packed == "sparse":
+            self._packed = True
+            self._transport_demoted = True
 
     # -- dispatcher thread ----------------------------------------------------
 
@@ -407,12 +472,12 @@ class GenerationService:
                     for row, r in enumerate(reqs):
                         given_arr[row] = r.given
                     out = self.generator.accompany_async(
-                        key, given_arr, self._accompany_tracks, packed=True)
+                        key, given_arr, self._accompany_tracks, packed=self._packed)
                 else:
                     out = self.generator.generate_async(key, self.n_steps,
                                                         self.batch,
                                                         seed=seed_arr,
-                                                        packed=True)
+                                                        packed=self._packed)
             except Exception as e:            # pragma: no cover - defensive
                 self._inflight.release()
                 with self._stats_lock:
@@ -440,8 +505,14 @@ class GenerationService:
                 # is the serving bottleneck at full 64-bar payloads) —
                 # Generator.fetch_rolls is the transport contract's single
                 # decode point
-                rolls = self.generator.fetch_rolls(out)
+                sparse = isinstance(out, dict)
+                hint = (self.generator.last_sparse_count if sparse
+                        else None)
+                rolls = self.generator.fetch_rolls(out, size_hint=hint)
                 rolls = self.generator.finalize(rolls)
+                if sparse:
+                    self._note_sparse_overflow(
+                        self.generator.last_sparse_overflowed)
             except Exception as e:            # covered: drainer-failure test
                 self._inflight.release()
                 with self._stats_lock:

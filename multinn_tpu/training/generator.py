@@ -20,6 +20,26 @@ from multinn_tpu.data import pianoroll as pr
 from multinn_tpu.models import multinn
 
 
+def _transport(roll: jnp.ndarray, packed) -> jnp.ndarray:
+    """Device-side transport stage shared by every generation program.
+    ``packed`` (static): False ships uint8 frames (4x fewer bytes than
+    f32); True bit-packs the pitch axis (8x more — ops/bitpack);
+    "sparse" ships only the nonzero packed bytes (~3.4x fewer bytes
+    again at musical densities — ops/sparsebytes) alongside the packed
+    roll (the lazily held overflow fallback: only the arrays
+    fetch_rolls actually pulls cross the device->host link)."""
+    if packed == "sparse":
+        from multinn_tpu.ops import bitpack, sparsebytes
+        pk = bitpack.pack_rolls(roll)
+        buf, count = sparsebytes.sparse_pack(
+            pk, sparsebytes.record_cap(pk.size))
+        return {"sparse": buf, "count": count, "packed": pk}
+    if packed:
+        from multinn_tpu.ops import bitpack
+        return bitpack.pack_rolls(roll)
+    return roll.astype(jnp.uint8)
+
+
 class Generator:
     """Public generator API (B:5). Shares the trainer's checkpoint artifact:
     construct with params restored by ``Trainer.restore`` or fresh ones."""
@@ -50,6 +70,11 @@ class Generator:
             else:
                 params = mesh_mod.put_replicated(params, mesh)
         self.params = params
+        # set by sparse-transport fetches (serving size_hint/demotion
+        # feedback)
+        self.last_sparse_count = None
+        self.last_sparse_overflowed = False
+        self._sparse_slicer = None    # lazily-built chunk-fetch program
         # the fused whole-generation kernels are single-chip programs; under
         # a multi-device mesh force the (GSPMD-shardable) scan path
         self._multi_device = mesh is not None and mesh.size > 1
@@ -63,7 +88,7 @@ class Generator:
         temperature = float(getattr(cfg.generate, "temperature", 1.0))
 
         def _impl(params, key, seed, n_steps: int, batch: int,
-                  packed: bool):
+                  packed):
             state = multinn.init_state(params, batch)
             if seed is not None:
                 state = multinn.prime(params, state, seed)
@@ -77,31 +102,20 @@ class Generator:
             _, roll = multinn.generate(params, key, state, n_steps,
                                        fused=fused, k=gibbs_k,
                                        temperature=temperature)
-            # binary {0,1} roll leaves the device as uint8 (4x fewer
-            # device->host bytes than f32); ``packed`` bit-packs the pitch
-            # axis on device for another 8x (ops/bitpack) — generation is
-            # compute-cheap enough that the DRAIN is the serving
-            # bottleneck, so transport bytes are the currency here
-            if packed:
-                from multinn_tpu.ops import bitpack
-                return bitpack.pack_rolls(roll)
-            return roll.astype(jnp.uint8)
+            return _transport(roll, packed)
 
         # one compiled program per (n_steps, batch, packed, seed-shape)
         self._jit_impl = jax.jit(_impl, static_argnames=("n_steps", "batch",
                                                          "packed"))
 
-        def _accomp_impl(params, key, given, seed, tracks, packed: bool):
+        def _accomp_impl(params, key, given, seed, tracks, packed):
             state = multinn.init_state(params, given.shape[0])
             if seed is not None:
                 state = multinn.prime(params, state, seed)
             _, roll = multinn.generate_accompaniment(
                 params, key, state, given, tracks, k=gibbs_k,
                 temperature=temperature)
-            if packed:                 # same transport contract as _impl
-                from multinn_tpu.ops import bitpack
-                return bitpack.pack_rolls(roll)
-            return roll.astype(jnp.uint8)
+            return _transport(roll, packed)   # same contract as _impl
 
         # one compiled program per (given-shape, tracks, seed-shape, packed)
         self._jit_accomp = jax.jit(_accomp_impl,
@@ -159,17 +173,21 @@ class Generator:
     def generate_async(self, key: jax.Array, n_steps: int,
                        batch: int = 1,
                        seed: Optional[np.ndarray] = None,
-                       packed: bool = False) -> jax.Array:
+                       packed=False) -> jax.Array:
         """Dispatch one generation WITHOUT blocking on the result: returns
         the lazy device array (model-space roll, (batch, n_steps, K, D)
         uint8 — or (batch, n_steps, K, ceil(D/8)) bit-packed when
-        ``packed``, see ops/bitpack.unpack_rolls); materialize with
-        np.asarray when needed. ``seed``: optional (batch, T_seed, K, D)
+        ``packed=True``, see ops/bitpack.unpack_rolls; or, when
+        ``packed="sparse"``, a dict of lazy device arrays in the
+        sparse-byte transport, decoded by fetch_rolls —
+        ops/sparsebytes); materialize with np.asarray / fetch_rolls when
+        needed. ``seed``: optional (batch, T_seed, K, D)
         model-space priming roll (one compiled program per seed shape).
         This is the serving building block (multinn_tpu/serving): JAX
         dispatch is asynchronous, so a serving loop that submits batches
         back-to-back pipelines the host dispatch floor behind device work,
-        and ``packed`` cuts the drain's device->host bytes 8x (the serving
+        and ``packed`` cuts the drain's device->host bytes 8x — "sparse"
+        a further ~3.4x at musical densities (the serving
         bottleneck at full 64-bar payloads — BASELINE.md)."""
         seed_dev = (None if seed is None
                     else jnp.asarray(seed).astype(jnp.float32))
@@ -203,7 +221,7 @@ class Generator:
 
     def accompany_async(self, key: jax.Array, given: np.ndarray,
                         given_tracks, seed: Optional[np.ndarray] = None,
-                        packed: bool = False) -> jax.Array:
+                        packed=False) -> jax.Array:
         """Dispatch one track-conditional generation WITHOUT blocking: fix
         ``given_tracks`` to the MODEL-SPACE roll ``given`` (B, T, K, D) and
         sample the rest (multinn.generate_accompaniment — conditioning
@@ -247,14 +265,74 @@ class Generator:
                                       packed=True)
         return self.fetch_rolls(packed)
 
-    def fetch_rolls(self, packed) -> np.ndarray:
-        """Materialize a ``packed=True`` generation result: value fetch +
-        bit-unpack to (batch, n_steps, K, D) uint8. The transport
-        contract's SINGLE decode point — every consumer of packed rolls
-        (generate() above, the serving drain) goes through here."""
+    def fetch_rolls(self, packed, size_hint: Optional[int] = None
+                    ) -> np.ndarray:
+        """Materialize a generation result to (batch, n_steps, K, D)
+        uint8 on host. The transport contract's SINGLE decode point —
+        every consumer (generate() above, the serving drain) goes
+        through here. Accepts either transport: a bit-packed roll
+        (``packed=True`` dispatch) or a sparse-record dict
+        (``packed="sparse"``) — for sparse, only the count scalar and a
+        bucket-quantized valid prefix of the record buffer cross the
+        device->host link; overflow (the count is exact) falls back to
+        the dict's lazily-held packed roll. ``size_hint`` (sparse only,
+        e.g. the previous batch's count in a serving loop) sizes the
+        prefix fetch BEFORE the count is known, saving the count's
+        round trip in the common case; a too-small hint costs one
+        refetch, never correctness."""
         from multinn_tpu.ops import bitpack
+        if isinstance(packed, dict):
+            return self._fetch_sparse_rolls(packed, size_hint)
         return bitpack.unpack_rolls(np.asarray(jax.device_get(packed)),
                                     self.cfg.model.n_pitches)
+
+    def _sparse_chunk_dev(self, buf, i: int):
+        """Device array for chunk ``i`` of a record buffer, through the
+        ONE cached dynamic_slice program (the chunk start is a traced
+        argument — on this environment's remote-compile tunnel every new
+        program SHAPE costs minutes cold, so the adaptive prefix fetch
+        must not mint a program per length; ops/sparsebytes docstring)."""
+        from multinn_tpu.ops import sparsebytes
+        if self._sparse_slicer is None:
+            chunk = sparsebytes.FETCH_CHUNK
+
+            def _slice(b, start):
+                return jax.lax.dynamic_slice(
+                    b, (start, 0), (min(chunk, b.shape[0]), b.shape[1]))
+
+            self._sparse_slicer = jax.jit(_slice)
+        return self._sparse_slicer(buf, i * sparsebytes.FETCH_CHUNK)
+
+    def _fetch_sparse_rolls(self, out, size_hint: Optional[int]
+                            ) -> np.ndarray:
+        from multinn_tpu.ops import bitpack, sparsebytes
+        cap = out["sparse"].shape[0]
+        # the count and the first chunk(s) travel in ONE device_get (the
+        # per-fetch round trip through the tunnel rivals the payload
+        # time); chunk 0 is always needed, and ``size_hint`` (a serving
+        # loop passes the previous batch's count) widens the prefetch so
+        # the typical batch needs no second round trip at all
+        n_pre = (sparsebytes.n_chunks(int(size_hint * 1.25))
+                 if size_hint else 1)
+        n_pre = min(n_pre, sparsebytes.n_chunks(cap))
+        devs = [self._sparse_chunk_dev(out["sparse"], i)
+                for i in range(n_pre)]
+        got = jax.device_get([out["count"]] + devs)
+        count = int(np.asarray(got[0]))
+        chunks = [np.asarray(g) for g in got[1:]]
+        # serving loops read these back: the count as the next batch's
+        # size_hint, the overflow flag to demote a too-dense model's
+        # service to the packed transport (serving/service.py)
+        self.last_sparse_count = count
+        self.last_sparse_overflowed = count > cap
+        if self.last_sparse_overflowed:   # buffer overflow: frame fallback
+            return self.fetch_rolls(out["packed"])
+        for i in range(n_pre, sparsebytes.n_chunks(count)):
+            chunks.append(np.asarray(jax.device_get(
+                self._sparse_chunk_dev(out["sparse"], i))))
+        buf = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        pk = sparsebytes.sparse_unpack(buf, count, out["packed"].shape)
+        return bitpack.unpack_rolls(pk, self.cfg.model.n_pitches)
 
     def finalize(self, rolls: np.ndarray) -> np.ndarray:
         """Model-space rolls -> user-facing FRAME pianorolls: decode the

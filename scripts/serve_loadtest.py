@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--pipeline-depth", type=int, default=3)
     p.add_argument("--seed-steps", type=int, default=0)
+    p.add_argument("--transport", default="auto",
+                   choices=("auto", "packed", "sparse"))
     p.add_argument("--seeded-frac", type=float, default=0.0,
                    help="fraction of requests carrying a priming seed")
     p.add_argument("--http", action="store_true",
@@ -320,7 +322,7 @@ def main(argv=None) -> int:
             batch=args.batch, n_steps=args.n_steps,
             max_wait_ms=args.max_wait_ms,
             pipeline_depth=args.pipeline_depth, seed=cfg.train.seed,
-            seed_steps=args.seed_steps))
+            seed_steps=args.seed_steps, transport=args.transport))
         if args.soak > 0:
             wall, lat, failed, samples = run_soak(service, args.soak,
                                                   seed_roll,

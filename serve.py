@@ -76,6 +76,9 @@ def parse_args(argv=None):
                    help="comma-separated track indices: enable ACCOMPANIMENT "
                         "requests ('given_b64' npz roll) whose listed tracks "
                         "are fixed while the rest are sampled")
+    p.add_argument("--transport", default="auto",
+                   choices=("auto", "packed", "sparse"),
+                   help="device->host roll transport (ServeConfig.transport)")
     p.add_argument("--accompany-steps", type=int, default=0,
                    help="accompaniment output length (0 = n-steps)")
     p.add_argument("--timeout-s", type=float, default=120.0,
@@ -116,7 +119,8 @@ def build_service(args, overrides):
                             seed=cfg.train.seed,
                             seed_steps=args.seed_steps,
                             accompany_tracks=accompany_tracks,
-                            accompany_steps=args.accompany_steps)
+                            accompany_steps=args.accompany_steps,
+                            transport=args.transport)
     return cfg, GenerationService(cfg, params, serve_cfg)
 
 

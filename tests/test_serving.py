@@ -14,6 +14,7 @@ import sys
 import threading
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -234,11 +235,11 @@ def test_service_survives_drainer_failure():
         real = svc.generator.fetch_rolls
         calls = [0]
 
-        def flaky(out):
+        def flaky(out, size_hint=None):
             calls[0] += 1
             if calls[0] == 1:
                 raise RuntimeError("injected drain failure")
-            return real(out)
+            return real(out, size_hint=size_hint)
 
         svc.generator.fetch_rolls = flaky
         bad = svc.submit()
@@ -546,5 +547,101 @@ def test_submit_many_zero_is_a_graceful_noop():
         assert svc.submit_many(0, seed=None, given=None) == []
         r = svc.submit().result(timeout=60)    # still alive
         assert r.roll.dtype == np.uint8
+    finally:
+        svc.close()
+
+
+def test_generate_async_sparse_matches_packed():
+    """packed="sparse" (sparse-byte transport, ops/sparsebytes) decodes
+    to the same roll bits as the packed frame transport, through
+    fetch_rolls — with or without a size_hint (too-small hints refetch,
+    never corrupt)."""
+    cfg = tiny_cfg()
+    params = multinn.init(jax.random.PRNGKey(0), cfg.model)
+    from multinn_tpu.training.generator import Generator
+    gen = Generator(cfg, params)
+    key = jax.random.PRNGKey(7)
+    want = gen.fetch_rolls(gen.generate_async(key, 8, 4, packed=True))
+    out = gen.generate_async(key, 8, 4, packed="sparse")
+    assert isinstance(out, dict)
+    np.testing.assert_array_equal(gen.fetch_rolls(out), want)
+    assert gen.last_sparse_count == int(np.asarray(out["count"]))
+    # size_hint paths: generous (single fetch) and too-small (refetch)
+    np.testing.assert_array_equal(
+        gen.fetch_rolls(out, size_hint=gen.last_sparse_count), want)
+    np.testing.assert_array_equal(gen.fetch_rolls(out, size_hint=0), want)
+
+
+def test_fetch_sparse_overflow_falls_back_to_packed():
+    """A truncated record buffer (count > cap) must be detected:
+    fetch_rolls silently serves the packed fallback instead."""
+    from multinn_tpu.ops import bitpack, sparsebytes as sb
+    cfg = tiny_cfg()
+    params = multinn.init(jax.random.PRNGKey(0), cfg.model)
+    from multinn_tpu.training.generator import Generator
+    gen = Generator(cfg, params)
+    rng = np.random.RandomState(3)
+    # dense roll: far more nonzero bytes than a tiny cap
+    roll = (rng.rand(2, 8, 2, cfg.model.n_pitches) < 0.5).astype(np.uint8)
+    pk = jnp.asarray(np.packbits(roll, axis=-1))
+    buf, count = sb.sparse_pack(pk, cap=4)
+    out = {"sparse": buf, "count": count, "packed": pk}
+    assert int(np.asarray(count)) > 4
+    np.testing.assert_array_equal(gen.fetch_rolls(out), roll)
+    np.testing.assert_array_equal(gen.fetch_rolls(out, size_hint=2), roll)
+
+
+def test_service_sparse_transport_matches_packed():
+    """A service on the sparse transport resolves the same rolls as one
+    on the packed transport (same seed, same one-full-batch arrival)."""
+    cfg = tiny_cfg()
+    rolls = {}
+    for transport in ("packed", "sparse"):
+        svc = make_service(cfg, transport=transport)
+        try:
+            assert svc.stats()["transport"] == transport
+            futures = svc.submit_many(4)
+            rolls[transport] = np.stack(
+                [f.result(timeout=60).roll for f in futures])
+        finally:
+            svc.close()
+    np.testing.assert_array_equal(rolls["sparse"], rolls["packed"])
+
+
+def test_transport_auto_resolution():
+    from multinn_tpu.serving import service as svc_mod
+    cfg = tiny_cfg()
+    # tiny payload -> packed; huge payload -> sparse
+    assert svc_mod._resolve_transport("auto", cfg, 4, 8) is True
+    assert svc_mod._resolve_transport("auto", cfg, 128, 8192) == "sparse"
+    assert svc_mod._resolve_transport("packed", cfg, 128, 8192) is True
+    assert svc_mod._resolve_transport("sparse", cfg, 4, 8) == "sparse"
+    with pytest.raises(ValueError, match="transport"):
+        svc_mod._resolve_transport("zstd", cfg, 4, 8)
+
+
+def test_sparse_transport_demotes_on_dense_model(monkeypatch):
+    """A model too dense for the sparse codec (every batch overflows the
+    record buffer) serves correctly through the packed fallback and,
+    after two consecutive overflows, demotes the service to the packed
+    transport permanently. (Tiny test rolls can never overflow the real
+    record_cap — its whole-chunk rounding floors the buffer at 262144
+    rows — so pin the cap below the dense roll's nonzero-byte count.)"""
+    from multinn_tpu.ops import sparsebytes
+    monkeypatch.setattr(sparsebytes, "record_cap", lambda size, chunk=0: 4)
+    cfg = tiny_cfg(w_std=3.0)          # big weights -> ~50% density
+    svc = make_service(cfg, transport="sparse")
+    try:
+        for f in svc.submit_many(4):   # batch 1
+            f.result(timeout=60)
+        for f in svc.submit_many(4):   # batch 2 -> second overflow
+            f.result(timeout=60)
+        st = svc.stats()
+        assert st["transport"] == "packed"
+        assert st["transport_demoted"] is True
+        assert st["errors"] == 0
+        # still serving fine after the demotion
+        r = svc.submit().result(timeout=60)
+        assert set(np.unique(r.roll)) <= {0, 1}
     finally:
         svc.close()
