@@ -220,9 +220,13 @@ def bench():
         _ecfg = _cfgm.ExperimentConfig(
             name="bench_serve", data=_data, model=cfg,
             generate=_cfgm.GenerateConfig(n_steps=n_steps)).validate()
+        # transport pinned to packed: random-init params emit ~50%
+        # density, where auto would pick sparse and demote — the sparse
+        # story is measured at calibrated density in the A/B block below
         svc = GenerationService(_ecfg, params,
                                 ServeConfig(batch=b_serve, n_steps=n_steps,
-                                            max_wait_ms=2.0))
+                                            max_wait_ms=2.0,
+                                            transport="packed"))
         try:
             n_req = 8 * b_serve
             t0 = time.time()
@@ -232,6 +236,38 @@ def bench():
             svc_songs_per_sec = n_req / (time.time() - t0)
         finally:
             svc.close()
+
+    # sparse vs packed drain transport through the SERVICE (r4 session-4,
+    # ops/sparsebytes): the transports differ only in drain bytes, so the
+    # variable that matters is output DENSITY — random-init params emit
+    # ~50% density (where sparse correctly falls back / demotes), so
+    # calibrate the visible bias to the measured converged-model density
+    # (BASELINE density-matrix row, ~0.008) and interleave rounds to
+    # defeat the tunnel's minute-scale bandwidth drift.
+    svc_sparse = svc_packed_musical = 0.0
+    if b_serve:
+        bv_cal = float(np.log(0.008 / (1 - 0.008)))
+        params_cal = params.replace(decoder=params.decoder.replace(
+            bv=jnp.full_like(params.decoder.bv, bv_cal)))
+        times_tr = {"packed": [], "sparse": []}
+        svcs = {tr: GenerationService(
+                    _ecfg, params_cal,
+                    ServeConfig(batch=b_serve, n_steps=n_steps,
+                                max_wait_ms=2.0, transport=tr))
+                for tr in ("packed", "sparse")}
+        try:
+            for _ in range(3):
+                for tr in ("packed", "sparse"):
+                    n_req = 2 * b_serve
+                    t0 = time.time()
+                    for f in svcs[tr].submit_many(n_req):
+                        f.result(timeout=600)
+                    times_tr[tr].append((time.time() - t0) / n_req)
+        finally:
+            for sv in svcs.values():
+                sv.close()
+        svc_packed_musical = 1.0 / float(np.median(times_tr["packed"]))
+        svc_sparse = 1.0 / float(np.median(times_tr["sparse"]))
 
     # RNN-NADE flagship generation (the second decoder family's fused
     # whole-generation kernel; same slope method for device time)
@@ -356,6 +392,12 @@ def bench():
             "serving_songs_per_sec": round(songs_per_sec, 1),
             "serving_pipelined_songs_per_sec": round(pipe_songs_per_sec, 1),
             "serving_service_songs_per_sec": round(svc_songs_per_sec, 1),
+            # full-payload service at converged-model density, interleaved
+            # packed/sparse A/B (ops/sparsebytes; medians of 3 rounds)
+            "serving_service_musical_packed_songs_per_sec":
+                round(svc_packed_musical, 1),
+            "serving_service_musical_sparse_songs_per_sec":
+                round(svc_sparse, 1),
             "serving_batch": b_serve,
             "serving_nade_songs_per_sec": round(nade_songs_per_sec, 1),
             "serving_nade_pipelined_songs_per_sec":
