@@ -39,6 +39,7 @@ def bench():
     import os
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from multinn_tpu.models import multinn
     from multinn_tpu.models.multinn import MultINNConfig
@@ -250,12 +251,13 @@ def bench():
         params_cal = params.replace(decoder=params.decoder.replace(
             bv=jnp.full_like(params.decoder.bv, bv_cal)))
         times_tr = {"packed": [], "sparse": []}
-        svcs = {tr: GenerationService(
+        svcs = {}
+        try:
+            for tr in ("packed", "sparse"):
+                svcs[tr] = GenerationService(
                     _ecfg, params_cal,
                     ServeConfig(batch=b_serve, n_steps=n_steps,
                                 max_wait_ms=2.0, transport=tr))
-                for tr in ("packed", "sparse")}
-        try:
             for _ in range(3):
                 for tr in ("packed", "sparse"):
                     n_req = 2 * b_serve

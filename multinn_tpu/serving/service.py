@@ -116,24 +116,24 @@ class _Request:
         return "seeded" if self.seed is not None else "plain"
 
 
-# "auto" transport switches to sparse bytes once the bit-packed batch
-# payload crosses this many bytes: below it the packed fetch is cheaper
-# than the sparse path's minimum bucket + count round-trip (measured
-# crossover region on this environment's ~6 MB/s link — BASELINE.md
-# sparse-transport row)
-_SPARSE_AUTO_BYTES = 1 << 20
-
-
 def _resolve_transport(choice: str, cfg, batch: int, n_steps: int):
-    """ServeConfig.transport -> the Generator ``packed`` flag."""
+    """ServeConfig.transport -> the Generator ``packed`` flag. "auto"
+    picks sparse iff the bit-packed batch payload is at least 2x the
+    sparse path's MINIMUM possible fetch (one whole record chunk +
+    count): below that, sparse strictly ships more bytes than packed —
+    its smallest fetch is a fixed FETCH_CHUNK*RECORD_BYTES = 1.31 MB
+    (ops/sparsebytes). ``n_steps`` must be the LARGEST program the
+    service dispatches (callers fold in accompany_steps) — transport is
+    a per-service choice, so size it for the dominant payload."""
     if choice not in ("auto", "packed", "sparse"):
         raise ValueError(f"transport must be auto|packed|sparse, "
                          f"got {choice!r}")
     if choice == "auto":
-        from multinn_tpu.ops import bitpack
+        from multinn_tpu.ops import bitpack, sparsebytes
         packed_bytes = (batch * n_steps * cfg.model.n_tracks
                         * bitpack.packed_width(cfg.model.n_pitches))
-        return "sparse" if packed_bytes >= _SPARSE_AUTO_BYTES else True
+        min_sparse = sparsebytes.FETCH_CHUNK * sparsebytes.RECORD_BYTES
+        return "sparse" if packed_bytes >= 2 * min_sparse else True
     return "sparse" if choice == "sparse" else True
 
 
@@ -177,8 +177,11 @@ class GenerationService:
         # fallback; sparse fetches feed the previous batch's record
         # count back as the next fetch's size_hint — saves the count
         # round-trip in steady state)
+        steps_max = max(self.n_steps,
+                        (self.serve_cfg.accompany_steps or self.n_steps)
+                        if self.serve_cfg.accompany_tracks else 0)
         self._packed = _resolve_transport(self.serve_cfg.transport, cfg,
-                                          self.batch, self.n_steps)
+                                          self.batch, steps_max)
 
         self._accompany_tracks = tuple(
             int(i) for i in self.serve_cfg.accompany_tracks)
@@ -404,15 +407,19 @@ class GenerationService:
         runtime. Two consecutive sparse-buffer overflows (each already
         served correctly through the packed fallback, at the cost of a
         wasted count round-trip + device compaction) mean this model is
-        too dense for the sparse codec — switch the service to the
-        packed transport permanently (the flag is read by the dispatcher
-        thread; a benign race costs at most one more sparse batch)."""
+        too dense for the sparse codec — demote: the drain stops
+        attempting the sparse fetch and reads every future batch's
+        packed fallback directly. The DISPATCH program deliberately
+        stays "sparse": it already computes the packed roll as an
+        output, whereas switching to packed=True would mint a new
+        compiled program mid-serving (minutes of cold remote compile —
+        ops/sparsebytes docstring) for the device-side saving of one
+        ~ms compaction."""
         if not overflowed:
             self._n_sparse_overflows = 0
             return
         self._n_sparse_overflows += 1
-        if self._n_sparse_overflows >= 2 and self._packed == "sparse":
-            self._packed = True
+        if self._n_sparse_overflows >= 2:
             self._transport_demoted = True
 
     # -- dispatcher thread ----------------------------------------------------
@@ -505,12 +512,20 @@ class GenerationService:
                 # is the serving bottleneck at full 64-bar payloads) —
                 # Generator.fetch_rolls is the transport contract's single
                 # decode point
-                sparse = isinstance(out, dict)
-                hint = (self.generator.last_sparse_count if sparse
+                if isinstance(out, dict) and self._transport_demoted:
+                    # demoted: skip the doomed count+chunk fetch and read
+                    # the dict's packed fallback directly — the dispatch
+                    # program stays "sparse" (compiling a packed=True
+                    # program mid-serving would stall every request for
+                    # the cold-compile minutes the design exists to avoid)
+                    out, was_sparse = out["packed"], False
+                else:
+                    was_sparse = isinstance(out, dict)
+                hint = (self.generator.last_sparse_count if was_sparse
                         else None)
                 rolls = self.generator.fetch_rolls(out, size_hint=hint)
                 rolls = self.generator.finalize(rolls)
-                if sparse:
+                if was_sparse:
                     self._note_sparse_overflow(
                         self.generator.last_sparse_overflowed)
             except Exception as e:            # covered: drainer-failure test

@@ -322,9 +322,13 @@ class Generator:
         chunks = [np.asarray(g) for g in got[1:]]
         # serving loops read these back: the count as the next batch's
         # size_hint, the overflow flag to demote a too-dense model's
-        # service to the packed transport (serving/service.py)
-        self.last_sparse_count = count
+        # service to the packed fallback (serving/service.py). An
+        # over-cap count must NOT become a hint — it would prefetch the
+        # ENTIRE record buffer (1.25x the packed bytes) before the next
+        # overflow is even detected.
         self.last_sparse_overflowed = count > cap
+        self.last_sparse_count = None if self.last_sparse_overflowed \
+            else count
         if self.last_sparse_overflowed:   # buffer overflow: frame fallback
             return self.fetch_rolls(out["packed"])
         for i in range(n_pre, sparsebytes.n_chunks(count)):

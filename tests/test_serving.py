@@ -637,7 +637,9 @@ def test_sparse_transport_demotes_on_dense_model(monkeypatch):
         for f in svc.submit_many(4):   # batch 2 -> second overflow
             f.result(timeout=60)
         st = svc.stats()
-        assert st["transport"] == "packed"
+        # the dispatch program stays sparse (no mid-serving cold compile);
+        # the drain reads the packed fallback directly once demoted
+        assert st["transport"] == "sparse"
         assert st["transport_demoted"] is True
         assert st["errors"] == 0
         # still serving fine after the demotion
