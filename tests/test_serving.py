@@ -647,3 +647,17 @@ def test_sparse_transport_demotes_on_dense_model(monkeypatch):
         assert set(np.unique(r.roll)) <= {0, 1}
     finally:
         svc.close()
+
+
+def test_sparse_transport_with_onset_hold_encoding():
+    """Sparse transport composes with data.encoding=onset_hold: the
+    drain decodes records -> packed -> model-space roll -> frame roll."""
+    cfg = tiny_cfg(encoding="onset_hold")
+    svc = make_service(cfg, transport="sparse")
+    try:
+        r = svc.submit().result(60)
+        assert r.roll.shape == (cfg.generate.n_steps, 2, 24)
+        assert set(np.unique(r.roll)) <= {0, 1}
+        assert svc.stats()["errors"] == 0
+    finally:
+        svc.close()
