@@ -212,6 +212,7 @@ def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
          "--batch", str(args.batch), "--n-steps", str(args.n_steps),
          "--max-wait-ms", str(args.max_wait_ms),
          "--pipeline-depth", str(args.pipeline_depth),
+         "--transport", args.transport,
          "--seed-steps", str(args.seed_steps)]
         + (["--run", args.run] if args.run else ["--fresh"])
         + overrides)
