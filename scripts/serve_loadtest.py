@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--seed-steps", type=int, default=0)
     p.add_argument("--transport", default="auto",
                    choices=("auto", "packed", "sparse"))
+    p.add_argument("--payload", default="roll", choices=("roll", "midi"),
+                   help="HTTP response format (--http only): npz roll or "
+                        "MIDI — MIDI is ~5x smaller at full-song lengths")
     p.add_argument("--seeded-frac", type=float, default=0.0,
                    help="fraction of requests carrying a priming seed")
     p.add_argument("--http", action="store_true",
@@ -245,7 +248,7 @@ def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
                     return
                 take = min(bulk_n, n_requests - i)
                 counter[0] += take
-            body = {"format": "roll"}
+            body = {"format": args.payload}
             if take > 1:
                 body["n"] = take
             if seed_b64 is not None and (i % 100) < seeded_frac * 100:
