@@ -29,7 +29,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PROGRAMS = ("train", "train_multi", "gen_rbm", "gen_nade", "hf")
+PROGRAMS = ("train", "train_multi", "gen_rbm", "gen_nade",
+            "gen_sparse", "hf")
 
 
 def _child(program: str, platform: str = None) -> dict:
@@ -111,6 +112,19 @@ def _child(program: str, platform: str = None) -> dict:
         lowered = jax.jit(
             lambda pp, ss, kk: multinn.generate(pp, kk, ss, 1024)[1]
         ).lower(params_n, state_n, key)
+    elif program == "gen_sparse":
+        # the serving drain's sparse-transport program (r4 session-4 —
+        # ops/sparsebytes): generation + bit-pack + byte compaction, the
+        # newest big program family; B=64 matches the serving A/B shape
+        from multinn_tpu.ops import bitpack, sparsebytes
+        state64 = multinn.init_state(params, 64)
+
+        def gen_sparse(pp, ss, kk):
+            roll = multinn.generate(pp, kk, ss, 1024)[1]
+            pk = bitpack.pack_rolls(roll)
+            return sparsebytes.sparse_pack(pk, sparsebytes.record_cap(
+                pk.size))
+        lowered = jax.jit(gen_sparse).lower(params, state64, key)
     elif program == "hf":
         from multinn_tpu.training import hf
         cfg_n = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
