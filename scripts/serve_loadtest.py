@@ -48,7 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--seed-steps", type=int, default=0)
     p.add_argument("--transport", default="auto",
                    choices=("auto", "packed", "sparse"))
-    p.add_argument("--payload", default="roll", choices=("roll", "midi"),
+    p.add_argument("--payload", default="roll",
+                   choices=("roll", "roll_packed", "midi"),
                    help="HTTP response format (--http only): npz roll or "
                         "MIDI — MIDI is ~5x smaller at full-song lengths")
     p.add_argument("--seeded-frac", type=float, default=0.0,

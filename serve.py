@@ -13,7 +13,8 @@ rows). Stdlib-only HTTP (the reference has no serving layer — SURVEY §1).
 API:
   GET  /healthz    -> {"ok": true, "batch": B, "n_steps": N}
   GET  /stats      -> service counters + latency percentiles
-  POST /generate   body (optional JSON): {"format": "midi"|"roll",
+  POST /generate   body (optional JSON): {"format": "midi"|"roll"
+                                                    |"roll_packed",
                                           "bpm": 120.0,
                                           "n": 1,   # songs per request (bulk
                                             requests amortize HTTP overhead;
@@ -166,8 +167,9 @@ def make_handler(cfg, service, timeout_s: float):
                 self._send(400, {"error": "body must be JSON"})
                 return
             fmt = req.get("format", "midi")
-            if fmt not in ("midi", "roll"):
-                self._send(400, {"error": "format must be 'midi' or 'roll'"})
+            if fmt not in ("midi", "roll", "roll_packed"):
+                self._send(400, {"error": "format must be 'midi', 'roll' "
+                                          "or 'roll_packed'"})
                 return
             try:
                 bpm = float(req.get("bpm", cfg.generate.bpm))
@@ -232,8 +234,23 @@ def make_handler(cfg, service, timeout_s: float):
                 buf = io.BytesIO()
                 roll = (results[0].roll if n == 1
                         else np.stack([r.roll for r in results]))
-                np.savez_compressed(buf, roll=roll)
-                out["roll_b64"] = base64.b64encode(buf.getvalue()).decode()
+                if fmt == "roll_packed":
+                    # pitch axis packbits-ed BEFORE the npz (8x less zlib
+                    # input + an 8x smaller decompressed payload for the
+                    # client). At MUSICAL densities this measures the
+                    # same as "roll" (zlib flies over mostly-zero bytes:
+                    # alternated A/B 169.3 vs 168.4 songs/s at full
+                    # 64-bar bulks) — the win appears for dense rolls.
+                    # Client inverse: np.unpackbits(z["packed"],
+                    # axis=-1)[..., :D] with D = shape[-1]
+                    np.savez_compressed(buf, packed=np.packbits(roll,
+                                                                axis=-1))
+                    out["roll_packed_b64"] = base64.b64encode(
+                        buf.getvalue()).decode()
+                else:
+                    np.savez_compressed(buf, roll=roll)
+                    out["roll_b64"] = base64.b64encode(
+                        buf.getvalue()).decode()
                 if n > 1:
                     out["shape"] = list(roll.shape)
             self._send(200, out)

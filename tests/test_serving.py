@@ -390,6 +390,19 @@ def test_http_server_roundtrip(tmp_path):
         assert list(roll.shape) == out["shape"]
         assert roll.shape[0] == cfg.generate.n_steps
 
+        # roll_packed: pitch axis packbits-ed before the npz (the
+        # full-song bulk-payload format — 8x less zlib input host-side)
+        conn.request("POST", "/generate",
+                     body=json.dumps({"format": "roll_packed", "n": 2}))
+        out = json.loads(conn.getresponse().read())
+        with np.load(io.BytesIO(
+                base64.b64decode(out["roll_packed_b64"]))) as z:
+            packed = z["packed"]
+        d = out["shape"][-1]
+        unpacked = np.unpackbits(packed, axis=-1)[..., :d]
+        assert list(unpacked.shape) == out["shape"]
+        assert set(np.unique(unpacked)) <= {0, 1}
+
         # bulk request: n songs in one HTTP round trip, stacked npz
         conn.request("POST", "/generate",
                      body=json.dumps({"format": "roll", "n": 3}))
