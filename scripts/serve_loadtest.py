@@ -285,6 +285,13 @@ def run_http(args, overrides, n_requests, n_clients, seed_roll, seeded_frac):
 
 
 def main(argv=None) -> int:
+    # debuggability on this 1-core box: `kill -USR1 <pid>` dumps every
+    # thread's stack to stderr (closed-loop HTTP runs can appear stuck
+    # while actually waiting on the service/tunnel — the dump says which)
+    import faulthandler
+    import signal as _signal
+    if hasattr(_signal, "SIGUSR1"):
+        faulthandler.register(_signal.SIGUSR1)
     args, overrides = parse_args(argv)
     if args.http and args.soak > 0:
         # refusing beats silently running a short closed-loop test labeled
