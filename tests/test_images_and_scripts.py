@@ -1,5 +1,6 @@
 """Pianoroll PNG summaries (C19/§5.5) and dataset-prep scripts (C21)."""
 
+import json
 import os
 import subprocess
 import sys
@@ -175,3 +176,36 @@ def test_loadtest_rejects_http_soak():
     mod = _load_script("serve_loadtest")
     rc = mod.main(["--http", "--soak", "5"])
     assert rc == 2
+
+
+@pytest.mark.slow
+def test_real_corpus_drill_standin(tmp_path):
+    """scripts/real_corpus_drill.py: the one-command drill runs the
+    shipped JSB config end-to-end on the synthetic stand-in and emits the
+    anchor-comparison report; corpora without data are reported, not
+    crashed."""
+    import scripts.real_corpus_drill as drill
+
+    run_root = str(tmp_path / "runs")
+    rc = drill.main([
+        "--corpus", "jsb", "--data-root", str(tmp_path / "data"),
+        "--synthetic-standin", "--run-root", run_root,
+        # tiny-model overrides forwarded to train.py
+        "--model.n_hidden=16", "--model.n_rnn=12", "--model.gen_k=2",
+        "--train.epochs=1", "--train.steps_per_call=2",
+        "--train.ckpt_every_steps=0",
+        "--generate.n_steps=48", "--generate.seed_steps=8",
+    ])
+    assert rc == 0
+    with open(os.path.join(run_root, "drill_report.json")) as f:
+        rep = json.load(f)
+    row = rep["jsb_rnnrbm"]
+    assert row["synthetic_standin"] is True
+    assert np.isfinite(row["ll_per_frame"])
+    assert row["paper_anchor"]["test_ll_per_frame_2012"] == -6.27
+
+    # no data + no stand-in: actionable skip, exit 3
+    rc = drill.main(["--corpus", "nottingham",
+                     "--data-root", str(tmp_path / "empty"),
+                     "--run-root", run_root])
+    assert rc == 3
