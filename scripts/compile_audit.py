@@ -113,17 +113,18 @@ def _child(program: str, platform: str = None) -> dict:
             lambda pp, ss, kk: multinn.generate(pp, kk, ss, 1024)[1]
         ).lower(params_n, state_n, key)
     elif program == "gen_sparse":
-        # the serving drain's sparse-transport program (r4 session-4 —
-        # ops/sparsebytes): generation + bit-pack + byte compaction, the
-        # newest big program family; B=64 matches the serving A/B shape
-        from multinn_tpu.ops import bitpack, sparsebytes
+        # the sparse-transport generation program FAMILY (r4 session-4 —
+        # ops/sparsebytes): built through the Generator's own transport
+        # stage so the audited HLO has the dispatch's exact output
+        # structure ({sparse, count, packed}); B=64 at this audit's
+        # flagship config. Serving configs differ per user, so this
+        # certifies the family's cache behavior, not one service's key.
+        from multinn_tpu.training.generator import _transport
         state64 = multinn.init_state(params, 64)
 
         def gen_sparse(pp, ss, kk):
             roll = multinn.generate(pp, kk, ss, 1024)[1]
-            pk = bitpack.pack_rolls(roll)
-            return sparsebytes.sparse_pack(pk, sparsebytes.record_cap(
-                pk.size))
+            return _transport(roll, "sparse")
         lowered = jax.jit(gen_sparse).lower(params, state64, key)
     elif program == "hf":
         from multinn_tpu.training import hf

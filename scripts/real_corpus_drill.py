@@ -21,7 +21,6 @@ the pipeline, not quality).
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -48,7 +47,11 @@ _CONFIGS = {
 
 def _find(corpus: str, root: str, explicit: str) -> str:
     if explicit:
-        return explicit if os.path.exists(explicit) else ""
+        if not os.path.exists(explicit):
+            # an explicit path must not silently degrade to "no data" (or
+            # worse, be replaced by a synthetic stand-in): fail loudly
+            raise SystemExit(f"--{corpus} {explicit!r} does not exist")
+        return explicit
     for name in _SEARCH[corpus]:
         p = os.path.join(root, name)
         if os.path.exists(p):
@@ -104,7 +107,22 @@ def main(argv=None) -> int:
                   f"--{corpus} <path>); skipping", file=sys.stderr)
             continue
         for cfg_path, name in _CONFIGS[corpus]:
-            run_dir = os.path.join(args.run_root, f"drill_{name}")
+            # stand-in runs get their own dirs, and a run dir trained on
+            # DIFFERENT data must not be silently resumed (train.py
+            # auto-resumes — a stale synthetic checkpoint would report
+            # the stand-in model's numbers as the real corpus')
+            suffix = "_standin" if args.synthetic_standin else ""
+            run_dir = os.path.join(args.run_root, f"drill_{name}{suffix}")
+            prev_cfg = os.path.join(run_dir, "config.json")
+            if os.path.exists(prev_cfg):
+                with open(prev_cfg) as f:
+                    prev_path = json.load(f).get("data", {}).get("path", "")
+                if prev_path and prev_path != path:
+                    raise SystemExit(
+                        f"{run_dir} was trained on {prev_path!r}, not "
+                        f"{path!r} — remove it or pass a fresh --run-root "
+                        f"(auto-resuming across data sources would report "
+                        f"the old model's numbers for the new corpus)")
             print(f"[{corpus}] {cfg_path} <- {path}", file=sys.stderr)
             rc = train_cli.main(["--config", cfg_path,
                                  f"--data.path={path}",
@@ -128,22 +146,29 @@ def main(argv=None) -> int:
                 if k in gen:
                     row[k] = {"generated": _mean(gen[k]),
                               "corpus": _mean(corp.get(k, []))}
-            report[name] = row
+            report[name + suffix] = row
             anchor = row["paper_anchor"] or {}
-            print(f"[{corpus}] {name}: ll/frame "
-                  f"{row['ll_per_frame']:+.3f}"
+            ll = row["ll_per_frame"]
+            ll_s = f"{ll:+.3f}" if ll is not None else "n/a (empty split)"
+            print(f"[{corpus}] {name}: ll/frame {ll_s}"
                   + (f" vs 2012 anchor {anchor['test_ll_per_frame_2012']}"
                      if anchor else ""), file=sys.stderr)
 
+    ran_any = bool(report)         # THIS invocation's rows, pre-merge
     out = args.report or os.path.join(args.run_root, "drill_report.json")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    if os.path.exists(out):        # corpora land on different days: MERGE
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(report)
+        report = merged
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
     print(f"wrote {out}", file=sys.stderr)
     if missing:
         print(f"corpora without data: {missing}", file=sys.stderr)
-        return 3 if not report else 0
+        return 3 if not ran_any else 0
     return 0
 
 

@@ -50,8 +50,9 @@ def parse_args(argv=None):
                    choices=("auto", "packed", "sparse"))
     p.add_argument("--payload", default="roll",
                    choices=("roll", "roll_packed", "midi"),
-                   help="HTTP response format (--http only): npz roll or "
-                        "MIDI — MIDI is ~5x smaller at full-song lengths")
+                   help="HTTP response format (--http only): 'roll' npz, "
+                        "'roll_packed' (packbits-ed npz — wins on DENSE "
+                        "rolls; equal at musical densities), or 'midi'")
     p.add_argument("--seeded-frac", type=float, default=0.0,
                    help="fraction of requests carrying a priming seed")
     p.add_argument("--http", action="store_true",

@@ -31,7 +31,10 @@ API:
                                             exclusive with seed_b64)}
     -> {"format": ..., "shape": [T, K, D], "provenance": {...},
         "latency_ms": {...},
-        "midi_b64": ... | "roll_b64": ...(npz, key "roll")}
+        "midi_b64": ... | "roll_b64": ...(npz, key "roll")
+        | "roll_packed_b64": ...(npz, key "packed" — pitch axis
+          np.packbits-ed; inverse: np.unpackbits(z["packed"],
+          axis=-1)[..., :D] with D = shape[-1])}
     n>1: "roll_b64" npz holds (n, T, K, D); "midi_b64" becomes a list;
          "provenance"/"latency_ms" become lists
 """

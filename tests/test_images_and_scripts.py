@@ -199,7 +199,7 @@ def test_real_corpus_drill_standin(tmp_path):
     assert rc == 0
     with open(os.path.join(run_root, "drill_report.json")) as f:
         rep = json.load(f)
-    row = rep["jsb_rnnrbm"]
+    row = rep["jsb_rnnrbm_standin"]       # stand-ins get their own run dirs
     assert row["synthetic_standin"] is True
     assert np.isfinite(row["ll_per_frame"])
     assert row["paper_anchor"]["test_ll_per_frame_2012"] == -6.27
@@ -209,3 +209,19 @@ def test_real_corpus_drill_standin(tmp_path):
                      "--data-root", str(tmp_path / "empty"),
                      "--run-root", run_root])
     assert rc == 3
+
+    # an explicit path that does not exist fails loudly (never degrades
+    # to "no data" or a silently substituted stand-in)
+    with pytest.raises(SystemExit, match="does not exist"):
+        drill.main(["--corpus", "jsb", "--jsb", str(tmp_path / "nope.pkl"),
+                    "--run-root", run_root])
+
+    # a run dir trained on different data refuses to silently resume
+    other = str(tmp_path / "data" / "other.pkl")
+    import shutil
+    shutil.copy(os.path.join(str(tmp_path / "data"), "jsb_synth.pkl"),
+                other)
+    with pytest.raises(SystemExit, match="remove it or pass"):
+        drill.main(["--corpus", "jsb", "--jsb", other,
+                    "--run-root", run_root,
+                    "--synthetic-standin", "--train.epochs=1"])
