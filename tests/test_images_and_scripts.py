@@ -225,3 +225,33 @@ def test_real_corpus_drill_standin(tmp_path):
         drill.main(["--corpus", "jsb", "--jsb", other,
                     "--run-root", run_root,
                     "--synthetic-standin", "--train.epochs=1"])
+
+
+@pytest.mark.slow
+def test_serve_transport_ab_script(tmp_path):
+    """scripts/serve_transport_ab.py runs end-to-end on a tiny trained
+    run (CPU): both transports resolve, medians are reported."""
+    import train as train_cli
+    import scripts.serve_transport_ab as ab
+
+    run_dir = str(tmp_path / "ab_run")
+    rc = train_cli.main([
+        "--preset", "synthetic", "--data.n_tracks=2",
+        "--model.n_tracks=2", "--data.window=16",
+        "--data.batch_size=4", "--data.synthetic_songs=8",
+        "--data.synthetic_steps=64", "--model.n_hidden=16",
+        "--model.n_rnn=12", "--model.gen_k=2", "--train.epochs=1",
+        "--train.steps_per_call=2", "--train.ckpt_every_steps=0",
+        f"--train.run_dir={run_dir}",
+    ])
+    assert rc == 0
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = ab.main(["--run", run_dir, "--batch", "2", "--n-steps", "8",
+                      "--rounds", "1", "--batches-per-round", "1"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["packed_songs_per_s_median"] > 0
+    assert rep["sparse_songs_per_s_median"] > 0
