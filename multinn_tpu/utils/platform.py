@@ -27,11 +27,25 @@ def enable_compilation_cache(cache_dir: str = None):
     disable. Returns the active cache dir or None. Idempotent; safe to call
     before or after backend initialization (the config only affects
     compilations issued afterwards)."""
+    explicit = bool(cache_dir or os.environ.get("MULTINN_COMPILE_CACHE"))
     cache_dir = cache_dir or os.environ.get("MULTINN_COMPILE_CACHE",
                                             _DEFAULT_CACHE)
     if not cache_dir or cache_dir.lower() in _OFF_VALUES:
         return None
     import jax
+    # the IMPLICIT default dir is for accelerator backends only. The
+    # cache exists to amortize the remote-TPU compile cost; CPU compiles
+    # are fast AND caching them in a long-lived shared dir is actively
+    # dangerous: XLA:CPU caches AOT executables keyed without the host's
+    # CPU features, so an entry written by a machine with different
+    # vector extensions segfaults/SIGILLs when deserialized later
+    # (observed 2026-08-19: a cross-round ~/.cache entry with
+    # +prefer-no-scatter/+avx512* flags this host lacks crashed the test
+    # suite inside compilation_cache.get_executable_and_time). An
+    # EXPLICIT dir (arg or MULTINN_COMPILE_CACHE) is honored on any
+    # backend — same-machine CPU caching is the audit's tested mechanic.
+    if not explicit and jax.default_backend() == "cpu":
+        return None
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache every program: the per-entry disk cost is tiny next to this
