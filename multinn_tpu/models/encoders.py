@@ -74,8 +74,7 @@ def encode(params: Params, x: jax.Array,
     for i, layer in enumerate(params):
         h = jax.nn.sigmoid(precision.mm(h, layer.w) + layer.bh)
         if key is not None and i == len(params) - 1:
-            u = jax.random.uniform(key, h.shape, dtype=h.dtype)
-            h = (u < h).astype(h.dtype)
+            h = rbm_nn._bernoulli(key, h)
     return h
 
 

@@ -208,8 +208,14 @@ def loss(params: MultINNParams, key: jax.Array, x: jax.Array,
     if cfg.mode == "joint":
         b, t, k, d = x.shape
         feats = enc_mod.features(params.encoder, x.reshape(b, t, k * d))
-        return dec.loss(params.decoder, key, feats, detailed=detailed,
-                        frame_mask=frame_mask, seq=seq)
+        total, metrics = dec.loss(params.decoder, key, feats,
+                                  detailed=detailed,
+                                  frame_mask=frame_mask, seq=seq)
+        # the documented metrics contract includes 'loss_per_track' in every
+        # mode; joint has ONE decoder over the concatenated tracks -> (1,)
+        metrics = dict(metrics)
+        metrics["loss_per_track"] = total[None]
+        return total, metrics
 
     feats_k = _encode_tracks(params, x)                  # (K, B, T, F)
     keys = jax.random.split(key, cfg.n_tracks)
@@ -296,7 +302,6 @@ def conditional_logits(params: MultINNParams, x: jax.Array, seq=None):
 def init_state(params: MultINNParams, batch: int) -> MultINNState:
     cfg = params.cfg
     dec = _dec(cfg)
-    dcfg = cfg.decoder_config()
     if cfg.mode == "joint":
         return MultINNState(
             decoder=dec.init_state(params.decoder, (batch,)), ctx=None)
@@ -318,7 +323,14 @@ def prime(params: MultINNParams, state: MultINNState,
             decoder=dec.prime(params.decoder, state.decoder, feats), ctx=None)
     feats_k = _encode_tracks(params, seed)               # (K, B, T, F)
     if cfg.mode == "feedback":
-        ctx_seq = _feedback_ctx(feats_k)
+        # ctx(t) = latents(t-1); the INCOMING state's carried cross-track
+        # context conditions the first seed frame's RNN advance, so chained
+        # generate -> prime keeps the training/generation semantics. Fresh
+        # states carry zero ctx (init_state), making this bit-exact with a
+        # zero-prefix for the fresh-state path.
+        kk, b, t, f = feats_k.shape
+        lat = jnp.moveaxis(feats_k, 0, 2).reshape(b, t, kk * f)
+        ctx_seq = jnp.concatenate([state.ctx[:, None], lat[:, :-1]], axis=1)
         states = jax.vmap(
             lambda p, st, xx: dec.prime(p, st, xx, ctx=ctx_seq)
         )(params.decoder, state.decoder, feats_k)
@@ -522,6 +534,14 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
     given_tm = jnp.transpose(given, (1, 2, 0, 3))        # (T, K, B, D)
     mask = jnp.zeros((cfg.n_tracks, 1, 1), jnp.float32).at[
         jnp.asarray(given_tracks), 0, 0].set(1.0)        # (K, 1, 1)
+    # the expensive per-step work is sample_frame (gen_k Gibbs sweeps / the
+    # NADE ancestral sweep) — run it ONLY for the sampled complement;
+    # given tracks' frames come from feats_t and never consume a sample.
+    # Per-track keys stay tkeys[track], so this is bit-exact with sampling
+    # all K tracks and masking (given_tracks is static).
+    samp_idx = jnp.asarray([i for i in range(cfg.n_tracks)
+                            if i not in given_tracks])
+    dec_params_s = jax.tree.map(lambda a: a[samp_idx], params.decoder)
     keys = jax.random.split(key, n_steps)
     feedback = cfg.mode == "feedback"
 
@@ -529,10 +549,11 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
         kk_key, feats_t, given_t = inp                   # (K,B,F), (K,B,D)
         key1, kd = jax.random.split(kk_key)
         tkeys = jax.random.split(key1, cfg.n_tracks)
-        vs = jax.vmap(
+        st_s = jax.tree.map(lambda a: a[samp_idx], st.decoder)
+        vs_s = jax.vmap(
             lambda p, kx, s: dec.sample_frame(p, kx, s, k=k)
-        )(params.decoder, tkeys, st.decoder)             # (K, B, F)
-        v_final = mask * feats_t + (1.0 - mask) * vs
+        )(dec_params_s, tkeys[samp_idx], st_s)           # (K_samp, B, F)
+        v_final = feats_t.at[samp_idx].set(vs_s)
         ctx_arg = st.ctx if feedback else None
         states = jax.vmap(
             lambda p, s, v: dec.forced_step(p, s, v, ctx_arg)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 
 from flax import struct
 
+from multinn_tpu.nn import rbm as rbm_nn
+
 
 @struct.dataclass
 class NADEParams:
@@ -168,7 +170,7 @@ def sample(key: jax.Array, w, v, bv, bh,
         h = jax.nn.sigmoid(a)                    # (..., H)
         logit = bv_i + jnp.einsum("...h,h->...", h, v_i)
         p = jax.nn.sigmoid(logit)
-        x_i = (jax.random.uniform(kk, p.shape, dtype=p.dtype) < p).astype(p.dtype)
+        x_i = rbm_nn._bernoulli(kk, p)
         return a + x_i[..., None] * w_i, x_i
 
     _, xs = jax.lax.scan(body, bh_b.astype(w.dtype), (keys, w, v, bv_t))

@@ -104,6 +104,42 @@ def test_sample_step_refactor_bit_exact(decoder):
         lambda a, b: bool(jnp.array_equal(a, b)), st1, st2))
 
 
+@pytest.mark.parametrize("decoder", ["rnn-rbm", "rnn-nade"])
+def test_subset_sampling_bit_exact_with_masked_full_sampling(decoder):
+    """generate_accompaniment runs sample_frame ONLY for the sampled
+    complement (the expensive per-step work — gen_k Gibbs sweeps / the NADE
+    ancestral sweep); it must be bit-exact with the reference formulation
+    that samples ALL K tracks and mask-merges (per-track keys are
+    tkeys[track] in both; given_tracks is static)."""
+    cfg = cfg_for(decoder, "feedback")
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    g = given_roll(b=2, t=10)
+    st0 = multinn.init_state(params, 2)
+    key = jax.random.PRNGKey(7)
+    _, roll = multinn.generate_accompaniment(params, key, st0,
+                                             jnp.asarray(g), (0, 2))
+
+    dec = get_decoder(decoder)
+    mask = jnp.zeros((K, 1, 1)).at[jnp.asarray((0, 2)), 0, 0].set(1.0)
+    feats_g = multinn._encode_tracks(params, jnp.asarray(g))
+    feats_tm = jnp.moveaxis(feats_g, 2, 0)                   # (T, K, B, F)
+    keys = jax.random.split(key, g.shape[1])
+    st, ctx = st0.decoder, st0.ctx
+    outs = []
+    for t in range(g.shape[1]):
+        key1, _kd = jax.random.split(keys[t])
+        tkeys = jax.random.split(key1, K)
+        vs = jax.vmap(lambda p, kx, s: dec.sample_frame(p, kx, s, k=None))(
+            params.decoder, tkeys, st)                       # ALL K tracks
+        v_final = mask * feats_tm[t] + (1.0 - mask) * vs
+        st = jax.vmap(lambda p, s, v: dec.forced_step(p, s, v, ctx))(
+            params.decoder, st, v_final)
+        ctx = multinn._flatten_latents(v_final)
+        outs.append(v_final)
+    ref = jnp.transpose(jnp.stack(outs), (2, 0, 1, 3))       # (B, T, K, D)
+    np.testing.assert_array_equal(np.asarray(roll), np.asarray(ref))
+
+
 def test_accompaniment_temperature_only_tempers_sampled_tracks():
     params = multinn.init(jax.random.PRNGKey(0), cfg_for("rnn-nade"))
     params = params.replace(decoder=params.decoder.replace(

@@ -36,8 +36,12 @@ def test_loss_and_grads(mode, dec):
     assert np.isfinite(float(val))
     for leaf in jax.tree.leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
-    if mode != "joint":
-        assert metrics["loss_per_track"].shape == (K,)
+    # metrics contract: 'loss_per_track' exists in EVERY mode (joint has
+    # one decoder over the concatenated tracks -> a (1,) vector)
+    expect = (1,) if mode == "joint" else (K,)
+    assert metrics["loss_per_track"].shape == expect
+    np.testing.assert_allclose(float(jnp.mean(metrics["loss_per_track"])),
+                               float(val), rtol=1e-6)
 
 
 @pytest.mark.parametrize("mode", ["per-track", "feedback", "joint", "hybrid"])
@@ -54,6 +58,38 @@ def test_generate(mode, dec):
     # fixed-seed reproducibility
     roll2 = gen(jax.random.PRNGKey(2))
     np.testing.assert_array_equal(np.asarray(roll), np.asarray(roll2))
+
+
+def test_prime_uses_carried_feedback_ctx():
+    """prime() in feedback mode must condition the first seed frame's RNN
+    advance on the INCOMING state's cross-track context (ctx(t) =
+    latents(t-1)) — chained generate -> prime -> generate is a supported
+    session. Reference: frame-by-frame forced_step threading the context
+    exactly as generation does."""
+    from multinn_tpu.models import rnn_nade as dec
+    cfg = make_cfg("feedback", "rnn-nade")
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    st0 = multinn.init_state(params, B)
+    st1, _ = multinn.generate(params, jax.random.PRNGKey(1), st0, 5)
+    assert float(jnp.abs(st1.ctx).sum()) > 0     # the carried ctx is real
+    seed = data(3)
+    primed = multinn.prime(params, st1, seed)
+
+    st, ctx = st1.decoder, st1.ctx
+    feats_k = multinn._encode_tracks(params, seed)           # (K, B, T, F)
+    for t in range(seed.shape[1]):
+        v_t = feats_k[:, :, t]                               # (K, B, F)
+        st = jax.vmap(lambda p, s, v: dec.forced_step(p, s, v, ctx))(
+            params.decoder, st, v_t)
+        ctx = multinn._flatten_latents(v_t)
+    np.testing.assert_allclose(np.asarray(primed.ctx), np.asarray(ctx))
+    for a, b in zip(jax.tree.leaves(primed.decoder), jax.tree.leaves(st)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # fresh states carry zero ctx -> bit-exact with the zero-prefix path
+    # (the pre-fix behavior) for every existing prime consumer
+    np.testing.assert_array_equal(np.asarray(st0.ctx),
+                                  np.zeros_like(np.asarray(st0.ctx)))
 
 
 def test_feedback_context_matters():
