@@ -481,7 +481,8 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
                            state: MultINNState, given: jax.Array,
                            given_tracks: Tuple[int, ...],
                            k: Optional[int] = None,
-                           temperature: float = 1.0
+                           temperature: float = 1.0,
+                           fused: Optional[bool] = None
                            ) -> Tuple[MultINNState, jax.Array]:
     """Track-conditional generation ("accompaniment"): fix the tracks in
     ``given_tracks`` to the frames of ``given`` (B, T, K, D) and sample the
@@ -503,7 +504,14 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
     their teacher-forced features, and ALL tracks advance via
     ``forced_step`` — so given tracks' RNNs see exactly the priming
     semantics. ``temperature`` tempers only the SAMPLED tracks' conditionals
-    (given tracks are passthrough). ``given_tracks`` is static."""
+    (given tracks are passthrough). ``given_tracks`` is static.
+
+    ``fused`` (None = auto like generate()): run the whole conditional
+    loop in the whole-generation Pallas kernels instead — the given
+    tracks' teacher features stream into the kernel per step (ops/
+    gen_fused_{rbm,nade}; same distribution, kernel RNG stream). Force
+    False on a multi-device mesh (the kernels are single-chip programs;
+    training/generator.py does)."""
     cfg = params.cfg
     if cfg.mode == "joint":
         raise ValueError(
@@ -522,10 +530,20 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
     if kk != cfg.n_tracks or d != cfg.n_pitches:
         raise ValueError(f"given roll (B, T, K, D)={given.shape} does not "
                          f"match model (K={cfg.n_tracks}, D={cfg.n_pitches})")
+    if fused is None:
+        from multinn_tpu.ops import gen_fused
+        fused = (jax.default_backend() == "tpu"
+                 and (gen_fused.supported(cfg, b, n_steps, gen_k=k,
+                                          conditioned=True)
+                      or gen_fused.supported_nade(
+                          cfg, b, n_steps, n_given=len(given_tracks))))
     dec = _dec(cfg)
     params = tempered_params(params, temperature)
     dec_beta = 1.0 / temperature
     given = given.astype(jnp.float32)
+    if fused:
+        return _generate_accomp_fused(params, key, state, given,
+                                      given_tracks, k=k, dec_beta=dec_beta)
     # teacher-forced decoder-facing features of the given roll (identity
     # for pass-through encoders; binary frozen DBN features otherwise) —
     # only the given tracks' rows are consumed
@@ -655,4 +673,73 @@ def _generate_fused(params: MultINNParams, key: jax.Array,
                 lambda p, kk, v: _decode_sample(p, kk, v, beta=dec_beta)
             )(params.encoder, jax.random.split(kd, cfg.n_tracks), lat_k)
         roll = jnp.moveaxis(out, 0, 2)
+    return MultINNState(decoder=new_dec, ctx=ctx), roll
+
+
+def _generate_accomp_fused(params: MultINNParams, key: jax.Array,
+                           state: MultINNState, given: jax.Array,
+                           given_tracks: Tuple[int, ...],
+                           k: Optional[int] = None,
+                           dec_beta: float = 1.0,
+                           interpret: bool = False
+                           ) -> Tuple[MultINNState, jax.Array]:
+    """generate_accompaniment on the whole-generation fused kernels: the
+    given tracks' teacher-forced FEATURES stream into the kernel per step
+    and replace those tracks in the emitted/carried frame (see
+    ops/gen_fused_{rbm,nade} — exact conditional sampling because the
+    per-track block layouts make within-frame sweeps track-independent).
+    ``params`` arrive already temperature-transformed; given tracks' roll
+    rows pass through BIT-EXACTLY (model-space passthrough, same contract
+    as the scan path). Non-joint modes only (the caller raises for joint)."""
+    from multinn_tpu.models import rnn_nade, rnn_rbm
+    from multinn_tpu.nn import rnn as rnn_nn
+    from multinn_tpu.ops import gen_fused
+    cfg = params.cfg
+    n_steps = given.shape[1]
+    feats_g = _encode_tracks(params, given)              # (K, B, T, F)
+    feats_bt = jnp.transpose(feats_g, (1, 2, 0, 3))      # (B, T, K, F)
+    vanilla = cfg.cell == "vanilla"
+    dec_state = state.decoder
+    h0 = jnp.stack([st.h for st in dec_state.cell])
+    c0 = (jnp.zeros_like(h0) if vanilla
+          else jnp.stack([st.c for st in dec_state.cell]))
+    gt = tuple(given_tracks)
+    if cfg.decoder_type == "rnn-nade":
+        roll, h_f, c_f = gen_fused.generate_nade(
+            key, params.decoder, h0, c0, dec_state.v_prev, n_steps,
+            interpret=interpret, given=feats_bt, given_tracks=gt)
+        state_cls = rnn_nade.State
+    else:
+        roll, h_f, c_f = gen_fused.generate_rbm(
+            key, params.decoder, h0, c0, dec_state.v_prev, n_steps,
+            cfg.gen_k if k is None else k, interpret=interpret,
+            given=feats_bt, given_tracks=gt)
+        state_cls = rnn_rbm.State                  # roll (B, T, K, F)
+    v_last = jnp.moveaxis(roll[:, -1], 0, 1)             # (K, B, F)
+    n_layers = len(dec_state.cell)
+
+    def cell_state(h, c):
+        return (rnn_nn.VanillaRNNState(h=h) if vanilla
+                else rnn_nn.LSTMState(h=h, c=c))
+
+    new_dec = state_cls(
+        cell=tuple(cell_state(h_f[l], c_f[l]) for l in range(n_layers)),
+        v_prev=v_last)
+    ctx = (_flatten_latents(v_last) if cfg.mode == "feedback" else None)
+    if cfg.encoder_hidden:
+        # latent roll -> pianoroll (sample the decode conditional, exactly
+        # _generate_fused's pass), then the given tracks' ROLL rows take
+        # the user's given verbatim (scan-path contract: model-space
+        # passthrough, never re-encoded/decoded)
+        lat_k = jnp.moveaxis(roll, 2, 0)                 # (K, B, T, F)
+        kd = jax.random.fold_in(key, 0x5eed)
+        if cfg.shared_encoder:
+            out = _decode_sample(params.encoder, kd, lat_k, beta=dec_beta)
+        else:
+            out = jax.vmap(
+                lambda p, kk, v: _decode_sample(p, kk, v, beta=dec_beta)
+            )(params.encoder, jax.random.split(kd, cfg.n_tracks), lat_k)
+        roll = jnp.moveaxis(out, 0, 2)
+        roll = roll.at[:, :, jnp.asarray(gt)].set(
+            given[:, :, jnp.asarray(gt)])
     return MultINNState(decoder=new_dec, ctx=ctx), roll

@@ -172,17 +172,24 @@ def _nade_scratch(batch: int, k: int, d: int, hid: int, u: int,
 
 
 def _nade_fixed_bytes(batch: int, k: int, d: int, hid: int, u: int,
-                      nl: int, gate_w: int = None, spec: int = None) -> int:
+                      nl: int, gate_w: int = None, spec: int = None,
+                      n_given: int = 0) -> int:
     """Non-arg VMEM bytes of the NADE kernel (shared between the gate and
     generate_nade's auto aux-dtype rule — one formula, no drift).
     ``spec`` is the speculative depth whose side table to charge; None =
     the depth the default dispatch resolves (_resolve_spec). Callers that
     force an explicit depth (generate_nade(..., spec=2) A/B runs) must
-    pass it — the spec=2 table is twice the spec=4 table's bytes."""
+    pass it — the spec=2 table is twice the spec=4 table's bytes.
+    ``n_given``: accompaniment extras (the streamed given block + the f32
+    wxg input-projection rows for the given tracks)."""
     fixed = vmem.scratch_bytes(_nade_scratch(batch, k, d, hid, u, nl,
                                              gate_w))
     fixed += 2 * 4 * _KP * batch * d         # roll block, double-buffered
     fixed += 2 * 4 * batch * nl * k * u      # hout/cout blocks
+    if n_given:
+        gate_w = 4 * u if gate_w is None else gate_w
+        fixed += 2 * 4 * _KP * batch * d     # given stream, double-buffered
+        fixed += 4 * n_given * d * gate_w    # wxg rows (f32, VMEM-resident)
     # speculative-sweep side table (always bf16) for the depth that will
     # actually dispatch; odd D resolves spec=1 with no table (ADVICE r3:
     # charging the table unconditionally made the gate over-conservative
@@ -194,7 +201,7 @@ def _nade_fixed_bytes(batch: int, k: int, d: int, hid: int, u: int,
     return fixed
 
 
-def nade_aux_dtype(cfg, batch: int):
+def nade_aux_dtype(cfg, batch: int, n_given: int = 0):
     """The aux-matrix storage dtype the dispatch will use for this
     config/batch (shared rule between the gate and generate_nade): f32 when
     the full-precision layout fits the VMEM budget, else bf16 (capacity
@@ -210,7 +217,8 @@ def nade_aux_dtype(cfg, batch: int):
     st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
     v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
     gate_w = 4 * u if cfg.cell == "lstm" else u
-    fixed = _nade_fixed_bytes(batch, k, d, cfg.n_hidden, u, nl, gate_w)
+    fixed = _nade_fixed_bytes(batch, k, d, cfg.n_hidden, u, nl, gate_w,
+                              n_given=n_given)
     for aux in (jnp.float32, jnp.bfloat16):
         need = fixed + vmem.eval_shape_bytes(
             functools.partial(_nade_args, aux_dtype=aux), params, st, st, v0)
@@ -219,19 +227,23 @@ def nade_aux_dtype(cfg, batch: int):
     return None
 
 
-def supported_nade(cfg, batch: int, n_steps: int = 2048) -> bool:
+def supported_nade(cfg, batch: int, n_steps: int = 2048,
+                   n_given: int = 0) -> bool:
     """NADE fused-generation gate: K <= 8 (stride-8 dim blocks); batch 1 or
     a multiple of 8 (tile-aligned (KP, B) logit matmuls — see the section
     comment). The roll streams to HBM per grid step, so n_steps does not
     bound VMEM. Byte counts via the real arg builder; past the f32 budget
-    the bf16 aux-storage capacity mode extends the admissible batch."""
-    return nade_aux_dtype(cfg, batch) is not None
+    the bf16 aux-storage capacity mode extends the admissible batch.
+    ``n_given``: count of fixed tracks for accompaniment dispatch (charges
+    the given stream + wxg extras)."""
+    return nade_aux_dtype(cfg, batch, n_given=n_given) is not None
 
 
 def _nade_kernel(seed_ref, *refs,
                  batch: int, n_tracks: int, d: int, hid: int, u: int,
                  ctx_dim: int, spec: int = 1, n_layers: int = 1,
-                 gate_w: int = None, lstm_cell: bool = True):
+                 gate_w: int = None, lstm_cell: bool = True,
+                 given_tracks: Tuple[int, ...] = ()):
     """One GRID ITERATION = one generation step (all K tracks and B
     samples advance through the D dims together); scratch carries the
     LSTM/visible state and feedback projection across iterations, and the
@@ -248,8 +260,21 @@ def _nade_kernel(seed_ref, *refs,
     row at a time in dim order, so every REALIZED path reproduces the
     sequential adds exactly — only the cross-quad acc grouping (one 4KP-row
     dot instead of two 2KP-row dots) can differ in the last ulp (same
-    distribution; equality still expected and tested at small sizes)."""
-    n_in = 12 + (n_layers > 1) + (spec > 1)
+    distribution; equality still expected and tested at small sizes).
+
+    ``given_tracks`` (static) enables ACCOMPANIMENT: an extra per-step
+    input streams the given tracks' teacher features, which REPLACE those
+    tracks' rows in the frame after the sweep. Exact: the dim-major block
+    layouts are per-track diagonal, so within a frame the ancestral sweeps
+    are track-independent and discarding a given track's samples equals
+    never sampling it; all cross-track coupling (feedback zctx, next
+    step's biases) flows through the MERGED frame. The one subtlety is the
+    LSTM layer-0 input projection: z accumulates from the SAMPLED x during
+    the sweep, so given tracks' z is recomputed from the teacher features
+    via the f32 wxg rows (an explicit (B,D)x(D,4U) dot — same value as
+    forced_step up to f32 summation order vs the sweep's bf16-chunked
+    accumulation; given tracks' own state is the only consumer)."""
+    n_in = 12 + (n_layers > 1) + (spec > 1) + 2 * bool(given_tracks)
     (wmdm_ref, vdm_ref, wuvdm_ref, wuh_ref, wh_ref, wctx_ref, bv_ref,
      bh_ref, b_ref, h0_ref, c0_ref, v0_ref) = refs[:12]
     _extra = 12
@@ -258,6 +283,10 @@ def _nade_kernel(seed_ref, *refs,
         _extra += 1
     if spec > 1:
         wspec_ref = refs[_extra]
+        _extra += 1
+    if given_tracks:
+        giv_ref = refs[_extra]
+        wxg_ref = refs[_extra + 1]
     (roll_ref, hout_ref, cout_ref,
      h_s, c_s, v_s, bhp_s, bvp_s, u_s, zctx_s) = refs[n_in:]
     t = pl.program_id(0)
@@ -487,6 +516,17 @@ def _nade_kernel(seed_ref, *refs,
         acc_f, v_new = jax.lax.fori_loop(0, d, dim_body, (acc0, vacc0))
     z_acc = acc_f[:, khp:]                             # (B, K*4U)
 
+    if given_tracks:
+        # replace the given tracks' rows with the streamed teacher
+        # features BEFORE the frame is emitted/carried (see docstring;
+        # the mask is built in-kernel — Pallas rejects captured constants)
+        row_trk = jax.lax.broadcasted_iota(
+            jnp.int32, (_KP, 1, 1), 0)
+        gmask = functools.reduce(
+            jnp.logical_or,
+            [row_trk == tr for tr in given_tracks])
+        v_new = jnp.where(gmask, giv_ref[0], v_new)
+
     v_s[:] = v_new
     roll_ref[0] = v_new                   # (KP, B, D) -> HBM pipeline
 
@@ -500,7 +540,15 @@ def _nade_kernel(seed_ref, *refs,
         h_l = h_s[:, off:off + lku]
         for k in range(kk):
             if layer == 0:
-                zin = z_acc[:, k * gw:(k + 1) * gw]
+                if given_tracks and k in given_tracks:
+                    # given track: the sweep accumulated z from DISCARDED
+                    # samples — recompute from the teacher features
+                    gi = given_tracks.index(k)
+                    zin = jnp.dot(v_new[k],
+                                  wxg_ref[gi * d:(gi + 1) * d, :],
+                                  preferred_element_type=jnp.float32)
+                else:
+                    zin = z_acc[:, k * gw:(k + 1) * gw]
                 if ctx_dim:
                     zin = zin + zctx[:, k * gw:(k + 1) * gw]
             else:
@@ -552,24 +600,34 @@ def _resolve_spec(d: int) -> int:
 
 def generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                   interpret: bool = False, spec: int = None,
-                  aux_dtype=None
+                  aux_dtype=None, given=None,
+                  given_tracks: Tuple[int, ...] = ()
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Public entry — resolves the speculative depth (None = env knob /
     deepest depth in {4, 2, 1} dividing D) and delegates to the jitted
-    implementation with the resolved STATIC value."""
+    implementation with the resolved STATIC value.
+
+    ``given`` (B, n_steps, K, D feature-space) + static ``given_tracks``
+    enable ACCOMPANIMENT: the given tracks' frames stream into the kernel
+    per step and replace those tracks in the emitted/carried frame (see
+    _nade_kernel). Sampled tracks are bit-identical to the unconditional
+    run when the given content equals what would have been sampled
+    (tested); given tracks' LSTM state advances on the teacher features."""
     if spec is None:
         spec = _resolve_spec(dec_params.w.shape[1])
     return _generate_nade(key, dec_params, h0, c0, v0, n_steps,
                           interpret=interpret, spec=spec,
-                          aux_dtype=aux_dtype)
+                          aux_dtype=aux_dtype, given=given,
+                          given_tracks=tuple(given_tracks))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "interpret", "spec",
-                                    "aux_dtype"))
+                                    "aux_dtype", "given_tracks"))
 def _generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                    interpret: bool = False, spec: int = 4,
-                   aux_dtype=None
+                   aux_dtype=None, given=None,
+                   given_tracks: Tuple[int, ...] = ()
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused whole-generation for track-stacked rnn_nade.Params.
     h0/c0: (L, K, B, U) stacked over LSTM layers ((K, B, U) auto-promotes
@@ -597,11 +655,13 @@ def _generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     lku = n_layers * k * u
     if d % spec:
         raise ValueError(f"spec={spec} must divide D={d}")
+    if (given is None) != (not given_tracks):
+        raise ValueError("given and given_tracks must be passed together")
     if aux_dtype is None:
         # auto: f32 when it fits, else the bf16 aux-storage capacity mode
         # (same rule as nade_aux_dtype — shared fixed-bytes formula)
         need32 = (_nade_fixed_bytes(b, k, d, hid, u, n_layers, four_u,
-                                    spec=spec)
+                                    spec=spec, n_given=len(given_tracks))
                   + vmem.eval_shape_bytes(
                       functools.partial(_nade_args, aux_dtype=jnp.float32),
                       dec_params, h0, c0, v0))
@@ -631,12 +691,27 @@ def _generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                     .at[:, 1, :].set(wrow[1::4])
                     .at[:, 2, :].set(wrow[2::4])
                     .reshape(d // 4 * _KP, khp))
-    seed = key_to_seeds(key)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [vspec] * len(args)
+    if given is not None:
+        # (B, T, K, D) -> the kernel's padded row layout (T, KP, B, D),
+        # streamed one block per grid iteration; plus the given tracks'
+        # compact f32 layer-0 input-projection rows (see _nade_kernel)
+        g = jnp.zeros((n_steps, _KP, b, d), jnp.float32).at[:, :k].set(
+            jnp.transpose(given, (1, 2, 0, 3)).astype(jnp.float32))
+        args.append(g)
+        in_specs.append(pl.BlockSpec((1, _KP, b, d),
+                                     lambda t, s: (t, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.concatenate(
+            [cells[0].wx[tr, :d, :] for tr in given_tracks],
+            axis=0).astype(jnp.float32))                 # (n_given*D, 4U)
+        in_specs.append(vspec)
+    seed = key_to_seeds(key)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=[vspec] * len(args),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, _KP, b, d), lambda t, s: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),          # roll stream
@@ -651,7 +726,7 @@ def _generate_nade(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
         functools.partial(_nade_kernel, batch=b, n_tracks=k,
                           d=d, hid=hid, u=u, ctx_dim=ctx_dim, spec=spec,
                           n_layers=n_layers, gate_w=four_u,
-                          lstm_cell=lstm_cell),
+                          lstm_cell=lstm_cell, given_tracks=given_tracks),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, _KP, b, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, lku), jnp.float32),

@@ -118,29 +118,33 @@ def _rbm_scratch(batch: int, k: int, d: int, u: int, n_layers: int = 1,
 
 
 def supported(cfg, batch: int, n_steps: int = 2048,
-              gen_k: int = None) -> bool:
+              gen_k: int = None, conditioned: bool = False) -> bool:
     """Gate for the auto-dispatch. The roll is streamed to HBM per step, so
     n_steps does not bound VMEM; batch does (state rows + per-sweep RNG all
     scale with B). Byte counts come from the real builders via eval_shape —
     over-budget requests fall back to the scan path instead of failing at
-    Mosaic compile time."""
+    Mosaic compile time. ``conditioned``: charge the accompaniment given-
+    feature stream block (generate_rbm with given/given_tracks)."""
     if not _common_gate(cfg, "rnn-rbm") or batch < 1:
         return False
-    return rbm_weight_dtype(cfg, batch) is not None
+    return rbm_weight_dtype(cfg, batch, conditioned=conditioned) is not None
 
 
 def _rbm_fixed_bytes(batch: int, k: int, d: int, u: int, hid: int,
-                     nl: int, gate_w: int = None) -> int:
+                     nl: int, gate_w: int = None,
+                     conditioned: bool = False) -> int:
     """Non-weight VMEM bytes of the RBM kernel (shared between the gate and
     generate_rbm's auto weight-dtype rule — one formula, no drift)."""
     fixed = vmem.scratch_bytes(_rbm_scratch(batch, k, d, u, nl, gate_w))
     fixed += 2 * 4 * batch * k * d           # roll block, double-buffered
     fixed += 2 * 4 * batch * nl * k * u      # hout/cout blocks
     fixed += 2 * 4 * batch * k * (hid + d)   # per-sweep uniform temporaries
+    if conditioned:
+        fixed += 2 * 4 * batch * k * d       # given stream, double-buffered
     return fixed
 
 
-def rbm_weight_dtype(cfg, batch: int):
+def rbm_weight_dtype(cfg, batch: int, conditioned: bool = False):
     """The weight-storage dtype the dispatch will use for this config/batch
     (shared rule between the gate and generate_rbm's auto mode): f32 when
     the full-precision layout fits the VMEM budget, else bf16 (capacity
@@ -152,7 +156,8 @@ def rbm_weight_dtype(cfg, batch: int):
     st = jax.ShapeDtypeStruct((nl, k, batch, u), jnp.float32)
     v0 = jax.ShapeDtypeStruct((k, batch, d), jnp.float32)
     gate_w = 4 * u if cfg.cell == "lstm" else u
-    fixed = _rbm_fixed_bytes(batch, k, d, u, hid, nl, gate_w)
+    fixed = _rbm_fixed_bytes(batch, k, d, u, hid, nl, gate_w,
+                             conditioned=conditioned)
     for wdtype in (jnp.float32, jnp.bfloat16):
         need = fixed + vmem.eval_shape_bytes(
             functools.partial(_rbm_args, wdtype=wdtype), params, st, st, v0)
@@ -164,7 +169,8 @@ def rbm_weight_dtype(cfg, batch: int):
 def _rbm_kernel(seed_ref, *refs,
                 n_tracks: int, d: int, hid: int, u: int,
                 ctx_dim: int, gen_k: int, n_layers: int = 1,
-                gate_w: int = None, lstm_cell: bool = True):
+                gate_w: int = None, lstm_cell: bool = True,
+                given_tracks: Tuple[int, ...] = ()):
     """One GRID ITERATION = one generation step for all tracks and all B
     samples. Scratch (h/c/v rows) carries the state across iterations; the
     sampled frame is written to this iteration's roll block (Pallas streams
@@ -173,15 +179,28 @@ def _rbm_kernel(seed_ref, *refs,
     ((B,K*D)@(K*D,K*H) and its transpose) for all tracks at once. Stacked
     LSTMs (n_layers > 1) keep layer-major state rows (B, L*K*U): layer l's
     input is layer l-1's fresh h; bias conditioning reads the TOP layer's
-    previous h (scan-path parity: u(t-1) = top-layer state)."""
+    previous h (scan-path parity: u(t-1) = top-layer state).
+
+    ``given_tracks`` (static) enables ACCOMPANIMENT: an extra per-step
+    input block streams the given tracks' teacher features, which REPLACE
+    those tracks' Gibbs output before the frame is emitted / carried. The
+    replacement is exactly conditional sampling: the RBM weights are
+    block-diagonal over tracks, so within a frame the chains are per-track
+    independent and masking the given tracks' lanes equals never sampling
+    them; all cross-track coupling (feedback ctx, next step's state) flows
+    through the MERGED frame, matching the scan path's forced_step
+    semantics for given tracks."""
+    (wb_ref, wbt_ref, wuvb_ref, wuhb_ref, bv_ref, bh_ref, wxv_ref,
+     wh_ref, wctx_ref, b_ref, h0_ref, c0_ref, v0_ref) = refs[:13]
+    n_in = 13 + (n_layers > 1) + bool(given_tracks)
+    pos = 13
     if n_layers > 1:
-        (wb_ref, wbt_ref, wuvb_ref, wuhb_ref, bv_ref, bh_ref, wxv_ref,
-         wh_ref, wctx_ref, b_ref, h0_ref, c0_ref, v0_ref, wxr_ref,
-         roll_ref, hout_ref, cout_ref, h_s, c_s, v_s, z_s) = refs
-    else:
-        (wb_ref, wbt_ref, wuvb_ref, wuhb_ref, bv_ref, bh_ref, wxv_ref,
-         wh_ref, wctx_ref, b_ref, h0_ref, c0_ref, v0_ref,
-         roll_ref, hout_ref, cout_ref, h_s, c_s, v_s, z_s) = refs
+        wxr_ref = refs[pos]
+        pos += 1
+    if given_tracks:
+        giv_ref = refs[pos]
+        pos += 1
+    (roll_ref, hout_ref, cout_ref, h_s, c_s, v_s, z_s) = refs[n_in:]
     t = pl.program_id(0)
     kseed = seed_ref[0]
     kseed1 = seed_ref[1]                  # full 64-bit keying (ops.sampling)
@@ -223,6 +242,16 @@ def _rbm_kernel(seed_ref, *refs,
         return (uv < pv).astype(jnp.float32)
 
     v_new = jax.lax.fori_loop(0, gen_k, sweep, v_prev)
+    if given_tracks:
+        # lane mask over the (B, K*D) row: given tracks' lane blocks take
+        # the streamed teacher features (given_tracks is static; the mask
+        # is built in-kernel — Pallas rejects captured array constants)
+        lane_trk = jax.lax.broadcasted_iota(
+            jnp.int32, (1, kk * d), 1) // d
+        gmask = functools.reduce(
+            jnp.logical_or,
+            [lane_trk == tr for tr in given_tracks])
+        v_new = jnp.where(gmask, giv_ref[0], v_new)
     v_s[:] = v_new
     roll_ref[0] = v_new                   # -> HBM via the output pipeline
 
@@ -272,9 +301,10 @@ def _rbm_kernel(seed_ref, *refs,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "gen_k", "interpret",
-                                    "wdtype"))
+                                    "wdtype", "given_tracks"))
 def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
-                 gen_k: int, interpret: bool = False, wdtype=None
+                 gen_k: int, interpret: bool = False, wdtype=None,
+                 given=None, given_tracks: Tuple[int, ...] = ()
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the fused whole-generation kernel (see _rbm_kernel).
 
@@ -282,7 +312,13 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     stack depth). h0/c0: (L, K, B, U) stacked over layers ((K, B, U)
     auto-promotes for single-layer cells); v0: (K, B, D) — any batch B the
     VMEM gate admits. Returns (roll (B, n_steps, K, D),
-    h_final (L, K, B, U), c_final (L, K, B, U))."""
+    h_final (L, K, B, U), c_final (L, K, B, U)).
+
+    ``given`` (B, n_steps, K, D feature-space) + static ``given_tracks``
+    enable ACCOMPANIMENT: the given tracks' frames stream into the kernel
+    per step and replace those tracks in the emitted/carried frame (see
+    _rbm_kernel). Conditioning on the kernel's own unconditional output is
+    bit-identical to the unconditional run (tested)."""
     cells = dec_params.cell
     n_layers = len(cells)
     if h0.ndim == 3 and n_layers == 1:
@@ -295,23 +331,33 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
     ctx_dim = xin_dim - d
     b = h0.shape[2]
     lku = n_layers * k * u
+    if (given is None) != (not given_tracks):
+        raise ValueError("given and given_tracks must be passed together")
     if wdtype is None:
         # auto: f32 when it fits, else the bf16 capacity mode (same rule as
         # rbm_weight_dtype — shared fixed-bytes formula)
-        need32 = (_rbm_fixed_bytes(b, k, d, u, hid, n_layers, four_u)
+        need32 = (_rbm_fixed_bytes(b, k, d, u, hid, n_layers, four_u,
+                                   conditioned=given is not None)
                   + vmem.eval_shape_bytes(
                       functools.partial(_rbm_args, wdtype=jnp.float32),
                       dec_params, h0, c0, v0))
         wdtype = (jnp.float32 if need32 <= vmem.VMEM_BUDGET_BYTES
                   else jnp.bfloat16)
 
-    args = _rbm_args(dec_params, h0, c0, v0, wdtype=wdtype)
+    args = list(_rbm_args(dec_params, h0, c0, v0, wdtype=wdtype))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
+    if given is not None:
+        # (B, T, K, D) -> per-step (T, B, K*D) row blocks, streamed from
+        # HBM through the input pipeline (one block per grid iteration)
+        args.append(jnp.transpose(given, (1, 0, 2, 3))
+                    .reshape(n_steps, b, k * d).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((1, b, k * d), lambda t, s: (t, 0, 0),
+                                     memory_space=pltpu.VMEM))
     seed = key_to_seeds(key)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=[vspec] * len(args),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, b, k * d), lambda t, s: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # roll stream
@@ -326,7 +372,8 @@ def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
         functools.partial(_rbm_kernel, n_tracks=k,
                           d=d, hid=hid, u=u, ctx_dim=ctx_dim, gen_k=gen_k,
                           n_layers=n_layers, gate_w=four_u,
-                          lstm_cell=lstm_cell),
+                          lstm_cell=lstm_cell,
+                          given_tracks=tuple(given_tracks)),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_steps, b, k * d), jnp.float32),
                    jax.ShapeDtypeStruct((b, lku), jnp.float32),

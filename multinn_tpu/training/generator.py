@@ -114,7 +114,7 @@ class Generator:
                 state = multinn.prime(params, state, seed)
             _, roll = multinn.generate_accompaniment(
                 params, key, state, given, tracks, k=gibbs_k,
-                temperature=temperature)
+                temperature=temperature, fused=fused)
             return _transport(roll, packed)   # same contract as _impl
 
         # one compiled program per (given-shape, tracks, seed-shape, packed)

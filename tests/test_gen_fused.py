@@ -698,3 +698,122 @@ def test_nade_gate_capacity_ladder():
     assert gen_fused_nade.nade_aux_dtype(cfg, 64) == jnp.bfloat16
     assert gen_fused_nade.nade_aux_dtype(cfg, 96) is None
     assert gen_fused.supported_nade(cfg, 64, 1024)
+
+# ---- accompaniment (track-conditional) in the fused kernels ------------
+
+
+def _stacked_state(params, b):
+    st = multinn.init_state(params, b).decoder
+    h0 = jnp.stack([s.h for s in st.cell])
+    c0 = jnp.stack([s.c for s in st.cell])
+    return h0, c0, st.v_prev
+
+
+def test_rbm_accomp_self_conditioning_bit_exact():
+    """Conditioning the RBM kernel on its OWN unconditional output must
+    reproduce the unconditional run bit-for-bit (roll AND states): the
+    block-diagonal layouts make within-frame chains track-independent, so
+    the masked merge IS conditional sampling, and all cross-track coupling
+    flows through the (identical) merged binary frame."""
+    cfg = cfg_for("feedback")
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    h0, c0, v0 = _stacked_state(params, 2)
+    T, key = 16, jax.random.PRNGKey(5)
+    ru, hu, cu = gen_fused.generate_rbm(key, params.decoder, h0, c0, v0,
+                                        T, 3, interpret=True)
+    rc, hc, cc = gen_fused.generate_rbm(key, params.decoder, h0, c0, v0,
+                                        T, 3, interpret=True,
+                                        given=ru, given_tracks=(0, 2))
+    np.testing.assert_array_equal(np.asarray(ru), np.asarray(rc))
+    np.testing.assert_array_equal(np.asarray(hu), np.asarray(hc))
+    np.testing.assert_array_equal(np.asarray(cu), np.asarray(cc))
+
+
+def test_nade_accomp_self_conditioning():
+    """NADE self-conditioning: roll and SAMPLED tracks' states bit-exact.
+    Given tracks' LSTM state is allclose only: their layer-0 input
+    projection is recomputed from the teacher features via f32 wxg rows,
+    while the sweep accumulates bf16-stored M rows (documented in
+    _nade_kernel; the f32 recompute is closer to forced_step semantics).
+    Covers both the batched (B=8) and B=1 (VPU lane-reduction) paths."""
+    cfg = cfg_for("feedback", decoder_type="rnn-nade")
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    for b in (8, 1):
+        h0, c0, v0 = _stacked_state(params, b)
+        T, key = 12, jax.random.PRNGKey(5)
+        ru, hu, cu = gen_fused.generate_nade(key, params.decoder, h0, c0,
+                                             v0, T, interpret=True)
+        rc, hc, cc = gen_fused.generate_nade(key, params.decoder, h0, c0,
+                                             v0, T, interpret=True,
+                                             given=ru, given_tracks=(0, 2))
+        np.testing.assert_array_equal(np.asarray(ru), np.asarray(rc))
+        np.testing.assert_array_equal(np.asarray(hu[:, 1]),
+                                      np.asarray(hc[:, 1]))
+        np.testing.assert_array_equal(np.asarray(cu[:, 1]),
+                                      np.asarray(cc[:, 1]))
+        np.testing.assert_allclose(np.asarray(hu), np.asarray(hc),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(cu), np.asarray(cc),
+                                   atol=4e-2)
+
+
+@pytest.mark.parametrize("dec_type", ["rnn-rbm", "rnn-nade"])
+def test_accomp_fused_passthrough_and_coupling(dec_type):
+    """multinn._generate_accomp_fused: given tracks pass through bit-exact;
+    in feedback mode DIFFERENT given content changes the sampled tracks
+    (the conditioning binds through the kernel's merged-frame ctx)."""
+    cfg = cfg_for("feedback", decoder_type=dec_type)
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    g1 = jnp.asarray((rng.random((8, 12, K, D)) < 0.3).astype(np.float32))
+    g2 = jnp.asarray((rng.random((8, 12, K, D)) < 0.3).astype(np.float32))
+    st = multinn.init_state(params, 8)
+    key = jax.random.PRNGKey(9)
+    fin, r1 = multinn._generate_accomp_fused(params, key, st, g1, (0, 2),
+                                             interpret=True)
+    _, r2 = multinn._generate_accomp_fused(params, key, st, g2, (0, 2),
+                                           interpret=True)
+    r1, r2 = np.asarray(r1), np.asarray(r2)
+    np.testing.assert_array_equal(r1[:, :, 0], np.asarray(g1)[:, :, 0])
+    np.testing.assert_array_equal(r1[:, :, 2], np.asarray(g1)[:, :, 2])
+    assert set(np.unique(r1)) <= {0.0, 1.0}
+    assert not np.array_equal(r1[:, :, 1], r2[:, :, 1])
+    # state contract: ctx reflects the MERGED last frame
+    np.testing.assert_array_equal(
+        np.asarray(fin.decoder.v_prev[0]), r1[:, -1, 0])
+
+
+def test_accomp_fused_dbn_passthrough():
+    """DBN encoder: the kernel runs in latent space; the given tracks' ROLL
+    rows must still pass through bit-exactly (model-space passthrough,
+    never re-encoded/decoded — scan-path contract)."""
+    cfg = cfg_for("feedback", decoder_type="rnn-nade", encoder_hidden=(6,))
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    g = jnp.asarray((rng.random((8, 10, K, D)) < 0.3).astype(np.float32))
+    st = multinn.init_state(params, 8)
+    _, roll = multinn._generate_accomp_fused(params, jax.random.PRNGKey(1),
+                                             st, g, (1,), interpret=True)
+    roll = np.asarray(roll)
+    np.testing.assert_array_equal(roll[:, :, 1], np.asarray(g)[:, :, 1])
+    assert set(np.unique(roll)) <= {0.0, 1.0}
+
+
+def test_accomp_gate_charges_conditioned_extras():
+    """The conditioned gates must admit the flagship shapes and stay
+    monotone: conditioned=True can only consume MORE VMEM than the
+    unconditional gate (never admit a batch the unconditional gate
+    refuses)."""
+    from multinn_tpu.ops import gen_fused_nade, gen_fused_rbm
+    cfg_r = MultINNConfig(n_tracks=5, n_pitches=84, mode="per-track",
+                          decoder_type="rnn-rbm", n_hidden=150, n_rnn=100,
+                          gen_k=25)
+    cfg_n = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
+                          decoder_type="rnn-nade", n_hidden=150, n_rnn=100)
+    assert gen_fused.supported(cfg_r, 8, 1024, conditioned=True)
+    assert gen_fused.supported_nade(cfg_n, 8, 1024, n_given=2)
+    for b in (1, 8, 16, 64, 128, 256):
+        if gen_fused.supported(cfg_r, b, 1024, conditioned=True):
+            assert gen_fused.supported(cfg_r, b, 1024)
+        if gen_fused.supported_nade(cfg_n, b, 1024, n_given=4):
+            assert gen_fused.supported_nade(cfg_n, b, 1024)
