@@ -173,18 +173,26 @@ def _flatten_latents(vs: jax.Array) -> jax.Array:
     return jnp.moveaxis(vs, 0, 1).reshape(b, k * f)
 
 
-def _feedback_ctx(feats_k: jax.Array, seq=None) -> jax.Array:
+def _feedback_ctx(feats_k: jax.Array, seq=None,
+                  prefix: Optional[jax.Array] = None) -> jax.Array:
     """Teacher-forced feedback context: concat latents of all tracks at t-1.
-    feats_k: (K, B, T, F) -> ctx (B, T, K·F) with zeros at t=0.
+    feats_k: (K, B, T, F) -> ctx (B, T, K·F); row t=0 is ``prefix``
+    (B, K·F) — a carried cross-track context from an earlier generate/prime
+    (prime()) — or zeros (fresh state / training).
 
     Under time sharding (``seq``: parallel.seqpipe.SeqSpec) the shift crosses
     chunk boundaries — the one-frame latent halo rides a single ppermute."""
     k, b, t, f = feats_k.shape
     lat = jnp.moveaxis(feats_k, 0, 2).reshape(b, t, k * f)
     if seq is not None:
+        if prefix is not None:
+            raise ValueError("carried-ctx prefix is a priming-path feature; "
+                             "the seqpipe halo path starts from zeros")
         from multinn_tpu.parallel import seqpipe
         return seqpipe.shift_right_seq(lat, seq)
-    return jnp.concatenate([jnp.zeros_like(lat[:, :1]), lat[:, :-1]], axis=1)
+    first = (jnp.zeros_like(lat[:, :1]) if prefix is None
+             else prefix[:, None].astype(lat.dtype))
+    return jnp.concatenate([first, lat[:, :-1]], axis=1)
 
 
 def _mean_tree(tree):
@@ -328,9 +336,7 @@ def prime(params: MultINNParams, state: MultINNState,
         # generate -> prime keeps the training/generation semantics. Fresh
         # states carry zero ctx (init_state), making this bit-exact with a
         # zero-prefix for the fresh-state path.
-        kk, b, t, f = feats_k.shape
-        lat = jnp.moveaxis(feats_k, 0, 2).reshape(b, t, kk * f)
-        ctx_seq = jnp.concatenate([state.ctx[:, None], lat[:, :-1]], axis=1)
+        ctx_seq = _feedback_ctx(feats_k, prefix=state.ctx)
         states = jax.vmap(
             lambda p, st, xx: dec.prime(p, st, xx, ctx=ctx_seq)
         )(params.decoder, state.decoder, feats_k)
@@ -482,7 +488,8 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
                            given_tracks: Tuple[int, ...],
                            k: Optional[int] = None,
                            temperature: float = 1.0,
-                           fused: Optional[bool] = None
+                           fused: Optional[bool] = None,
+                           subset: bool = True
                            ) -> Tuple[MultINNState, jax.Array]:
     """Track-conditional generation ("accompaniment"): fix the tracks in
     ``given_tracks`` to the frames of ``given`` (B, T, K, D) and sample the
@@ -511,7 +518,16 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
     tracks' teacher features stream into the kernel per step (ops/
     gen_fused_{rbm,nade}; same distribution, kernel RNG stream). Force
     False on a multi-device mesh (the kernels are single-chip programs;
-    training/generator.py does)."""
+    training/generator.py does).
+
+    ``subset`` (scan path only): True runs ``sample_frame`` only for the
+    sampled complement (gathers a K_samp-subset of the decoder stack —
+    the single-chip win, ~1.1-1.2x at flagship shapes). On a TRACK-sharded
+    mesh the per-step subset gather of K-sharded decoder state inserts
+    cross-shard collectives and a K_samp stack that need not partition
+    over the track axis — pass subset=False there to keep the uniformly
+    sharded all-K vmap with mask-merge (bit-exact either way; per-track
+    keys are tkeys[track] in both)."""
     cfg = params.cfg
     if cfg.mode == "joint":
         raise ValueError(
@@ -553,10 +569,10 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
     mask = jnp.zeros((cfg.n_tracks, 1, 1), jnp.float32).at[
         jnp.asarray(given_tracks), 0, 0].set(1.0)        # (K, 1, 1)
     # the expensive per-step work is sample_frame (gen_k Gibbs sweeps / the
-    # NADE ancestral sweep) — run it ONLY for the sampled complement;
-    # given tracks' frames come from feats_t and never consume a sample.
-    # Per-track keys stay tkeys[track], so this is bit-exact with sampling
-    # all K tracks and masking (given_tracks is static).
+    # NADE ancestral sweep) — subset=True runs it ONLY for the sampled
+    # complement; given tracks' frames come from feats_t and never consume
+    # a sample. Per-track keys stay tkeys[track], so this is bit-exact with
+    # the subset=False all-K mask-merge (given_tracks is static).
     samp_idx = jnp.asarray([i for i in range(cfg.n_tracks)
                             if i not in given_tracks])
     dec_params_s = jax.tree.map(lambda a: a[samp_idx], params.decoder)
@@ -567,11 +583,17 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
         kk_key, feats_t, given_t = inp                   # (K,B,F), (K,B,D)
         key1, kd = jax.random.split(kk_key)
         tkeys = jax.random.split(key1, cfg.n_tracks)
-        st_s = jax.tree.map(lambda a: a[samp_idx], st.decoder)
-        vs_s = jax.vmap(
-            lambda p, kx, s: dec.sample_frame(p, kx, s, k=k)
-        )(dec_params_s, tkeys[samp_idx], st_s)           # (K_samp, B, F)
-        v_final = feats_t.at[samp_idx].set(vs_s)
+        if subset:
+            st_s = jax.tree.map(lambda a: a[samp_idx], st.decoder)
+            vs_s = jax.vmap(
+                lambda p, kx, s: dec.sample_frame(p, kx, s, k=k)
+            )(dec_params_s, tkeys[samp_idx], st_s)       # (K_samp, B, F)
+            v_final = feats_t.at[samp_idx].set(vs_s)
+        else:         # uniform all-K sweep (track-sharded mesh path)
+            vs = jax.vmap(
+                lambda p, kx, s: dec.sample_frame(p, kx, s, k=k)
+            )(params.decoder, tkeys, st.decoder)         # (K, B, F)
+            v_final = mask * feats_t + (1.0 - mask) * vs
         ctx_arg = st.ctx if feedback else None
         states = jax.vmap(
             lambda p, s, v: dec.forced_step(p, s, v, ctx_arg)

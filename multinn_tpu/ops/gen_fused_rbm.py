@@ -299,13 +299,26 @@ def _rbm_kernel(seed_ref, *refs,
     cout_ref[:] = c_s[:]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_steps", "gen_k", "interpret",
-                                    "wdtype", "given_tracks"))
 def generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
                  gen_k: int, interpret: bool = False, wdtype=None,
                  given=None, given_tracks: Tuple[int, ...] = ()
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Public entry — normalizes ``given_tracks`` to a hashable tuple
+    (lists are accepted, mirroring generate_nade's wrapper) before the
+    jitted implementation, whose static_argnames would otherwise reject
+    a list at the jit boundary."""
+    return _generate_rbm(key, dec_params, h0, c0, v0, n_steps, gen_k,
+                         interpret=interpret, wdtype=wdtype, given=given,
+                         given_tracks=tuple(given_tracks))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "gen_k", "interpret",
+                                    "wdtype", "given_tracks"))
+def _generate_rbm(key: jax.Array, dec_params, h0, c0, v0, n_steps: int,
+                  gen_k: int, interpret: bool = False, wdtype=None,
+                  given=None, given_tracks: Tuple[int, ...] = ()
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the fused whole-generation kernel (see _rbm_kernel).
 
     dec_params: track-STACKED rnn_rbm.Params (leading axis K; any LSTM

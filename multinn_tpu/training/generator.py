@@ -114,7 +114,11 @@ class Generator:
                 state = multinn.prime(params, state, seed)
             _, roll = multinn.generate_accompaniment(
                 params, key, state, given, tracks, k=gibbs_k,
-                temperature=temperature, fused=fused)
+                temperature=temperature, fused=fused,
+                # a track-sharded decoder stack keeps the uniformly sharded
+                # all-K sweep: the subset gather would insert per-step
+                # cross-shard collectives (see generate_accompaniment)
+                subset=not self.track_sharded)
             return _transport(roll, packed)   # same contract as _impl
 
         # one compiled program per (given-shape, tracks, seed-shape, packed)

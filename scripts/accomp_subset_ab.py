@@ -42,7 +42,10 @@ def load_old_multinn(rev: str):
     spec = importlib.util.spec_from_file_location("old_multinn", path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules["old_multinn"] = mod   # dataclasses resolves cls.__module__
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        os.unlink(path)                # don't leak a temp .py per run
     return mod
 
 
@@ -88,8 +91,12 @@ def main():
 
         def run_new(key, g):
             st0 = multinn.init_state(params, args.batch)
+            # fused=False isolates the SUBSET-SAMPLING change this script
+            # documents — at HEAD the fused=None auto-dispatch would route
+            # these shapes to the Pallas kernels and measure the (much
+            # larger) fused-kernel win instead
             return multinn.generate_accompaniment(
-                params, key, st0, g, given_tracks)[1]
+                params, key, st0, g, given_tracks, fused=False)[1]
 
         def run_old(key, g):
             st0 = old.init_state(params, args.batch)

@@ -139,6 +139,12 @@ def test_subset_sampling_bit_exact_with_masked_full_sampling(decoder):
     ref = jnp.transpose(jnp.stack(outs), (2, 0, 1, 3))       # (B, T, K, D)
     np.testing.assert_array_equal(np.asarray(roll), np.asarray(ref))
 
+    # the in-repo subset=False path (the track-sharded mesh formulation —
+    # uniform all-K vmap + mask-merge) must ALSO be bit-exact
+    _, roll_full = multinn.generate_accompaniment(
+        params, key, st0, jnp.asarray(g), (0, 2), subset=False)
+    np.testing.assert_array_equal(np.asarray(roll_full), np.asarray(ref))
+
 
 def test_accompaniment_temperature_only_tempers_sampled_tracks():
     params = multinn.init(jax.random.PRNGKey(0), cfg_for("rnn-nade"))
@@ -224,3 +230,40 @@ def test_accompany_on_mesh_matches_single_device():
     r3 = gen_mesh.accompany(jax.random.PRNGKey(1), given_roll(b=3, t=6),
                             (0,))
     assert r3.shape == (3, 6, K, D)
+
+
+@pytest.mark.slow
+def test_accompany_track_sharded_matches_single_device():
+    """Accompaniment with the per-track expert modules sharded over the
+    track axis must equal single-device accompaniment bit-for-bit. The
+    Generator passes subset=False there: the uniform all-K sample sweep
+    keeps the decoder state's K axis uniformly sharded, where the
+    single-chip subset gather would insert per-step cross-shard
+    collectives over a K_samp stack that need not partition over the
+    track axis (generate_accompaniment docstring)."""
+    from multinn_tpu.parallel import mesh as mesh_mod
+    from multinn_tpu.parallel.mesh import MeshConfig
+    from multinn_tpu.training.generator import Generator
+    from multinn_tpu.utils.config import ExperimentConfig
+    from multinn_tpu.data.datasets import DataConfig
+
+    k4 = 4                          # n_tracks must divide the track axis
+    model = cfg_for("rnn-rbm", "feedback", n_tracks=k4)
+    data = DataConfig(n_tracks=k4, pitch_min=21, pitch_max=21 + D - 1,
+                      window=8, batch_size=4)
+    params = multinn.init(jax.random.PRNGKey(0), model)
+    mesh_cfg = MeshConfig(use_mesh=True, track=2, style="gspmd")
+    cfg = ExperimentConfig(name="accts", data=data, model=model)
+    cfg_mesh = ExperimentConfig(name="accts_m", data=data, model=model,
+                                mesh=mesh_cfg)
+    rng = np.random.default_rng(3)
+    g = (rng.random((8, 10, k4, D)) < 0.3).astype(np.float32)
+    seed = (rng.random((8, 4, k4, D)) < 0.3).astype(np.float32)
+
+    r1 = Generator(cfg, params).accompany(jax.random.PRNGKey(0), g, (0, 2),
+                                          seed=seed)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    gen_mesh = Generator(cfg_mesh, params, mesh=mesh)
+    assert gen_mesh.track_sharded
+    r2 = gen_mesh.accompany(jax.random.PRNGKey(0), g, (0, 2), seed=seed)
+    np.testing.assert_array_equal(r1, r2)

@@ -729,6 +729,25 @@ def test_rbm_accomp_self_conditioning_bit_exact():
     np.testing.assert_array_equal(np.asarray(cu), np.asarray(cc))
 
 
+def test_rbm_accomp_accepts_list_given_tracks():
+    """The public generate_rbm wrapper tuples given_tracks (lists are
+    accepted, mirroring generate_nade) — a list must not hit the jitted
+    implementation's static_argnames as an unhashable argument."""
+    cfg = cfg_for("feedback")
+    params = multinn.init(jax.random.PRNGKey(0), cfg)
+    h0, c0, v0 = _stacked_state(params, 2)
+    T, key = 4, jax.random.PRNGKey(5)
+    ru = gen_fused.generate_rbm(key, params.decoder, h0, c0, v0,
+                                T, 3, interpret=True)[0]
+    rl = gen_fused.generate_rbm(key, params.decoder, h0, c0, v0,
+                                T, 3, interpret=True,
+                                given=ru, given_tracks=[0, 2])[0]
+    rt = gen_fused.generate_rbm(key, params.decoder, h0, c0, v0,
+                                T, 3, interpret=True,
+                                given=ru, given_tracks=(0, 2))[0]
+    np.testing.assert_array_equal(np.asarray(rl), np.asarray(rt))
+
+
 def test_nade_accomp_self_conditioning():
     """NADE self-conditioning: roll and SAMPLED tracks' states bit-exact.
     Given tracks' LSTM state is allclose only: their layer-0 input
