@@ -62,6 +62,21 @@ def build():
     _, roll_dbn = multinn.generate(p_dbn, jax.random.PRNGKey(777), st, 8)
     out["dbn_loss"] = np.asarray(loss_dbn)
     out["dbn_roll"] = np.asarray(roll_dbn).astype(np.uint8)
+
+    # (c) accompaniment (track-conditional generation, scan path): pins the
+    # per-track key construction + subset-sampling RNG contract across
+    # commits (given track 0 passes through; track 1 is sampled conditioned
+    # on it through the feedback ctx)
+    cfg_ac = MultINNConfig(n_tracks=2, n_pitches=16, mode="feedback",
+                           decoder_type="rnn-nade", n_hidden=8, n_rnn=6,
+                           w_std=0.1)
+    p_ac = multinn.init(jax.random.PRNGKey(1234), cfg_ac)
+    giv = jax.random.bernoulli(
+        jax.random.PRNGKey(4321), 0.3, (2, 8, 2, 16)).astype(jnp.float32)
+    _, roll_ac = multinn.generate_accompaniment(
+        p_ac, jax.random.PRNGKey(777), multinn.init_state(p_ac, 2),
+        giv, (0,), fused=False)
+    out["accomp_roll"] = np.asarray(roll_ac).astype(np.uint8)
     return out
 
 

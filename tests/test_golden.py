@@ -51,6 +51,16 @@ def test_golden_hf_macro_step(current, stored):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_golden_accompaniment(current, stored):
+    """Accompaniment pin: the track-conditional sampling path's RNG
+    contract (per-track keys tkeys[track], subset sampling) must reproduce
+    across commits."""
+    if "accomp_roll" not in stored:
+        pytest.skip("regenerate golden.npz (tests/golden_gen.py)")
+    np.testing.assert_array_equal(current["accomp_roll"],
+                                  stored["accomp_roll"])
+
+
 def test_golden_dbn_flagship(current, stored):
     if "dbn_loss" not in stored:
         pytest.skip("regenerate golden.npz (tests/golden_gen.py)")
