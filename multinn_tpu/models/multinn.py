@@ -593,7 +593,10 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
             vs = jax.vmap(
                 lambda p, kx, s: dec.sample_frame(p, kx, s, k=k)
             )(params.decoder, tkeys, st.decoder)         # (K, B, F)
-            v_final = mask * feats_t + (1.0 - mask) * vs
+            # select, don't blend: 0.0 * NaN would propagate a non-finite
+            # sampled value into a GIVEN track's output and break the
+            # bit-exact passthrough guarantee for diverged models
+            v_final = jnp.where(mask > 0, feats_t, vs)
         ctx_arg = st.ctx if feedback else None
         states = jax.vmap(
             lambda p, s, v: dec.forced_step(p, s, v, ctx_arg)
@@ -610,7 +613,7 @@ def generate_accompaniment(params: MultINNParams, key: jax.Array,
                 dec_roll = jax.vmap(
                     lambda p, kx, v: _decode_sample(p, kx, v, beta=dec_beta)
                 )(params.encoder, kds, v_final)
-            roll_t = mask * given_t + (1.0 - mask) * dec_roll
+            roll_t = jnp.where(mask > 0, given_t, dec_roll)
         return MultINNState(decoder=states, ctx=new_ctx), roll_t
 
     final, rolls = jax.lax.scan(body, state, (keys, feats_tm, given_tm))
