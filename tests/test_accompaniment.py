@@ -104,7 +104,8 @@ def test_sample_step_refactor_bit_exact(decoder):
         lambda a, b: bool(jnp.array_equal(a, b)), st1, st2))
 
 
-@pytest.mark.parametrize("decoder", ["rnn-rbm", "rnn-nade"])
+@pytest.mark.parametrize("decoder", [
+    pytest.param("rnn-rbm", marks=pytest.mark.slow), "rnn-nade"])
 def test_subset_sampling_bit_exact_with_masked_full_sampling(decoder):
     """generate_accompaniment runs sample_frame ONLY for the sampled
     complement (the expensive per-step work — gen_k Gibbs sweeps / the NADE

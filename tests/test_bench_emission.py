@@ -18,6 +18,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCHEMA_KEYS = {"metric", "value", "unit", "vs_baseline", "extra"}
 
@@ -82,7 +84,10 @@ def test_bench_sigterm_flushes_record():
     flushes the aggregate-so-far and exits 0."""
     proc = _spawn(budget="300")
     try:
-        head = _read_until_lines(proc, 2, timeout_s=240)
+        # one snapshot line (post-setup) is enough to prove the handler
+        # flush contract; the SIGKILL test (slow tier) waits for a
+        # driver-axis line
+        head = _read_until_lines(proc, 1, timeout_s=240)
         proc.send_signal(signal.SIGTERM)
         rc = proc.wait(timeout=60)
         raw = head + _drain(proc)
@@ -97,6 +102,7 @@ def test_bench_sigterm_flushes_record():
     assert rc == 0, rc   # a record was delivered — not a failure exit
 
 
+@pytest.mark.slow
 def test_bench_sigkill_leaves_snapshot():
     """SIGKILL (uncatchable): the per-section incremental emission alone
     must leave a parseable snapshot on stdout."""

@@ -40,7 +40,8 @@ def test_loss_and_grads_finite(name):
     assert "f1" in metrics and "loss" in metrics
 
 
-@pytest.mark.parametrize("name", list(DECODERS))
+@pytest.mark.parametrize("name", [
+    pytest.param("rnn-rbm", marks=pytest.mark.slow), "rnn-nade"])
 def test_ctx_conditioning(name):
     dec = DECODERS[name]
     cfg = DecoderConfig(n_visible=D, n_hidden=24, n_rnn=20, n_ctx=6)

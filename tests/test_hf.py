@@ -72,6 +72,7 @@ def test_gnvp_is_psd():
     del state
 
 
+@pytest.mark.slow
 def test_hf_step_decreases_loss_and_adapts_damping():
     cfg, params, x, _ = _setup("feedback")
     state = hf.init_state(params, lam0=1.0)
@@ -207,6 +208,7 @@ def test_hf_with_dbn_pretraining_and_bf16_policy(tmp_path):
     assert np.isfinite(ev1["loss"]) and ev1["loss"] < ev0["loss"]
 
 
+@pytest.mark.slow
 def test_hf_gradient_is_true_loss_gradient_with_dbn_encoder():
     """The HF right-hand side must equal grad of the production loss with a
     DBN encoder in the loop — both sides must treat the (frozen, binary —

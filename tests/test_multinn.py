@@ -161,6 +161,7 @@ def test_vanilla_cell_multinn():
     assert roll.shape == (2, 4, 2, 12)
 
 
+@pytest.mark.slow
 def test_joint_mode_with_dbn_encoder():
     cfg = MultINNConfig(n_tracks=3, n_pitches=12, mode="joint",
                         decoder_type="rnn-nade", encoder_hidden=(20,),

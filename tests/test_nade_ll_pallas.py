@@ -45,6 +45,7 @@ def test_logits_match_xla_forms(form, batched_biases):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_logits_multi_leading_dims_and_padding():
     # (T, B, D) leading dims with N=T*B far from a lane multiple
     p, _, _, _ = _mk(jax.random.PRNGKey(1), d=7, h=5)
@@ -86,6 +87,7 @@ def test_grads_match_autodiff_of_reference(batched_biases):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_grads_under_vmap_over_tracks():
     """multinn.loss vmaps the decoder loss over track-stacked params — the
     kernel (and its VJP) must batch correctly under vmap."""
@@ -150,6 +152,7 @@ def test_dispatch_stays_on_xla_off_tpu():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_detailed_loss_equals_hot_path_loss():
     """rnn_nade.loss detailed=True derives the NLL from the (reusable)
     conditional logits instead of nade_log_prob — same math, one pass

@@ -63,7 +63,8 @@ def test_bad_policy_name_rejected():
         multinn.MultINNConfig(n_tracks=2, n_pitches=8, matmul_dtype="fp8")
 
 
-@pytest.mark.parametrize("dec", ["rnn-rbm", "rnn-nade"])
+@pytest.mark.parametrize("dec", [
+    pytest.param("rnn-rbm", marks=pytest.mark.slow), "rnn-nade"])
 def test_bf16_train_grads_track_f32(dec):
     """Model-level: loss gradients under the bf16 policy stay finite and
     close to the f32 gradients (bf16 carries ~3 decimal digits; a wiring

@@ -140,6 +140,7 @@ def test_service_pipeline_depth_bounds_inflight():
         svc.close()
 
 
+@pytest.mark.slow
 def test_service_seeded_requests_prime_state():
     """seed_steps>0: seeded requests resolve; the seed influences the
     sample (same base RNG, different seeds => different rolls; identical

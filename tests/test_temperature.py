@@ -179,6 +179,7 @@ def test_generate_t1_kwarg_bit_exact(decoder, mode):
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
 
 
+@pytest.mark.slow
 def test_generate_t1_kwarg_bit_exact_dbn():
     cfg = cfg_for("rnn-rbm", "hybrid", encoder_hidden=(8,))
     params = multinn.init(jax.random.PRNGKey(0), cfg)

@@ -265,6 +265,7 @@ def test_early_stopping(tmp_path):
     trainer.close()
 
 
+@pytest.mark.slow
 def test_train_from_window_cache_matches_inmemory(tmp_path):
     """Out-of-core training (--data.source=cache_dir): a trainer fed from
     the memory-mapped window cache takes the EXACT same steps as one fed
@@ -290,6 +291,7 @@ def test_train_from_window_cache_matches_inmemory(tmp_path):
     t1.close(), t2.close()
 
 
+@pytest.mark.slow
 def test_image_summaries_in_tensorboard(tmp_path):
     """train.image_summaries writes pianoroll IMAGE events at eval time
     (SURVEY C19 — the reference's TB image summaries): one ground-truth
@@ -429,6 +431,7 @@ def test_lr_schedules(tmp_path):
     t.close()
 
 
+@pytest.mark.slow
 def test_frozen_dbn_encoder_immune_to_weight_decay(tmp_path):
     """adamw's decoupled weight decay is gradient-INDEPENDENT: with the
     encoder frozen by stop_gradient alone it would still shrink the
@@ -463,6 +466,7 @@ def test_frozen_dbn_encoder_immune_to_weight_decay(tmp_path):
     tr.close()
 
 
+@pytest.mark.slow
 def test_cross_version_opt_state_restore(tmp_path, monkeypatch):
     """A checkpoint whose opt_state structure predates an optimizer change
     (e.g. the r4 multi_transform encoder freeze) must still restore: params
@@ -538,6 +542,7 @@ def test_restore_missing_key_and_incompatible_opt_state(tmp_path):
     ck.close()
 
 
+@pytest.mark.slow
 def test_onset_hold_end_to_end(tmp_path):
     """data.encoding=onset_hold trains, generates, and every user-facing
     artifact is FRAME-space: model sees 2D channels, finalize() decodes,
@@ -606,6 +611,7 @@ def test_build_config_resyncs_n_pitches_on_encoding_override():
                                       "--model.n_pitches=84"])
 
 
+@pytest.mark.slow
 def test_generate_explicit_batch_conflicts_with_seed(tmp_path):
     """generate() and generate_async() share one contract: an explicit
     batch that contradicts the seed's raises (generate() used to silently
