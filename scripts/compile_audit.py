@@ -30,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROGRAMS = ("train", "train_multi", "gen_rbm", "gen_nade",
-            "gen_sparse", "hf")
+            "gen_sparse", "hf", "accomp")
 
 
 def _child(program: str, platform: str = None) -> dict:
@@ -126,6 +126,18 @@ def _child(program: str, platform: str = None) -> dict:
             roll = multinn.generate(pp, kk, ss, 1024)[1]
             return _transport(roll, "sparse")
         lowered = jax.jit(gen_sparse).lower(params, state64, key)
+    elif program == "accomp":
+        # fused-kernel accompaniment (r5 bench section): 2-of-5 given,
+        # B=1 flagship — the auto dispatch resolves fused at trace time,
+        # so on TPU this audits the conditional Pallas program family
+        state1 = multinn.init_state(params, 1)
+        giv = jax.random.bernoulli(
+            jax.random.PRNGKey(3), 0.06,
+            (1, 1024, cfg.n_tracks, cfg.n_pitches)).astype(jnp.float32)
+        lowered = jax.jit(
+            lambda pp, ss, gg, kk: multinn.generate_accompaniment(
+                pp, kk, ss, gg, (0, 1))[1]
+        ).lower(params, state1, giv, key)
     elif program == "hf":
         from multinn_tpu.training import hf
         cfg_n = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
