@@ -37,7 +37,7 @@ ROBUSTNESS (VERDICT r4 #1/#2 — this environment's tunnel has documented
 
 ``MULTINN_BENCH_TINY=1`` shrinks every shape/iteration so CI can exercise
 the FULL runner (incl. the kill-mid-run contract) on CPU in seconds
-(tests/test_images_and_scripts.py).
+(tests/test_bench_emission.py).
 
 The reference publishes no numbers (BASELINE.md) — ``vs_baseline`` is
 measured against the driver's north-star target of 1.0 s for 64-bar 5-track
@@ -79,8 +79,12 @@ class Aggregate:
         self.extra = {}
         self.sections = {}
         self.status = "running"
-        self._lock = threading.Lock()
-        self._any_stalled = False
+        # REENTRANT: the signal-flush handler runs ON the main thread and
+        # calls render() — with a plain Lock, a signal landing while the
+        # main thread is inside update()/section() would deadlock the
+        # handler and the process would never flush-and-exit
+        self._lock = threading.RLock()
+        self._any_hung = False
 
     def section(self, name: str, status: str, elapsed: float,
                 error: str = None) -> None:
@@ -89,8 +93,10 @@ class Aggregate:
             if error:
                 rec["error"] = error
             self.sections[name] = rec
-            if status == "stalled":
-                self._any_stalled = True
+            if status in ("stalled", "cut_budget"):
+                # either way a worker thread may still be alive holding
+                # device/client locks — teardown must use os._exit
+                self._any_hung = True
 
     def update(self, metrics: dict) -> None:
         with self._lock:
@@ -135,7 +141,11 @@ def _install_signal_handlers() -> None:
     def flush_exit(signum, frame):
         AGG.status = f"signal:{signal.Signals(signum).name}"
         _dump_stacks(f"received {signal.Signals(signum).name}")
-        AGG.emit()
+        # leading newline: the signal may have landed mid-print of a
+        # regular emit, and appending to a partial line would make the
+        # LAST stdout line unparseable — exactly the contract violation
+        # this harness exists to prevent (a blank line is harmless)
+        sys.stdout.write("\n" + json.dumps(AGG.render()) + "\n")
         sys.stdout.flush()
         os._exit(0)
 
@@ -177,9 +187,18 @@ def run_section(name: str, fn, cap_s: float, needs=()) -> bool:
     th.join(min(cap_s, rem))
     elapsed = time.time() - t0
     if th.is_alive():
-        _dump_stacks(f"section '{name}' stalled after {elapsed:.0f}s "
-                     f"(cap {cap_s:.0f}s, budget remaining {rem:.0f}s)")
-        AGG.section(name, "stalled", elapsed)
+        if elapsed < cap_s:
+            # the join was bounded by the REMAINING GLOBAL BUDGET, not the
+            # section's own cap: a healthy-but-slow section out of budget
+            # is not a stall — don't misreport an environment fault
+            sys.stderr.write(f"[bench] section '{name}' cut by the global "
+                             f"budget after {elapsed:.0f}s (cap "
+                             f"{cap_s:.0f}s)\n")
+            AGG.section(name, "cut_budget", elapsed)
+        else:
+            _dump_stacks(f"section '{name}' stalled after {elapsed:.0f}s "
+                         f"(cap {cap_s:.0f}s, budget remaining {rem:.0f}s)")
+            AGG.section(name, "stalled", elapsed)
     elif "error" in box:
         AGG.section(name, "error", elapsed, error=box["error"])
     else:
@@ -216,6 +235,7 @@ else:
 
 def _fetch_futures(futs, label: str):
     """Drain serving futures with bounded waits + stall forensics."""
+    import concurrent.futures as cf
     deadline = time.time() + FETCH_TIMEOUT_S
     for f in futs:
         left = deadline - time.time()
@@ -226,7 +246,9 @@ def _fetch_futures(futs, label: str):
                                f"{FETCH_TIMEOUT_S:.0f}s")
         try:
             f.result(timeout=left)
-        except TimeoutError:
+        # cf.TimeoutError only became an alias of the builtin in 3.11 —
+        # catch both so the forensics dump runs on 3.10 too
+        except (TimeoutError, cf.TimeoutError):
             _dump_stacks(f"{label}: future fetch timed out")
             raise
 
@@ -769,7 +791,10 @@ def sec_mfu():
     out = {"mfu": rep}
     ev = CTX.get("cache_events")
     if ev is not None:
-        cc = AGG.extra.get("compile_cache", {})
+        # COPY, don't mutate AGG's nested dict in place: results must only
+        # land in the aggregate through run_section's update (discarded on
+        # stall/error, lock-guarded)
+        cc = dict(AGG.extra.get("compile_cache", {}))
         # measured per-process event counts: hits prove the persistent
         # cache served THIS run's programs
         cc.update({k.rsplit("/", 1)[-1]: v for k, v in ev.items()})
@@ -794,8 +819,17 @@ SECTIONS = [
 ]
 
 
-def main() -> int:
-    _install_signal_handlers()
+def _reset() -> None:
+    """Fresh run state: the budget clock starts NOW (not at module import)
+    and no stale sections/metrics leak between runs — bench() may be called
+    long after import, or twice in one process."""
+    global AGG, _START
+    AGG = Aggregate()
+    CTX.clear()
+    _START = time.time()
+
+
+def _run_all() -> None:
     for name, fn, cap, needs in SECTIONS:
         if not run_section(name, fn, cap, needs):
             AGG.status = "budget_exhausted"
@@ -806,24 +840,26 @@ def main() -> int:
             break
     else:
         AGG.status = "complete"
+
+
+def main() -> int:
+    _reset()
+    _install_signal_handlers()
+    _run_all()
     AGG.emit()
     sys.stdout.flush()
-    if AGG._any_stalled:
-        # a stalled daemon thread may still hold the device/client locks —
-        # don't let interpreter teardown hang on it
+    if AGG._any_hung:
+        # a stalled/cut worker thread may still hold the device/client
+        # locks — don't let interpreter teardown hang on it
         os._exit(0)
     return 0
 
 
 def bench() -> dict:
-    """Programmatic entry: run all sections (same budget machinery, no
-    signal handlers) and return the final aggregate dict."""
-    for name, fn, cap, needs in SECTIONS:
-        if not run_section(name, fn, cap, needs):
-            AGG.status = "budget_exhausted"
-            break
-    else:
-        AGG.status = "complete"
+    """Programmatic entry: run all sections (same budget machinery, fresh
+    run state, no signal handlers) and return the final aggregate dict."""
+    _reset()
+    _run_all()
     return AGG.render()
 
 

@@ -43,8 +43,9 @@ def _read_until_lines(proc, n_lines: int, timeout_s: float):
     fd = proc.stdout.fileno()
     while buf.count(b"\n") < n_lines:
         left = deadline - time.time()
+        n_got = buf.count(b"\n")
         assert left > 0, (f"bench child produced only "
-                          f"{buf.count(b'\\n')} lines in {timeout_s}s")
+                          f"{n_got} lines in {timeout_s}s")
         r, _, _ = select.select([fd], [], [], min(left, 1.0))
         if r:
             chunk = os.read(fd, 65536)
@@ -96,7 +97,12 @@ def test_bench_sigterm_flushes_record():
             proc.kill()
             proc.wait(timeout=30)
     rec = _last_json_line(raw)
-    assert rec["extra"]["budget"]["status"].startswith("signal:"), rec
+    # the child normally dies mid-run ("signal:SIGTERM" via the flush
+    # handler); on a very fast box it may complete all tiny sections
+    # before the signal lands — either way the kill-proof contract holds:
+    # rc 0 and a parseable final record
+    status = rec["extra"]["budget"]["status"]
+    assert status.startswith("signal:") or status == "complete", rec
     # at least the setup section completed before the kill
     assert rec["extra"]["sections"], rec
     assert rc == 0, rc   # a record was delivered — not a failure exit
@@ -114,7 +120,11 @@ def test_bench_sigkill_leaves_snapshot():
     finally:
         if proc.poll() is None:
             proc.wait(timeout=30)
-    rec = _last_json_line(head + _drain(proc, timeout_s=5.0))
+    raw = head + _drain(proc, timeout_s=5.0)
+    # SIGKILL can land mid-print and tear the final line — the contract is
+    # that the last COMPLETE line parses; drop any torn tail
+    raw = raw[:raw.rfind(b"\n") + 1]
+    rec = _last_json_line(raw)
     # the second snapshot carries the first driver axis already
     statuses = {s["status"] for s in rec["extra"]["sections"].values()}
     assert "ok" in statuses, rec["extra"]["sections"]
