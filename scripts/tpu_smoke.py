@@ -8,8 +8,9 @@ Compiles + runs every TPU-only path: both Pallas sampling kernels, the
 whole-generation fused kernels across feedback/per-track/joint modes,
 stacked and vanilla cells, DBN encoders and the bf16 capacity batch, a
 Hessian-free macro-step, a fused multi-step train program, and a
-single-chip eval step. Prints one PASS/FAIL line per item; exits nonzero
-on any failure. Budget ~5-10 min warm cache (first-compile cold start:
+single-chip eval step, and the track-conditional accompaniment paths
+(fused + scan/where-merge) with bit-exact passthrough. Prints one
+PASS/FAIL line per item; exits nonzero on any failure. Budget ~5-10 min warm cache (first-compile cold start:
 see BASELINE.md notes).
 """
 
@@ -145,6 +146,34 @@ def main() -> int:
         profiling.force(roll)
         assert roll.shape == (1, 64, 5, 84)
 
+    def accomp(fused, subset=True):
+        # track-conditional generation on hardware (r4/r5): the fused
+        # kernels stream the given tracks' teacher features; the scan path
+        # with subset=False exercises the where-select merge (ADVICE r4 —
+        # NaN-robust passthrough). Given tracks must pass through
+        # BIT-EXACTLY either way.
+        def run():
+            import numpy as np
+            cfg = MultINNConfig(n_tracks=5, n_pitches=84, mode="feedback",
+                                decoder_type="rnn-rbm", n_hidden=150,
+                                n_rnn=100, cd_k=1, gen_k=10)
+            params = multinn.init(jax.random.PRNGKey(0), cfg)
+            st = multinn.init_state(params, 2)
+            giv = jax.random.bernoulli(
+                jax.random.PRNGKey(3), 0.06,
+                (2, 64, 5, 84)).astype(jnp.float32)
+            _, roll = multinn.generate_accompaniment(
+                params, jax.random.PRNGKey(1), st, giv, (0, 2),
+                fused=fused, subset=subset)
+            profiling.force(roll)
+            r = np.asarray(roll)
+            g = np.asarray(giv)
+            np.testing.assert_array_equal(r[:, :, 0], g[:, :, 0])
+            np.testing.assert_array_equal(r[:, :, 2], g[:, :, 2])
+            sampled = r[:, :, (1, 3, 4)]
+            assert 0.0 < sampled.mean() < 1.0
+        return run
+
     def hf_step():
         from multinn_tpu.training import hf
         cfg = MultINNConfig(n_tracks=3, n_pitches=24, mode="feedback",
@@ -211,6 +240,9 @@ def main() -> int:
           fused("rnn-rbm", "feedback", cell="vanilla"))
     check("fused_gen_nade_b64_bf16_capacity",
           fused("rnn-nade", "feedback", batch=64))
+    check("fused_accompaniment_passthrough", accomp(fused=True))
+    check("scan_accompaniment_where_merge", accomp(fused=False,
+                                                   subset=False))
     check("hessian_free_macro_step", hf_step)
     check("hessian_free_shard_map_style", hf_shard_map)
     check("train_multistep_and_masked_eval", train_multi)
