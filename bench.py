@@ -635,14 +635,26 @@ def sec_serving_service():
                             ServeConfig(batch=b_serve, n_steps=N_STEPS,
                                         max_wait_ms=2.0,
                                         transport="packed"))
+    # full-payload drains ride the tunnel: median of 3 rounds + spread +
+    # bound tag, same regression-comparability treatment as the musical
+    # A/B rows (VERDICT r4 weak #3)
+    rates = []
     try:
-        n_req = (8 if not TINY else 2) * b_serve
-        t0 = time.time()
-        _fetch_futures(svc.submit_many(n_req), "serving_service")
-        rate = n_req / (time.time() - t0)
+        n_req = (3 if not TINY else 2) * b_serve
+        for _ in range(3):
+            t0 = time.time()
+            _fetch_futures(svc.submit_many(n_req), "serving_service")
+            rates.append(n_req / (time.time() - t0))
     finally:
         svc.close()
-    return {"serving_service_songs_per_sec": round(rate, 1)}
+    rates.sort()
+    import numpy as np
+    return {"serving_service_songs_per_sec":
+                round(float(np.median(rates)), 1),
+            "serving_service_spread": {"min": round(rates[0], 1),
+                                       "max": round(rates[-1], 1),
+                                       "n_rounds": len(rates)},
+            "serving_service_bound": "host-link"}
 
 
 def sec_serving_service_ab():
