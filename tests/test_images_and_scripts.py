@@ -255,3 +255,67 @@ def test_serve_transport_ab_script(tmp_path):
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["packed_songs_per_s_median"] > 0
     assert rep["sparse_songs_per_s_median"] > 0
+
+
+def test_bench_compare_bound_aware(tmp_path):
+    """scripts/bench_compare.py classifies deltas by boundedness: a
+    device-bound slowdown is a regression; a link-bound swing inside the
+    spread envelopes is weather; beyond both envelopes it regresses."""
+    import scripts.bench_compare as bc
+
+    def rec(gen_s, link_rate, link_min, link_max):
+        return {"metric": "gen_latency_64bar_5track", "value": gen_s,
+                "unit": "s", "vs_baseline": 1.0 / gen_s, "extra": {
+                    "gen_latency_64bar_5track_s": gen_s,
+                    "serving_service_musical_packed_songs_per_sec":
+                        link_rate,
+                    "serving_service_musical_packed_spread": {
+                        "min": link_min, "max": link_max, "n_rounds": 3},
+                    "serving_service_musical_bound": "host-link"}}
+
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps(rec(0.030, 200.0, 100.0, 250.0)))
+
+    def run(new_rec):
+        new = tmp_path / "new.json"
+        new.write_text(json.dumps(new_rec))
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert bc.main([str(old), str(new)]) == 0
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        return {r["metric"]: r for r in out["rows"]}, out["regressions"]
+
+    # link rate halves but stays inside the old spread envelope -> weather;
+    # device latency doubles -> the ONLY regression
+    rows, regs = run(rec(0.060, 110.0, 95.0, 240.0))
+    assert regs == ["gen_latency_64bar_5track_s"]
+    assert rows["serving_service_musical_packed_songs_per_sec"][
+        "verdict"] == "link-weather"
+    # link rate collapses BEYOND both spread envelopes -> flagged (but not
+    # in the device-bound regressions list)
+    rows, regs = run(rec(0.030, 40.0, 30.0, 50.0))
+    assert rows["serving_service_musical_packed_songs_per_sec"][
+        "verdict"] == "regressed(beyond-spread)"
+    assert regs == []
+
+
+def test_bench_compare_loads_driver_record():
+    """The comparator accepts the driver's pretty-printed BENCH_r{N}.json
+    shape and compares it against a bench stdout line."""
+    import io
+    from contextlib import redirect_stdout
+
+    import scripts.bench_compare as bc
+
+    src = os.path.join(REPO, "BENCH_r03.json")
+    if not os.path.exists(src):
+        pytest.skip("no driver BENCH record in repo")
+    rec = bc.load_record(src)
+    assert "extra" in rec
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert bc.main([src, src]) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["n_compared"] > 5 and out["regressions"] == []
