@@ -38,6 +38,14 @@ HIGHER_BETTER_SUBSTR = ("per_sec", "per_chip", "sweeps", "mfu", "util",
                         "vs_baseline")
 
 
+def is_higher_better(name: str) -> bool:
+    # *_batch rows are VMEM-gate CAPACITIES (serving_batch shrinking is a
+    # capacity regression, not an improvement); suffix-matched so latency
+    # rows like gen_per_song_s_at_batch8 stay lower-is-better
+    return (any(s in name for s in HIGHER_BETTER_SUBSTR)
+            or name.endswith("_batch"))
+
+
 def load_record(path: str) -> dict:
     """Return the bench aggregate {"metric", ..., "extra"} from any of the
     accepted shapes."""
@@ -127,8 +135,16 @@ def main(argv=None) -> int:
     for name in sorted(set(fa) & set(fb)):
         a, b = fa[name], fb[name]
         if a == 0:
+            if b != 0:
+                # a previously-broken/absent measurement came back — show
+                # it instead of silently dropping the row
+                rows.append({"metric": name, "old": a, "new": b,
+                             "rel_change": None, "bound": classify(
+                                 name, rec_a.get("extra", {}),
+                                 rec_b.get("extra", {})),
+                             "verdict": "recovered(old=0)"})
             continue
-        higher = any(s in name for s in HIGHER_BETTER_SUBSTR)
+        higher = is_higher_better(name)
         rel = (b - a) / abs(a)
         improved = rel > 0 if higher else rel < 0
         cls = classify(name, rec_a.get("extra", {}), rec_b.get("extra", {}))
@@ -151,8 +167,10 @@ def main(argv=None) -> int:
             regressions.append(name)
     w = max((len(r["metric"]) for r in rows), default=10)
     for r in rows:
+        rel = ("   n/a " if r["rel_change"] is None
+               else f"{r['rel_change']:>+7.1%}")
         print(f"# {r['metric']:<{w}}  {r['old']:>12.4g} -> "
-              f"{r['new']:>12.4g}  {r['rel_change']:>+7.1%}  "
+              f"{r['new']:>12.4g}  {rel}  "
               f"[{r['bound']}] {r['verdict']}", file=sys.stderr)
     print(json.dumps({"n_compared": len(rows),
                       "regressions": regressions,
