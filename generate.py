@@ -10,10 +10,12 @@ validation seed windows, samples, writes .mid files + an .npz of pianorolls.
 Accompaniment (track-conditional generation — fix some tracks to given
 music, sample the rest; conditioning binds in the feedback architecture):
 
-    python generate.py --run runs/lpd5 --accompany melody.npz \
+    python generate.py --run runs/lpd5 --accompany melody.mid \
         --accompany-tracks 1,3
-        # melody.npz key "roll": FRAME-space (T, K, D) or (B, T, K, D)
-        # pianoroll; only the --accompany-tracks slices are read
+        # .mid/.midi: quantized through the run's own grid/track spec
+        # (C1-C3) — MIDI in, MIDI out. Or an .npz (key "roll") with a
+        # FRAME-space (T, K, D) or (B, T, K, D) pianoroll. Only the
+        # --accompany-tracks slices are read either way.
 """
 
 from __future__ import annotations
@@ -36,9 +38,11 @@ def parse_args(argv=None):
     p.add_argument("--no-seed", action="store_true",
                    help="generate from scratch (no priming)")
     p.add_argument("--accompany", default=None,
-                   help="npz (key 'roll') with a FRAME-space (T, K, D) or "
-                        "(B, T, K, D) pianoroll whose --accompany-tracks "
-                        "slices are fixed; the other tracks are sampled")
+                   help="given music whose --accompany-tracks slices are "
+                        "fixed (the other tracks are sampled): a .mid/"
+                        ".midi file (quantized via the run's data spec) or "
+                        "an npz (key 'roll') with a FRAME-space (T, K, D) "
+                        "or (B, T, K, D) pianoroll")
     p.add_argument("--accompany-tracks", default="",
                    help="comma-separated track indices fixed to --accompany")
     return p.parse_known_args(argv)
@@ -82,7 +86,29 @@ def main(argv=None) -> int:
         if not tracks:
             print("--accompany needs --accompany-tracks", file=sys.stderr)
             return 2
-        given = np.load(args.accompany)["roll"]
+        if args.accompany.lower().endswith((".mid", ".midi")):
+            # MIDI in, MIDI out — the natural accompaniment workflow
+            # (give a melody file, generate the band): quantize through
+            # the run's own grid/track spec (C1-C3), same pipeline the
+            # datasets use, so track indices line up with training
+            from multinn_tpu.data.datasets import parse_midi_file
+            given = parse_midi_file(args.accompany, cfg.data.spec(),
+                                    use_native=False)
+            if given is None:
+                print(f"--accompany: {args.accompany} is not parseable "
+                      "MIDI", file=sys.stderr)
+                return 2
+            given = given[None]                      # (1, T, K, D)
+            if gcfg.n_steps and given.shape[1] > gcfg.n_steps:
+                given = given[:, :gcfg.n_steps]      # honor the length knob
+        else:
+            try:
+                given = np.load(args.accompany)["roll"]
+            except Exception:
+                print(f"--accompany: {args.accompany} must be a .mid/"
+                      ".midi file or an .npz with a 'roll' array "
+                      "(B, T, K, D)", file=sys.stderr)
+                return 2
         if given.ndim == 3:
             given = given[None]
         # binarize BEFORE any encoding (same normalization as the serving

@@ -382,7 +382,7 @@ class Generator:
             paths.append(p)
         if write_images:
             from multinn_tpu.utils.images import save_sample_grid
-            save_sample_grid(rolls, out_dir)
+            save_sample_grid(rolls, out_dir, prefix=prefix)
         return paths
 
     def generate_to_files(self, key: jax.Array, out_dir: str,

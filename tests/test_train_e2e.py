@@ -176,6 +176,29 @@ def test_cli_train_and_generate(tmp_path):
     assert os.path.exists(os.path.join(out, "sample_000.mid"))
     assert os.path.exists(os.path.join(out, "pianorolls.npz"))
 
+    # MIDI-in accompaniment (r5): feed the just-generated sample back as
+    # the given melody FILE — quantized through the run's own grid/track
+    # spec — and check the outputs carry the accompany prefix (MIDI + PNG)
+    rc = gen_cli.main([
+        "--run", run_dir, "--latest",
+        "--accompany", os.path.join(out, "sample_000.mid"),
+        "--accompany-tracks", "0",
+        "--generate.out_dir=accomp",
+    ])
+    assert rc == 0
+    acc_out = os.path.join(run_dir, "accomp")
+    assert os.path.exists(os.path.join(acc_out, "accompany_000.mid"))
+    assert os.path.exists(os.path.join(acc_out, "accompany_000.png"))
+    # a non-MIDI, non-npz given fails with a clear error, not a traceback
+    bogus = os.path.join(run_dir, "bogus.npz")
+    with open(bogus, "w") as f:
+        f.write("not an npz")
+    rc = gen_cli.main([
+        "--run", run_dir, "--latest", "--accompany", bogus,
+        "--accompany-tracks", "0",
+    ])
+    assert rc == 2
+
 
 @pytest.mark.slow
 def test_real_data_readiness_jsb_pickle_drill(tmp_path):
