@@ -19,12 +19,15 @@ API:
                                           "n": 1,   # songs per request (bulk
                                             requests amortize HTTP overhead;
                                             all n coalesce into device batches)
-                                          "seed_b64": npz(key "roll") of a
-                                            frame-space (T, K, D) pianoroll
+                                          "seed_b64": base64 MIDI bytes or
+                                            npz(key "roll") of a frame-space
+                                            (T, K, D) pianoroll
                                             to prime on (needs --seed-steps;
                                             with n>1, primes every song),
-                                          "given_b64": npz(key "roll") of a
-                                            frame-space pianoroll whose
+                                          "given_b64": base64 MIDI bytes
+                                            (quantized via the service's
+                                            data spec) or npz(key "roll")
+                                            of a frame-space pianoroll whose
                                             --accompany-tracks slices are
                                             FIXED while the other tracks are
                                             sampled (accompaniment; mutually
@@ -78,8 +81,8 @@ def parse_args(argv=None):
                         "this many frames (0 = unseeded-only service)")
     p.add_argument("--accompany-tracks", default="",
                    help="comma-separated track indices: enable ACCOMPANIMENT "
-                        "requests ('given_b64' npz roll) whose listed tracks "
-                        "are fixed while the rest are sampled")
+                        "requests ('given_b64' MIDI bytes or npz roll) whose "
+                        "listed tracks are fixed while the rest are sampled")
     p.add_argument("--transport", default="auto",
                    choices=("auto", "packed", "sparse"),
                    help="device->host roll transport (ServeConfig.transport)")
@@ -133,6 +136,17 @@ def make_handler(cfg, service, timeout_s: float):
     from multinn_tpu.data import pianoroll as pr
     spec = cfg.data.spec()
 
+    def decode_roll_payload(b64: str) -> np.ndarray:
+        """A base64 roll payload: raw MIDI bytes (detected by the SMF
+        'MThd' magic; quantized through the service's own grid/track spec,
+        mirroring the generate.py --accompany CLI) or an npz with key
+        'roll'. Raises on anything else — callers map that to a 400."""
+        raw = base64.b64decode(b64)
+        if raw[:4] == b"MThd":
+            return pr.midi_to_roll(midi_mod.loads(raw), spec)
+        with np.load(io.BytesIO(raw)) as z:
+            return z["roll"]
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -182,22 +196,20 @@ def make_handler(cfg, service, timeout_s: float):
             seed = None
             if "seed_b64" in req:
                 try:
-                    with np.load(io.BytesIO(
-                            base64.b64decode(req["seed_b64"]))) as z:
-                        seed = z["roll"]
+                    seed = decode_roll_payload(req["seed_b64"])
                 except Exception:
                     self._send(400, {"error": "seed_b64 must be base64 of "
-                                              "an npz with key 'roll'"})
+                                              "MIDI bytes or an npz with "
+                                              "key 'roll'"})
                     return
             given = None
             if "given_b64" in req:             # accompaniment request
                 try:
-                    with np.load(io.BytesIO(
-                            base64.b64decode(req["given_b64"]))) as z:
-                        given = z["roll"]
+                    given = decode_roll_payload(req["given_b64"])
                 except Exception:
                     self._send(400, {"error": "given_b64 must be base64 of "
-                                              "an npz with key 'roll'"})
+                                              "MIDI bytes or an npz with "
+                                              "key 'roll'"})
                     return
             n = req.get("n", 1)
             if type(n) is not int or not 1 <= n <= 1024:

@@ -512,7 +512,7 @@ def test_http_accompaniment_roundtrip(tmp_path):
     args, overrides = serve_mod.parse_args(
         ["--config", str(cfg_path), "--fresh", "--port", "0",
          "--batch", "2", "--max-wait-ms", "5",
-         "--accompany-tracks", "1", "--accompany-steps", "8"])
+         "--accompany-tracks", "0", "--accompany-steps", "8"])
     ready = threading.Event()
     box = []
     t = threading.Thread(target=serve_mod.serve,
@@ -522,8 +522,11 @@ def test_http_accompaniment_roundtrip(tmp_path):
     httpd, service = box[0]
     try:
         d = cfg.model.n_pitches
+        # given track 0: a 2-track spec's MIDI re-quantization maps all
+        # instruments to track 0 (lpd5 mapping applies only at K=5), so
+        # track 0 is the slice a MIDI round-trip can preserve exactly
         given = np.zeros((8, 2, d), np.uint8)
-        given[:, 1, 5] = 1
+        given[:, 0, 5] = 1
         buf = io.BytesIO()
         np.savez_compressed(buf, roll=given)
         conn = http.client.HTTPConnection("127.0.0.1", httpd.server_port,
@@ -535,9 +538,22 @@ def test_http_accompaniment_roundtrip(tmp_path):
         with np.load(io.BytesIO(base64.b64decode(out["roll_b64"]))) as z:
             roll = z["roll"]
         assert roll.shape == (8, 2, d)
-        np.testing.assert_array_equal(roll[:, 1], given[:, 1])
+        np.testing.assert_array_equal(roll[:, 0], given[:, 0])
         st = service.stats()
         assert st["accompany_batches"] == 1
+        # MIDI given (r5): the same melody as raw SMF bytes, quantized
+        # through the service's own grid/track spec server-side
+        from multinn_tpu.data import midi as midi_mod
+        from multinn_tpu.data import pianoroll as pr
+        mid_bytes = midi_mod.dumps(pr.roll_to_midi(given, cfg.data.spec()))
+        conn.request("POST", "/generate", body=json.dumps(
+            {"format": "roll",
+             "given_b64": base64.b64encode(mid_bytes).decode()}))
+        out = json.loads(conn.getresponse().read())
+        with np.load(io.BytesIO(base64.b64decode(out["roll_b64"]))) as z:
+            roll_m = z["roll"]
+        assert roll_m.shape == (8, 2, d)
+        np.testing.assert_array_equal(roll_m[:, 0], given[:, 0])
         # bad payload -> 400
         conn.request("POST", "/generate",
                      body=json.dumps({"given_b64": "!!notbase64npz!!"}))
