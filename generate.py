@@ -99,8 +99,6 @@ def main(argv=None) -> int:
                       "MIDI", file=sys.stderr)
                 return 2
             given = given[None]                      # (1, T, K, D)
-            if gcfg.n_steps and given.shape[1] > gcfg.n_steps:
-                given = given[:, :gcfg.n_steps]      # honor the length knob
         else:
             try:
                 given = np.load(args.accompany)["roll"]
@@ -111,6 +109,17 @@ def main(argv=None) -> int:
                 return 2
         if given.ndim == 3:
             given = given[None]
+        if gcfg.n_steps and given.shape[1] > gcfg.n_steps:
+            given = given[:, :gcfg.n_steps]   # length knob, both formats
+        if not np.any(given[:, :, list(tracks)]):
+            # quantization can silently empty the requested tracks — most
+            # commonly a MIDI given on a model with n_tracks not in {1, 5},
+            # where every instrument maps to track 0 (the LPD-5 program
+            # mapping applies only at K=5)
+            print(f"warning: --accompany-tracks {tracks} are all-silent "
+                  "in the given roll — accompaniment will condition on "
+                  "silence (MIDI track mapping collapses to track 0 "
+                  "unless the model has 5 tracks)", file=sys.stderr)
         # binarize BEFORE any encoding (same normalization as the serving
         # path's _normalize_given): a velocity or float roll would feed the
         # bitwise onset/hold ops garbage or crash them

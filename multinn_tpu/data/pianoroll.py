@@ -56,16 +56,26 @@ class RollSpec:
         return self.pitch_max - self.pitch_min + 1
 
 
-def midi_to_roll(mid: midi_mod.MidiFile, spec: RollSpec) -> np.ndarray:
+def midi_to_roll(mid: midi_mod.MidiFile, spec: RollSpec,
+                 max_steps: Optional[int] = None) -> np.ndarray:
     """Quantize+binarize a MidiFile to (T, K, D) uint8.
 
     A note sounding in [start, end) ticks activates every grid step whose
     center falls inside it, with onset rounding to the nearest step — short
     notes always light at least their onset step.
+
+    ``max_steps`` bounds the grid length: a crafted (or merely huge) file
+    whose delta-time varints sum to billions of ticks would otherwise
+    allocate an arbitrarily large roll — callers quantizing UNTRUSTED
+    input (the HTTP serving payload path) must cap at what they will
+    actually consume. Notes entirely beyond the cap are dropped (not
+    clamped onto the final step).
     """
     ticks_per_step = mid.ticks_per_quarter / spec.steps_per_quarter
     end_tick = mid.end_tick()
     n_steps = max(1, int(round(end_tick / ticks_per_step)))
+    if max_steps is not None:
+        n_steps = min(n_steps, max(1, int(max_steps)))
     roll = np.zeros((n_steps, spec.n_tracks, spec.n_pitches), np.uint8)
     for ins in mid.instruments:
         k = (lpd5_track_index(ins.program, ins.is_drum)
@@ -76,6 +86,8 @@ def midi_to_roll(mid: midi_mod.MidiFile, spec: RollSpec) -> np.ndarray:
             if not (spec.pitch_min <= note.pitch <= spec.pitch_max):
                 continue
             s = int(round(note.start / ticks_per_step))
+            if s >= n_steps and max_steps is not None:
+                continue                     # beyond the cap — drop
             e = int(round(note.end / ticks_per_step))
             e = max(e, s + 1)
             s, e = min(s, n_steps - 1), min(e, n_steps)

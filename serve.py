@@ -136,16 +136,32 @@ def make_handler(cfg, service, timeout_s: float):
     from multinn_tpu.data import pianoroll as pr
     spec = cfg.data.spec()
 
-    def decode_roll_payload(b64: str) -> np.ndarray:
+    def decode_roll_payload(b64: str, max_steps: int,
+                            keep: str = "first") -> np.ndarray:
         """A base64 roll payload: raw MIDI bytes (detected by the SMF
         'MThd' magic; quantized through the service's own grid/track spec,
         mirroring the generate.py --accompany CLI) or an npz with key
-        'roll'. Raises on anything else — callers map that to a 400."""
+        'roll'. Raises on anything else — callers map that to a 400.
+
+        ``max_steps`` caps the decoded roll at what the service actually
+        consumes: this is UNTRUSTED input, and a ~100-byte SMF whose
+        delta-times sum to billions of ticks would otherwise quantize to
+        a multi-GB allocation. ``keep`` matches the downstream
+        normalization ("first" for given — _normalize_given reads the
+        leading accompany_steps; "last" for seed — _normalize_seed crops
+        to the trailing seed_steps). MIDI quantization can only cap from
+        the front, so seed MIDI uses a generous bound (set by the caller)
+        rather than exactly seed_steps."""
         raw = base64.b64decode(b64)
         if raw[:4] == b"MThd":
-            return pr.midi_to_roll(midi_mod.loads(raw), spec)
+            return pr.midi_to_roll(midi_mod.loads(raw), spec,
+                                   max_steps=max_steps)
         with np.load(io.BytesIO(raw)) as z:
-            return z["roll"]
+            roll = z["roll"]
+        if keep == "last":
+            return (roll[:, -max_steps:] if roll.ndim == 4
+                    else roll[-max_steps:])
+        return roll[:, :max_steps] if roll.ndim == 4 else roll[:max_steps]
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -193,10 +209,16 @@ def make_handler(cfg, service, timeout_s: float):
             except (TypeError, ValueError):
                 self._send(400, {"error": "bpm must be a number"})
                 return
+            scfg = service.serve_cfg
             seed = None
             if "seed_b64" in req:
                 try:
-                    seed = decode_roll_payload(req["seed_b64"])
+                    # _normalize_seed crops to the LAST seed_steps; the
+                    # 8192-step floor (512 bars) lets any plausible MIDI
+                    # quantize fully while still bounding a crafted one
+                    seed = decode_roll_payload(
+                        req["seed_b64"], max(8192, scfg.seed_steps),
+                        keep="last")
                 except Exception:
                     self._send(400, {"error": "seed_b64 must be base64 of "
                                               "MIDI bytes or an npz with "
@@ -205,7 +227,9 @@ def make_handler(cfg, service, timeout_s: float):
             given = None
             if "given_b64" in req:             # accompaniment request
                 try:
-                    given = decode_roll_payload(req["given_b64"])
+                    given = decode_roll_payload(
+                        req["given_b64"],
+                        max(1, scfg.accompany_steps or service.n_steps))
                 except Exception:
                     self._send(400, {"error": "given_b64 must be base64 of "
                                               "MIDI bytes or an npz with "

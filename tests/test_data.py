@@ -82,6 +82,26 @@ def test_quantize_roundtrip():
     assert roll[t:].sum() == 0 and roll2[t:].sum() == 0
 
 
+def test_midi_to_roll_max_steps_cap():
+    """max_steps bounds the quantized grid (the serving payload path's
+    defense against delta-time bombs): the leading steps are preserved
+    exactly and notes entirely beyond the cap are DROPPED, not clamped
+    onto the final step."""
+    spec = pr.RollSpec(steps_per_quarter=4, pitch_min=21, pitch_max=108,
+                       n_tracks=1)
+    roll = np.zeros((64, 1, spec.n_pitches), np.uint8)
+    roll[:8, 0, 10] = 1          # inside the cap
+    roll[40:44, 0, 20] = 1       # entirely beyond it
+    m = pr.roll_to_midi(roll, spec)
+    capped = pr.midi_to_roll(m, spec, max_steps=16)
+    assert capped.shape[0] <= 16
+    np.testing.assert_array_equal(capped[:8, 0, 10], np.ones(8, np.uint8))
+    assert capped[:, 0, 20].sum() == 0     # dropped, no spurious last-step
+    # uncapped behavior unchanged
+    full = pr.midi_to_roll(m, spec)
+    assert full[:, 0, 20].sum() == 4
+
+
 def test_quantize_roundtrip_5track():
     spec = pr.RollSpec(steps_per_quarter=4, pitch_min=24, pitch_max=107,
                        n_tracks=5)

@@ -27,14 +27,14 @@ from multinn_tpu.utils import config as cfg_mod
 
 
 def tiny_cfg(mode="per-track", decoder="rnn-nade", encoding="frame",
-             n_steps=8, w_std=0.01):
+             n_steps=8, w_std=0.01, n_tracks=2):
     data = cfg_mod.DataConfig.from_preset(
-        "synthetic", n_tracks=2, pitch_min=40, pitch_max=63, window=16,
-        batch_size=4, synthetic_songs=8, synthetic_steps=64,
+        "synthetic", n_tracks=n_tracks, pitch_min=40, pitch_max=63,
+        window=16, batch_size=4, synthetic_songs=8, synthetic_steps=64,
         encoding=encoding)
-    model = MultINNConfig(n_tracks=2, n_pitches=data.frame_dim, mode=mode,
-                          decoder_type=decoder, n_hidden=16, n_rnn=12,
-                          gen_k=2, w_std=w_std)
+    model = MultINNConfig(n_tracks=n_tracks, n_pitches=data.frame_dim,
+                          mode=mode, decoder_type=decoder, n_hidden=16,
+                          n_rnn=12, gen_k=2, w_std=w_std)
     gen = cfg_mod.GenerateConfig(n_steps=n_steps, n_samples=1, seed_steps=0)
     return cfg_mod.ExperimentConfig(name="serve", data=data, model=model,
                                     generate=gen).validate()
@@ -507,12 +507,15 @@ def test_http_accompaniment_roundtrip(tmp_path):
     import serve as serve_mod
 
     cfg_path = tmp_path / "serve_acc_cfg.json"
-    cfg = tiny_cfg(mode="feedback")
+    # 3 tracks, tracks {0, 1} given: keeps a NONZERO given index under
+    # serving-layer test (the npz payload can address it directly; the
+    # MIDI payload's content collapses to track 0 at K != 5)
+    cfg = tiny_cfg(mode="feedback", n_tracks=3)
     cfg_path.write_text(json.dumps(cfg_mod.to_dict(cfg)))
     args, overrides = serve_mod.parse_args(
         ["--config", str(cfg_path), "--fresh", "--port", "0",
          "--batch", "2", "--max-wait-ms", "5",
-         "--accompany-tracks", "0", "--accompany-steps", "8"])
+         "--accompany-tracks", "0,1", "--accompany-steps", "8"])
     ready = threading.Event()
     box = []
     t = threading.Thread(target=serve_mod.serve,
@@ -522,11 +525,9 @@ def test_http_accompaniment_roundtrip(tmp_path):
     httpd, service = box[0]
     try:
         d = cfg.model.n_pitches
-        # given track 0: a 2-track spec's MIDI re-quantization maps all
-        # instruments to track 0 (lpd5 mapping applies only at K=5), so
-        # track 0 is the slice a MIDI round-trip can preserve exactly
-        given = np.zeros((8, 2, d), np.uint8)
+        given = np.zeros((8, 3, d), np.uint8)
         given[:, 0, 5] = 1
+        given[::2, 1, 9] = 1                   # nonzero given index
         buf = io.BytesIO()
         np.savez_compressed(buf, roll=given)
         conn = http.client.HTTPConnection("127.0.0.1", httpd.server_port,
@@ -537,23 +538,30 @@ def test_http_accompaniment_roundtrip(tmp_path):
         out = json.loads(conn.getresponse().read())
         with np.load(io.BytesIO(base64.b64decode(out["roll_b64"]))) as z:
             roll = z["roll"]
-        assert roll.shape == (8, 2, d)
+        assert roll.shape == (8, 3, d)
         np.testing.assert_array_equal(roll[:, 0], given[:, 0])
+        np.testing.assert_array_equal(roll[:, 1], given[:, 1])
         st = service.stats()
         assert st["accompany_batches"] == 1
-        # MIDI given (r5): the same melody as raw SMF bytes, quantized
-        # through the service's own grid/track spec server-side
+        # MIDI given (r5): raw SMF bytes, quantized through the service's
+        # own grid/track spec server-side. At K != 5 every instrument maps
+        # to track 0, so only track 0's melody survives the round trip;
+        # the fixed track 1 is then (exactly) silence
         from multinn_tpu.data import midi as midi_mod
         from multinn_tpu.data import pianoroll as pr
-        mid_bytes = midi_mod.dumps(pr.roll_to_midi(given, cfg.data.spec()))
+        # 64 steps of melody against accompany_steps=8: the handler's
+        # decode cap bounds the quantized roll before normalization
+        mid_bytes = midi_mod.dumps(pr.roll_to_midi(
+            np.tile(given[:, :1], (8, 1, 1)), cfg.data.spec()))
         conn.request("POST", "/generate", body=json.dumps(
             {"format": "roll",
              "given_b64": base64.b64encode(mid_bytes).decode()}))
         out = json.loads(conn.getresponse().read())
         with np.load(io.BytesIO(base64.b64decode(out["roll_b64"]))) as z:
             roll_m = z["roll"]
-        assert roll_m.shape == (8, 2, d)
+        assert roll_m.shape == (8, 3, d)
         np.testing.assert_array_equal(roll_m[:, 0], given[:, 0])
+        np.testing.assert_array_equal(roll_m[:, 1], np.zeros((8, d)))
         # bad payload -> 400
         conn.request("POST", "/generate",
                      body=json.dumps({"given_b64": "!!notbase64npz!!"}))
